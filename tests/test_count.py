@@ -1,0 +1,114 @@
+"""Count pipeline parity vs a brute-force Python implementation, plus the
+reference's full-genome conformance fixtures (marked full)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.io.fastx import Record, pack_records, pack_files
+from unikmer_tpu.models.count import CountConfig, count_packed, count_linear
+from unikmer_tpu.ops import codec
+from tests.conftest import (
+    FIXTURE_COUNTS_K23_CANONICAL,
+    GENOMES,
+    random_dna,
+)
+
+COMP = dict(zip("ACGT", "TGCA"))
+
+
+def brute_kmers(seqs, k, canonical=False, circular=False):
+    out = []
+    for s in seqs:
+        s = s.upper()
+        if len(s) < k:
+            continue
+        ss = s + s[: k - 1] if circular else s
+        for i in range(len(ss) - k + 1):
+            km = ss[i : i + k]
+            if any(c not in "ACGT" for c in km):
+                continue
+            if canonical:
+                rc = "".join(COMP[c] for c in reversed(km))
+                km = min(km, rc)
+            out.append(km)
+    return out
+
+
+def run_count(seqs, k, mode="distinct", canonical=False, circular=False):
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode()) for i, s in enumerate(seqs)]
+    packed = pack_records(recs, k, circular)
+    cfg = CountConfig(k=k, canonical=canonical, circular=circular, mode=mode)
+    return count_packed(packed, cfg)
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("k", [5, 23, 31])
+def test_distinct_matches_bruteforce(rng, k, canonical):
+    seqs = [random_dna(rng, n, p_invalid=0.02).decode() for n in (300, 50, k, k - 1)]
+    got = run_count(seqs, k, canonical=canonical)
+    want = sorted({codec.encode_kmer(s) for s in brute_kmers(seqs, k, canonical)})
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.uint64))
+
+
+def test_unique_and_repeated(rng):
+    k = 9
+    seqs = [random_dna(rng, 400).decode() for _ in range(3)]
+    seqs.append(seqs[0][:100])  # force repeats
+    counts = collections.Counter(
+        codec.encode_kmer(s) for s in brute_kmers(seqs, k, canonical=True)
+    )
+    uniq = run_count(seqs, k, mode="unique", canonical=True)
+    rep = run_count(seqs, k, mode="repeated", canonical=True)
+    np.testing.assert_array_equal(
+        uniq, np.array(sorted(c for c, n in counts.items() if n == 1), np.uint64)
+    )
+    np.testing.assert_array_equal(
+        rep, np.array(sorted(c for c, n in counts.items() if n > 1), np.uint64)
+    )
+
+
+def test_circular_wraparound(rng):
+    k = 7
+    seqs = [random_dna(rng, 60).decode()]
+    got = run_count(seqs, k, circular=True)
+    want = sorted({codec.encode_kmer(s) for s in brute_kmers(seqs, k, circular=True)})
+    np.testing.assert_array_equal(got, np.array(want, dtype=np.uint64))
+
+
+def test_linear_keeps_order_and_dups(rng):
+    k = 5
+    seqs = [random_dna(rng, 100).decode(), random_dna(rng, 40).decode()]
+    got = count_linear(
+        pack_records(
+            [Record(b"a", b"a", seqs[0].encode()), Record(b"b", b"b", seqs[1].encode())],
+            k,
+        ),
+        CountConfig(k=k, canonical=False),
+    )
+    want = np.array(
+        [codec.encode_kmer(s) for s in brute_kmers(seqs, k)], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize("name", ["amuc", "mg1655", "iai39"])
+def test_fixture_counts_k23(name):
+    packed = pack_files([GENOMES[name]], 23)
+    codes = count_packed(packed, CountConfig(k=23, canonical=True))
+    assert len(codes) == FIXTURE_COUNTS_K23_CANONICAL[name]
+
+
+@pytest.mark.full
+def test_fixture_first_kmers_mg1655():
+    # README view output of the sorted MG1655 k=23 file (README.md:176-180)
+    packed = pack_files([GENOMES["mg1655"]], 23)
+    codes = count_packed(packed, CountConfig(k=23, canonical=True))
+    first = [codec.decode_kmer(int(c), 23) for c in codes[:3]]
+    assert first == [
+        "AAAAAAAAACCATCCAAATCTGG",
+        "AAAAAAAAACCGCTAGTATATTC",
+        "AAAAAAAAACCTGAAAAAAACGG",
+    ]

@@ -1,0 +1,37 @@
+"""unikmer_tpu — a TPU-native k-mer analysis engine.
+
+A from-scratch re-design of the capabilities of shenwei356/unikmer v0.21.0
+(reference surveyed in SURVEY.md) for TPU hardware: k-mers are encoded
+(2-bit, k<=32) or hashed (ntHash v1, k<=64) into uint64 codes with
+vectorized JAX/XLA/Pallas kernels, represented as sorted uint64 arrays in
+HBM (optionally with a uint32 TaxId column), and manipulated with
+merge-based sorted-set operations (union / intersection / difference /
+common / unique / repeated) where TaxIds merge by LCA.
+
+Layer map (bottom-up):
+  io/        .unik serialization, FASTA/Q ingest, varint-GB codec
+  ops/       device kernels: 2-bit codec, ntHash, sketches, sort, set ops
+  taxonomy/  NCBI taxdump loading, O(1) vectorized LCA, ranks
+  models/    end-to-end jitted pipelines (count/sketch "flagship model")
+  parallel/  device meshes, hash-range sharded sets, collectives
+  pipeline/  host orchestration: chunking, external sort spill, multi-host
+  cli/       the unikmer-compatible command-line surface (23 subcommands)
+  utils/     logging, sizes, file lists
+"""
+
+# 64-bit integers are the core currency of this package (k-mer codes are
+# uint64).  Enable x64 before anything traces; on TPU XLA lowers 64-bit
+# integer ops to 32-bit pairs, and the Pallas hot kernels use explicit
+# (hi, lo) uint32 representations instead.
+from jax import config as _jax_config
+
+_jax_config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+# Version of the reference toolkit whose behavior we reproduce.
+REFERENCE_VERSION = "0.21.0"
+# .unik format version we emit (parity with unik/v5 v5.0 semantics;
+# byte-level layout is this package's own documented layout, see io/unik.py).
+UNIK_MAIN_VERSION = 5
+UNIK_MINOR_VERSION = 0

@@ -1,0 +1,199 @@
+"""FASTA/FASTQ ingest: host-side parsing into packed device-ready batches.
+
+Behavior contract (reference: shenwei356/bio seqio/fastx via call sites
+unikmer/cmd/count.go:285-332, locate.go:143-231 — SURVEY.md §2.2):
+auto-detect FASTA vs FASTQ, transparently decompress gzip (and xz/zstd
+when the codecs are available), yield records with Name (full header),
+ID (first word) and Seq bytes; sequences shorter than k are skipped
+(ErrShortSeq semantics).
+
+TPU-first design: instead of a pull-iterator per record, sequences are
+concatenated into one flat uint8 base-code array with a single
+INVALID_BASE sentinel between records, so one device kernel invocation
+encodes every window of every record; windows that touch a sentinel are
+masked out by codec.window_valid.  Circular genomes append the first
+k-1 bases of each record before its sentinel, which materializes exactly
+the wrap-around windows the reference's iterators produce.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import lzma
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..ops.codec import BASE_LUT, INVALID_BASE
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+@dataclass
+class Record:
+    name: bytes  # full header line after > or @
+    id: bytes  # first whitespace-separated token
+    seq: bytes
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+
+def open_maybe_compressed(path: str, mode: str = "rb"):
+    """Open a file, transparently decompressing by magic-byte sniffing
+    (reference sniffs gzip magic at unikmer/cmd/util-io.go:99-114)."""
+    if path == "-":
+        return io.BufferedReader(os.fdopen(os.dup(0), "rb"))
+    f = open(path, "rb")
+    magic = f.read(6)
+    f.seek(0)
+    if magic[:2] == _GZIP_MAGIC:
+        return io.BufferedReader(gzip.GzipFile(fileobj=f), 1 << 20)
+    if magic[:6] == _XZ_MAGIC:
+        return io.BufferedReader(lzma.LZMAFile(f), 1 << 20)
+    if magic[:4] == _ZSTD_MAGIC:
+        try:
+            import zstandard  # optional; gate, do not require
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(f"{path}: zstd input needs the zstandard module") from e
+        return io.BufferedReader(zstandard.ZstdDecompressor().stream_reader(f), 1 << 20)
+    return io.BufferedReader(f, 1 << 20)
+
+
+def _parse_header(line: bytes) -> tuple[bytes, bytes]:
+    name = line[1:].rstrip(b"\r\n")
+    ident = name.split(None, 1)[0] if name else b""
+    return name, ident
+
+
+def read_fastx(path: str) -> Iterator[Record]:
+    """Stream records from a FASTA or FASTQ file (format auto-detected)."""
+    with open_maybe_compressed(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if not first:
+            probe = f.read(1)
+            if not probe:
+                return
+            rest = f.read()
+            f = io.BufferedReader(io.BytesIO(probe + rest))
+            first = probe
+        if first == b">":
+            yield from _read_fasta(f)
+        elif first == b"@":
+            yield from _read_fastq(f)
+        else:
+            raise ValueError(f"{path}: not a FASTA/FASTQ file (starts with {first!r})")
+
+
+def _read_fasta(f) -> Iterator[Record]:
+    name = ident = None
+    chunks: list[bytes] = []
+    for line in f:
+        if line.startswith(b">"):
+            if name is not None:
+                yield Record(name, ident, b"".join(chunks))
+            name, ident = _parse_header(line)
+            chunks = []
+        else:
+            chunks.append(line.strip())
+    if name is not None:
+        yield Record(name, ident, b"".join(chunks))
+
+
+def _read_fastq(f) -> Iterator[Record]:
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        if header.strip() == b"":
+            continue
+        if not header.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ header: {header[:50]!r}")
+        name, ident = _parse_header(header)
+        seq = f.readline().strip()
+        plus = f.readline()
+        if not plus.startswith(b"+"):
+            raise ValueError("malformed FASTQ: missing '+' line")
+        qual = f.readline().strip()
+        while len(qual) < len(seq):  # multi-line quality (rare)
+            more = f.readline()
+            if not more:
+                break
+            qual += more.strip()
+        yield Record(name, ident, bytes(seq))
+
+
+# ---------------------------------------------------------------------------
+# Packing records into flat device batches
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PackedSeqs:
+    """Flat base-code buffer with one sentinel byte between records.
+
+    bases:   uint8 base codes (0..3 valid, >=4 invalid/sentinel)
+    starts:  int64 start offset of each record in ``bases``
+    lengths: int64 original record length (excludes circular wrap bases)
+    """
+
+    bases: np.ndarray
+    starts: np.ndarray
+    lengths: np.ndarray
+
+    @property
+    def n_records(self) -> int:
+        return len(self.starts)
+
+
+def pack_records(
+    records: Iterable[Record], k: int, circular: bool = False
+) -> PackedSeqs:
+    """Pack records for whole-batch window encoding.
+
+    Records shorter than k are dropped (reference ErrShortSeq skip,
+    count.go:323-331).  With ``circular`` the first k-1 bases of each
+    record are appended after it (reference NewKmerIterator(..., circular)
+    wrap-around), producing exactly the extra len-((k-1)..1) windows.
+    """
+    bufs: list[np.ndarray] = []
+    starts: list[int] = []
+    lengths: list[int] = []
+    off = 0
+    sep = np.array([INVALID_BASE], dtype=np.uint8)
+    for rec in records:
+        if len(rec.seq) < k:
+            continue
+        b = BASE_LUT[np.frombuffer(rec.seq, dtype=np.uint8)]
+        starts.append(off)
+        lengths.append(len(b))
+        bufs.append(b)
+        off += len(b)
+        if circular and k > 1:
+            wrap = b[: k - 1]
+            bufs.append(wrap)
+            off += len(wrap)
+        bufs.append(sep)
+        off += 1
+    if not bufs:
+        return PackedSeqs(
+            np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64)
+        )
+    return PackedSeqs(
+        np.concatenate(bufs),
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(lengths, dtype=np.int64),
+    )
+
+
+def pack_files(paths: Iterable[str], k: int, circular: bool = False) -> PackedSeqs:
+    def gen():
+        for p in paths:
+            yield from read_fastx(p)
+
+    return pack_records(gen(), k, circular)

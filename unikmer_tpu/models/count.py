@@ -1,0 +1,145 @@
+"""The flagship pipeline: FASTA/Q -> k-mer / sketch set ("count").
+
+Reference behavior: unikmer/cmd/count.go (SURVEY.md §3.1).  The Go code
+streams one k-mer at a time through a map; here one jitted XLA program
+encodes/hashes EVERY window of a packed sequence batch, masks invalid
+windows, and sort-collapses to the distinct (or unique/repeated) set on
+device.  Host code only packs bytes and slices the resulting prefix.
+
+Modes mirror the reference:
+  * encoded (2-bit, k<=32) or hashed (ntHash v1, k<=64, forced for k>32)
+  * canonical
+  * scaled MinHash (keep hash <= maxUint64/scale, count.go:89-98,373-375)
+  * minimizer / closed syncmer sketches (ops/sketch.py)
+  * distinct / unique (-u) / repeated (-d) collapse
+  * circular genomes (wrap windows materialized by the packer)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fastx import PackedSeqs
+from ..ops import codec
+from ..ops.nthash import nthash_windows, scaled_max_hash
+from ..ops.sort import collapse_sorted
+
+
+@dataclass(frozen=True)
+class CountConfig:
+    k: int
+    canonical: bool = False
+    hashed: bool = False
+    scale: int = 1
+    minimizer_w: int = 0
+    syncmer_s: int = 0
+    circular: bool = False
+    mode: str = "distinct"  # distinct | unique | repeated
+
+    def __post_init__(self):
+        if self.k > codec.MAX_K_ENCODED and not self.hashed:
+            object.__setattr__(self, "hashed", True)
+        if self.scale > 1 and not self.hashed:
+            object.__setattr__(self, "hashed", True)
+        if (self.minimizer_w > 0 or self.syncmer_s > 0) and not (
+            self.hashed and self.canonical
+        ):
+            object.__setattr__(self, "hashed", True)
+            object.__setattr__(self, "canonical", True)
+        if self.minimizer_w > 0 and self.syncmer_s > 0:
+            raise ValueError("minimizer and syncmer are mutually exclusive")
+        if self.hashed and self.k > codec.MAX_K_HASHED:
+            raise ValueError(f"k must be <= {codec.MAX_K_HASHED}")
+
+
+def window_codes(bases: jnp.ndarray, cfg: CountConfig):
+    """Per-position codes + validity for a packed base array.
+
+    Returns (codes, valid) of length len(bases).  This is the shared
+    front half of count/grep/locate/map pipelines.
+    """
+    k = cfg.k
+    valid = codec.window_valid(bases, k)
+    if cfg.minimizer_w > 0:
+        from ..ops.sketch import minimizer_windows
+
+        return minimizer_windows(bases, k, cfg.minimizer_w)
+    if cfg.syncmer_s > 0:
+        from ..ops.sketch import syncmer_windows
+
+        return syncmer_windows(bases, k, cfg.syncmer_s)
+    if cfg.hashed:
+        codes = nthash_windows(bases, k, cfg.canonical)
+    else:
+        codes = codec.kmer_codes(bases, k)
+        if cfg.canonical:
+            codes = codec.canonical_code(codes, k)
+    if cfg.scale > 1:
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    return codes, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def count_step(bases: jnp.ndarray, cfg: CountConfig):
+    """Jitted: packed bases -> (sorted dense prefix of kept codes, n)."""
+    codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    return collapse_sorted(codes, valid, mode=cfg.mode)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def linear_codes_step(bases: jnp.ndarray, cfg: CountConfig):
+    """Jitted: packed bases -> (codes, valid) in genome order (count -l)."""
+    codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    return codes, valid
+
+
+# Pad packed buffers to a small set of bucket lengths so recompilation is
+# bounded (XLA wants static shapes; SURVEY.md §7.3 "ragged genomes").
+_PAD_QUANTUM = 1 << 20
+
+
+def _padded_len(n: int) -> int:
+    q = _PAD_QUANTUM
+    while q < n:
+        q *= 2
+    return q
+
+
+def pad_bases(bases: np.ndarray) -> np.ndarray:
+    n = len(bases)
+    padded = np.full(_padded_len(max(n, 1)), codec.INVALID_BASE, dtype=np.uint8)
+    padded[:n] = bases
+    return padded
+
+
+def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
+    """Host entry: packed sequences -> sorted numpy uint64 of kept codes."""
+    if packed.bases.size == 0:
+        return np.zeros(0, np.uint64)
+    bases = pad_bases(packed.bases)
+    out, n = count_step(bases, cfg)
+    n = int(n)
+    return np.asarray(out[:n])
+
+
+def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
+    """Host entry for -l/--linear: codes in genome order, dups kept."""
+    if packed.bases.size == 0:
+        return np.zeros(0, np.uint64)
+    bases = pad_bases(packed.bases)
+    codes, valid = linear_codes_step(bases, cfg)
+    codes = np.asarray(codes)
+    valid = np.asarray(valid)
+    return codes[valid]
