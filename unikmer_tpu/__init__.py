@@ -23,9 +23,23 @@ Layer map (bottom-up):
 # uint64).  Enable x64 before anything traces; on TPU XLA lowers 64-bit
 # integer ops to 32-bit pairs, and the Pallas hot kernels use explicit
 # (hi, lo) uint32 representations instead.
+import os as _os
+
 from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the CLI spawns a fresh process per command,
+# so XLA programs (20-40 s first compile on TPU) must be reused across runs.
+_cache_dir = _os.environ.get(
+    "UNIKMER_TPU_CACHE", _os.path.expanduser("~/.cache/unikmer_tpu/xla")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except (OSError, AttributeError):  # read-only fs or older jax: non-fatal
+    pass
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,195 @@
+"""count: generate k-mers (sketch) from FASTA/Q sequences.
+
+Reference: unikmer/cmd/count.go (full semantics in SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+
+from ...io import unik
+from ...io.fastx import pack_records, read_fastx
+from ...models.count import (
+    CountConfig,
+    count_linear,
+    count_packed,
+    count_packed_taxids,
+)
+from ...ops.codec import MAX_K_ENCODED, MAX_K_HASHED
+from ...utils.log import die, log
+from ..opts import ensure_unik_suffix, get_file_list, get_options, out_binary_stream
+from ._common import new_command, log_saved
+
+
+def register(subparsers):
+    p = new_command(subparsers, "count", "Generate k-mers (sketch) from FASTA/Q sequences")
+    p.add_argument("files", nargs="*", default=[], help="input FASTA/Q file(s)")
+    p.add_argument("-B", "--seq-name-filter", action="append", default=[],
+                   help="regular expression for filtering out sequences by header/name, case ignored")
+    p.add_argument("-o", "--out-prefix", default="-", help='out file prefix ("-" for stdout)')
+    p.add_argument("-k", "--kmer-len", type=int, required=True, help="k-mer length")
+    p.add_argument("-K", "--canonical", action="store_true", help="only keep the canonical k-mers")
+    p.add_argument("-s", "--sort", action="store_true",
+                   help="sort k-mers, this significantly reduces file size for k<=25. Overrides -c/--compact")
+    p.add_argument("-t", "--taxid", type=int, default=0, help="global taxid")
+    p.add_argument("-T", "--parse-taxid", action="store_true", help="parse taxid from FASTA/Q header")
+    p.add_argument("-r", "--parse-taxid-regexp", default="", help="regular expression for parsing taxid")
+    p.add_argument("-d", "--repeated", action="store_true",
+                   help="only count duplicate k-mers, for removing singletons in FASTQ")
+    p.add_argument("-u", "--unique", action="store_true", help="only count unique k-mers")
+    p.add_argument("-V", "--more-verbose", action="store_true", help="print extra verbose information")
+    p.add_argument("-H", "--hash", action="store_true",
+                   help="save hash of k-mer, automatically on for k>32. Overrides -c/--compact")
+    p.add_argument("--circular", action="store_true", help="circular genome")
+    p.add_argument("-D", "--scale", type=int, default=1, help="scale/down-sample factor")
+    p.add_argument("-W", "--minimizer-w", type=int, default=0, help="minimizer window size")
+    p.add_argument("-S", "--syncmer-s", type=int, default=0, help="closed syncmer length")
+    p.add_argument("-l", "--linear", action="store_true",
+                   help="output k-mers in linear order, duplicate k-mers are not removed")
+    p.set_defaults(func=run)
+
+
+def run(args) -> int:
+    opt = get_options(args)
+    k = args.kmer_len
+    if k <= 0:
+        die("k-mer length must be positive")
+    hashed = args.hash
+    if k > MAX_K_ENCODED and not hashed:
+        hashed = True
+        log.warning("flag -H/--hash is switched on for k > 32")
+    if hashed and k > MAX_K_HASHED:
+        die(f"k-mer size ({k}) should be <=64")
+    if args.scale > 1 and not hashed:
+        hashed = True
+        log.warning("flag -H/--hash is switched on for scale > 1")
+    canonical = args.canonical
+    if (args.minimizer_w > 0 or args.syncmer_s > 0) and not (hashed and canonical):
+        hashed = canonical = True
+        log.warning("flags -H/--hash and -K/--canonical are switched on for sketches")
+    if args.minimizer_w > 0 and args.syncmer_s > 0:
+        die("flag --minimizer-w and --syncmer-s can not be given simultaneously")
+    if args.unique and args.repeated:
+        die("flag -u/--unique and -d/--repeated are not compatible")
+    if args.linear and args.sort:
+        die("flag -l/--linear and -s/--sort are not compatible")
+    if args.linear and (args.unique or args.repeated):
+        log.warning("flag -d/--repeated and -u/--unique are ignored when -l/--linear given")
+    if args.parse_taxid:
+        if args.taxid > 0:
+            die("flag -t/--taxid and -T/--parse-taxid can not be given simultaneously")
+        if not args.parse_taxid_regexp:
+            die("flag -r/--parse-taxid-regexp needed when given flag -T/--parse-taxid")
+        if not re.search(r"\(.+\)", args.parse_taxid_regexp):
+            die('value of -r/--parse-taxid-regexp must contain "(" and ")" to capture taxid')
+        re_taxid = re.compile(args.parse_taxid_regexp.encode())
+    else:
+        re_taxid = None
+
+    name_res = []
+    for kw in args.seq_name_filter:
+        if "(?i)" not in kw:
+            kw = "(?i)" + kw
+        try:
+            name_res.append(re.compile(kw.encode()))
+        except re.error as e:
+            die(f"failed to parse regular expression for matching sequence header: {e}")
+
+    files = get_file_list(args, check_exists=not opt.skip_file_check)
+    out_file = ensure_unik_suffix(args.out_prefix)
+
+    mode = "repeated" if args.repeated else "unique" if args.unique else "distinct"
+    if args.linear:
+        mode = "distinct"
+    cfg = CountConfig(
+        k=k,
+        canonical=canonical,
+        hashed=hashed,
+        scale=args.scale,
+        minimizer_w=args.minimizer_w,
+        syncmer_s=args.syncmer_s,
+        circular=args.circular,
+        mode=mode,
+    )
+
+    def records():
+        for f in files:
+            if opt.verbose:
+                log.info(f"reading sequence file: {f}")
+            for rec in read_fastx(f):
+                if name_res and any(r.search(rec.name) for r in name_res):
+                    continue
+                yield rec
+
+    flag = 0
+    if canonical:
+        flag |= unik.CANONICAL
+    if cfg.hashed:
+        flag |= unik.HASHED
+    elif opt.compact and not args.sort and not args.linear:
+        flag |= unik.COMPACT
+    if args.parse_taxid:
+        flag |= unik.INCLUDE_TAXID
+    if args.sort:
+        flag |= unik.SORTED
+        flag &= ~unik.COMPACT
+
+    writer_kw = dict(
+        k=k,
+        compress=opt.compress,
+        compression_level=opt.compression_level,
+        global_taxid=args.taxid if (args.taxid > 0 and not args.parse_taxid) else 0,
+        scale=args.scale if args.scale > 1 else 1,
+        max_taxid=opt.max_taxid,
+    )
+
+    if args.linear:
+        out, _ = out_binary_stream(out_file)
+        with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
+            n = 0
+            if args.parse_taxid:
+                for rec in records():
+                    codes, taxids = _linear_one(rec, cfg, re_taxid)
+                    w.write_codes(codes, taxids)
+                    n += len(codes)
+            else:
+                packed = pack_records(records(), k, args.circular)
+                codes = count_linear(packed, cfg)
+                w.write_codes(codes)
+                n = len(codes)
+        log_saved(opt, n, out_file)
+        return 0
+
+    if args.parse_taxid:
+        from ...taxonomy.taxdump import load_taxonomy
+
+        taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
+        codes, taxids = count_packed_taxids(records(), cfg, re_taxid, taxdb)
+        if not args.sort:
+            pass  # already sorted; reference order is map order (unordered)
+        out, _ = out_binary_stream(out_file)
+        with unik.UnikWriter(out, flag=flag, number=len(codes), **writer_kw) as w:
+            w.write_codes(codes, taxids)
+        log_saved(opt, len(codes), out_file)
+        return 0
+
+    packed = pack_records(records(), k, args.circular)
+    codes = count_packed(packed, cfg)
+    out, _ = out_binary_stream(out_file)
+    with unik.UnikWriter(out, flag=flag, number=len(codes), **writer_kw) as w:
+        w.write_codes(codes)
+    log_saved(opt, len(codes), out_file)
+    return 0
+
+
+def _linear_one(rec, cfg, re_taxid):
+    packed = pack_records([rec], cfg.k, cfg.circular)
+    codes = count_linear(packed, cfg)
+    m = re_taxid.search(rec.name)
+    if not m:
+        die(f"failed to parse taxid in header: {rec.name.decode()}")
+    taxid = int(m.group(1))
+    return codes, np.full(len(codes), taxid, np.uint32)

@@ -1,0 +1,158 @@
+"""dump: convert plain k-mer text to binary format.
+
+Reference: unikmer/cmd/dump.go — per-line 2-bit encode / ntHash /
+pre-hashed integers; optional tab-separated taxid column (k inferred
+from the first line; --canonical-only drops non-canonical input;
+-u keeps the first occurrence of each code).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ...io import unik
+from ...ops import codec
+from ...ops.nthash import nthash_kmer
+from ...utils.log import die, log
+from ..opts import ensure_unik_suffix, get_file_list, get_options, out_binary_stream
+from ._common import new_command, log_saved
+
+
+def register(subparsers):
+    p = new_command(subparsers, "dump", "Convert plain k-mer text to binary format")
+    p.add_argument("files", nargs="*", default=[], help="input text file(s), one k-mer per line")
+    p.add_argument("-o", "--out-prefix", default="-",
+                   help='out file prefix ("-" for stdout)')
+    p.add_argument("-u", "--unique", action="store_true", help="remove duplicate k-mers")
+    p.add_argument("-K", "--canonical", action="store_true", help="save the canonical k-mers")
+    p.add_argument("-O", "--canonical-only", action="store_true",
+                   help="only save the canonical k-mers. Overrides -K/--canonical")
+    p.add_argument("-s", "--sorted", action="store_true", help="input k-mers are sorted")
+    p.add_argument("-t", "--taxid", type=int, default=0, help="global taxid")
+    p.add_argument("-H", "--hash", action="store_true",
+                   help="save hash of k-mer, automatically on for k>32. Overrides -c/--compact")
+    p.add_argument("--hashed", action="store_true",
+                   help="giving hash values of k-mers. Overrides -c/--compact")
+    p.add_argument("-k", "--kmer-len", type=int, default=0, help="k-mer length")
+    p.set_defaults(func=run)
+
+
+def run(args) -> int:
+    opt = get_options(args)
+    files = get_file_list(args, check_exists=not opt.skip_file_check)
+    out_file = ensure_unik_suffix(args.out_prefix)
+    hashed_already = args.hashed
+    if hashed_already and args.kmer_len <= 0:
+        die("flag -k/--kmer-len needed when --hashed given")
+    hashed = args.hash
+    canonical = args.canonical or args.canonical_only
+
+    include_taxid = None
+    k = args.kmer_len if hashed_already else -1
+    global_taxid = args.taxid
+    codes_out: list[int] = []
+    taxids_out: list[int] = []
+    seen = set() if args.unique else None
+
+    for file in files:
+        stream = sys.stdin.buffer if file == "-" else open(file, "rb")
+        with stream:
+            for raw in stream:
+                line = raw.strip()
+                if not line:
+                    continue
+                taxid = 0
+                if include_taxid is None:
+                    include_taxid = b"\t" in line
+                    if include_taxid and global_taxid > 0:
+                        log.warning(
+                            "since input has more than one column, global taxid is ignored"
+                        )
+                if include_taxid:
+                    items = line.split(b"\t")
+                    if len(items) < 2:
+                        die("inconsistent two column tabular format")
+                    line = items[0]
+                    try:
+                        taxid = int(items[1])
+                    except ValueError:
+                        die(
+                            "query taxid (2nd column) should be positive integer: "
+                            + items[1].decode()
+                        )
+
+                if hashed_already:
+                    try:
+                        code = int(line)
+                    except ValueError:
+                        die(f"invalid hash value: {line.decode()}")
+                else:
+                    l = len(line)
+                    if k == -1:
+                        k = l
+                        if k > codec.MAX_K_ENCODED and not hashed:
+                            hashed = True
+                            log.warning("flag -H/--hash is switched on for k > 32")
+                    elif l != k:
+                        die(
+                            f"K-mer length mismatch, previous: {k}, current: {l}. "
+                            + line.decode()
+                        )
+                    if hashed:
+                        if k > codec.MAX_K_HASHED:
+                            die(f"k-mer size ({k}) should be <=64")
+                        code = nthash_kmer(line, canonical=canonical)
+                    else:
+                        try:
+                            code = codec.encode_kmer(line)
+                        except ValueError as e:
+                            die(f"fail to encode '{line.decode()}': {e}")
+                        if args.canonical_only:
+                            canon = int(codec.canonical_np(code, k))
+                            if canon != code:
+                                continue
+                            code = canon
+                        elif args.canonical:
+                            code = int(codec.canonical_np(code, k))
+
+                if seen is not None:
+                    if code in seen:
+                        continue
+                    seen.add(code)
+                codes_out.append(code)
+                if include_taxid:
+                    taxids_out.append(taxid)
+
+    if k <= 0:
+        k = 1
+    include_taxid = bool(include_taxid)
+    flag = 0
+    if args.sorted:
+        flag |= unik.SORTED
+    elif opt.compact and not (hashed or hashed_already):
+        flag |= unik.COMPACT
+    if canonical:
+        flag |= unik.CANONICAL
+    if include_taxid:
+        flag |= unik.INCLUDE_TAXID
+    if hashed or hashed_already:
+        flag |= unik.HASHED
+    out, _ = out_binary_stream(out_file)
+    with unik.UnikWriter(
+        out,
+        k=k,
+        flag=flag,
+        number=len(codes_out),
+        global_taxid=global_taxid if (global_taxid > 0 and not include_taxid) else 0,
+        max_taxid=opt.max_taxid,
+        compress=opt.compress,
+        compression_level=opt.compression_level,
+    ) as w:
+        w.write_codes(
+            np.array(codes_out, np.uint64),
+            np.array(taxids_out, np.uint32) if include_taxid else None,
+        )
+    log_saved(opt, len(codes_out), out_file)
+    return 0

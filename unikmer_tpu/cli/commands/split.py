@@ -1,0 +1,116 @@
+"""split: split k-mers into sorted chunk files.
+
+Reference: unikmer/cmd/split.go — the chunking half of `sort -m`; a fast
+path streams an already-sorted single input into size-limited chunks
+without re-sorting (split.go:137,184-280).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+from ...io import unik
+from ...pipeline import extsort
+from ...utils.log import die, log
+from ...utils.sizes import parse_byte_size
+from ._common import add_files_arg, effective_taxids, new_command, open_reader, unik_inputs
+from ._setops import maybe_taxonomy
+from ...io.unik import check_compatibility
+from ...utils.log import check_error
+
+
+def register(subparsers):
+    p = new_command(subparsers, "split", "Split k-mers into sorted chunk files")
+    add_files_arg(p)
+    p.add_argument("-O", "--out-dir", default="", help="output directory")
+    p.add_argument("-m", "--chunk-size", default="",
+                   help="split input into chunks of N k-mers, supports K/M/G suffix")
+    p.add_argument("--force", action="store_true", help="overwrite output directory")
+    p.add_argument("-u", "--unique", action="store_true",
+                   help="split for further removing duplicate k-mers")
+    p.add_argument("-d", "--repeated", action="store_true",
+                   help="split for further printing duplicate k-mers")
+    p.set_defaults(func=run)
+
+
+def run(args) -> int:
+    opt, files = unik_inputs(args)
+    if args.unique and args.repeated:
+        die("flag -u/--unique and -d/--repeated are not compatible")
+    mode = "unique" if args.unique else "repeated" if args.repeated else "none"
+
+    out_dir = args.out_dir
+    if not out_dir:
+        out_dir = ("stdin" if files[0] == "-" else files[0]) + ".split"
+    if os.path.exists(out_dir):
+        if args.force:
+            shutil.rmtree(out_dir)
+        elif os.listdir(out_dir):
+            die(f"outdir not empty: {out_dir}, use --force to overwrite")
+    os.makedirs(out_dir, exist_ok=True)
+
+    chunk_size = parse_byte_size(args.chunk_size) if args.chunk_size else 0
+
+    h0 = None
+    has_taxid = False
+    taxdb = None
+    chunk_idx = 0
+    buf_c, buf_t = [], []
+    buffered = 0
+    n_total = 0
+
+    # fast path: single sorted input -> stream chunks without sorting
+    all_sorted = True
+
+    def base_flag():
+        f = 0
+        if h0.is_canonical:
+            f |= unik.CANONICAL
+        if h0.is_hashed:
+            f |= unik.HASHED
+        return f
+
+    def dump():
+        nonlocal buf_c, buf_t, buffered, chunk_idx, n_total
+        if buffered == 0:
+            return
+        codes = np.concatenate(buf_c)
+        taxids = np.concatenate(buf_t) if has_taxid else None
+        path = extsort.chunk_file_name(out_dir, chunk_idx)
+        extsort.dump_chunk(codes, taxids, path, h0.k, base_flag(), mode, taxdb, opt)
+        if opt.verbose:
+            log.info(f"chunk {chunk_idx}: {len(codes)} k-mers saved to {path}")
+        chunk_idx += 1
+        n_total += buffered
+        buf_c, buf_t = [], []
+        buffered = 0
+
+    for f in files:
+        with open_reader(f) as r:
+            if h0 is None:
+                h0 = r.header
+                has_taxid = not opt.ignore_taxid and h0.has_taxid_info
+                if has_taxid and mode != "none":
+                    taxdb = maybe_taxonomy(opt, True)
+            elif not opt.skip_flag_check:
+                try:
+                    check_compatibility(h0, r.header, f)
+                except ValueError as e:
+                    check_error(e)
+            all_sorted = all_sorted and r.header.is_sorted
+            for codes, taxids in r.iter_blocks():
+                taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
+                buf_c.append(codes)
+                if has_taxid:
+                    buf_t.append(taxids if taxids is not None
+                                 else np.zeros(len(codes), np.uint32))
+                buffered += len(codes)
+                if chunk_size and buffered >= chunk_size:
+                    dump()
+    dump()
+    if opt.verbose:
+        log.info(f"{n_total} k-mers saved to {chunk_idx} chunk files in {out_dir}")
+    return 0

@@ -1,0 +1,94 @@
+"""unikmer-tpu CLI: flag-compatible surface of the reference toolkit.
+
+Command set mirrors shenwei356/unikmer v0.21.0 (SURVEY.md §2.1): 23
+subcommands over the same `.unik` data model, orchestrating the TPU
+pipelines in models/ and ops/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .. import __version__, REFERENCE_VERSION
+
+_SECTIONS = [
+    (
+        "Counting",
+        ["count"],
+    ),
+    (
+        "Information",
+        ["info", "num"],
+    ),
+    (
+        "Format conversion",
+        ["view", "dump", "encode", "decode"],
+    ),
+    (
+        "Set operations",
+        ["concat", "inter", "union", "common", "diff", "grep"],
+    ),
+    (
+        "Split and merge",
+        ["sort", "split", "merge", "tsplit"],
+    ),
+    (
+        "Subset",
+        ["head", "sample", "filter", "rfilter"],
+    ),
+    (
+        "Searching on genomes",
+        ["locate", "map"],
+    ),
+    (
+        "Misc",
+        ["autocompletion", "version"],
+    ),
+]
+
+_ALIASES = {"stats": "info", "uniqs": "map"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="unikmer-tpu",
+        description=(
+            "unikmer-tpu - a TPU-native toolkit for nucleic acid k-mer "
+            "analysis (unikmer-compatible)\n\n"
+            f"Version: v{__version__} (reference parity: unikmer v{REFERENCE_VERSION})"
+        ),
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="command", metavar="command")
+    from . import commands
+
+    for name in commands.COMMANDS:
+        commands.register(name, sub)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in _ALIASES:
+        argv[0] = _ALIASES[argv[0]]
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "command", None):
+        parser.print_help()
+        return 0
+    try:
+        return args.func(args) or 0
+    except BrokenPipeError:
+        # head | view-style pipelines
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
+    except KeyboardInterrupt:
+        return 130
+
+
+if __name__ == "__main__":
+    sys.exit(main())

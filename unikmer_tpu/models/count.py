@@ -107,11 +107,16 @@ def linear_codes_step(bases: jnp.ndarray, cfg: CountConfig):
 
 # Pad packed buffers to a small set of bucket lengths so recompilation is
 # bounded (XLA wants static shapes; SURVEY.md §7.3 "ragged genomes").
-_PAD_QUANTUM = 1 << 20
+# On TPU the minimum bucket is 2^23: this backend's compiler hits a
+# pathological compile-time cliff on mid-sized (~2^20) scans/sorts while
+# 2^23 compiles fast, and one cached 8M-element program covers every
+# small input.
+def _pad_quantum() -> int:
+    return (1 << 23) if jax.default_backend() == "tpu" else (1 << 20)
 
 
 def _padded_len(n: int) -> int:
-    q = _PAD_QUANTUM
+    q = _pad_quantum()
     while q < n:
         q *= 2
     return q
@@ -132,6 +137,44 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     out, n = count_step(bases, cfg)
     n = int(n)
     return np.asarray(out[:n])
+
+
+def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
+    """count -T/--parse-taxid: per-record taxids, LCA-merged per code
+    (reference count.go:334-344,377-410).
+
+    ``records`` is an iterable of fastx.Record; ``re_taxid`` a compiled
+    bytes regexp with one capture group; ``taxdb`` a taxonomy.Taxonomy.
+    Returns (codes, taxids) sorted by code, filtered by cfg.mode.
+    """
+    from ..io.fastx import pack_records
+    from ..utils.log import die
+
+    all_codes: list[np.ndarray] = []
+    all_tax: list[np.ndarray] = []
+    for rec in records:
+        m = re_taxid.search(rec.name)
+        if not m:
+            die(f"failed to parse taxid in header: {rec.name.decode()}")
+        try:
+            taxid = int(m.group(1))
+        except ValueError:
+            die(f"failed to parse taxid {m.group(1)!r} in header: {rec.name.decode()}")
+        packed = pack_records([rec], cfg.k, cfg.circular)
+        codes = count_linear(packed, cfg)
+        all_codes.append(codes)
+        all_tax.append(np.full(len(codes), taxid, np.uint32))
+    if not all_codes:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    codes = np.concatenate(all_codes)
+    taxids = np.concatenate(all_tax)
+    uniq, merged = taxdb.lca_reduce(codes, taxids)
+    if cfg.mode in ("unique", "repeated"):
+        u, counts = np.unique(codes, return_counts=True)
+        assert np.array_equal(u, uniq)
+        keep = counts == 1 if cfg.mode == "unique" else counts > 1
+        return uniq[keep], merged[keep]
+    return uniq, merged
 
 
 def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:

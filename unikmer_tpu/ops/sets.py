@@ -1,0 +1,162 @@
+"""Sorted-set algebra over uint64 code arrays (+ optional taxid columns).
+
+Reference semantics: unikmer/cmd/{union,inter,common,diff}.go (SURVEY.md
+§3.3-3.4).  The Go code runs per-record hash-map loops and two-pointer
+merge-joins; here every operation is a bulk sorted-array computation
+(sort / searchsorted merge-join / segment reduction), which is the same
+algorithm the device kernels use (ops/device_sets.py) — these numpy
+versions are the host reference implementation and the spill path.
+
+All functions take and return SORTED code arrays; taxid columns are
+optional (None = no taxid info).  LCA merging uses taxonomy.Taxonomy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _lca_merge(taxdb, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise LCA with 0 as identity (no-taxid)."""
+    if taxdb is None:
+        # without a taxonomy, equal taxids keep, differing fall to 0
+        return np.where(a == b, a, np.where(a == 0, b, np.where(b == 0, a, 0))).astype(
+            np.uint32
+        )
+    return taxdb.lca_pairs(a, b)
+
+
+def dedup_sorted(codes: np.ndarray, taxids: np.ndarray | None, taxdb=None):
+    """Collapse duplicates in a sorted array; taxids merge by LCA
+    (the reference's map-insert + LCA-update loop, count.go:405-410)."""
+    if len(codes) == 0:
+        return codes, taxids
+    if taxids is None:
+        first = np.ones(len(codes), bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return codes[first], None
+    if taxdb is not None:
+        return taxdb.lca_reduce(codes, taxids)
+    # no taxonomy: runs with a single distinct taxid keep it, else 0
+    first = np.ones(len(codes), bool)
+    first[1:] = codes[1:] != codes[:-1]
+    run_id = np.cumsum(first) - 1
+    n_runs = int(run_id[-1]) + 1
+    t_min = np.full(n_runs, np.iinfo(np.uint32).max, np.uint32)
+    t_max = np.zeros(n_runs, np.uint32)
+    np.minimum.at(t_min, run_id, taxids)
+    np.maximum.at(t_max, run_id, taxids)
+    merged = np.where(t_min == t_max, t_min, 0).astype(np.uint32)
+    return codes[first], merged
+
+
+def union(code_arrays, taxid_arrays=None, taxdb=None):
+    """Union with LCA merge on collision (union.go:195-202)."""
+    codes = np.concatenate(code_arrays) if code_arrays else np.zeros(0, np.uint64)
+    if taxid_arrays is None:
+        codes = np.sort(codes, kind="stable")
+        return dedup_sorted(codes, None)
+    taxids = np.concatenate(taxid_arrays)
+    order = np.argsort(codes, kind="stable")
+    return dedup_sorted(codes[order], taxids[order], taxdb)
+
+
+def member_mask(sorted_ref: np.ndarray, queries: np.ndarray):
+    """For each query, whether it occurs in sorted_ref; also the match
+    index (valid where mask).  Vectorized binary-search merge-join."""
+    if len(sorted_ref) == 0:
+        return np.zeros(len(queries), bool), np.zeros(len(queries), np.int64)
+    idx = np.searchsorted(sorted_ref, queries)
+    idx_c = np.minimum(idx, len(sorted_ref) - 1)
+    mask = sorted_ref[idx_c] == queries
+    return mask, idx_c
+
+
+def intersect(code_arrays, taxid_arrays=None, taxdb=None):
+    """Intersection of sorted inputs with LCA on match (inter.go:205-296).
+    Inputs are deduped per file first (sorted .unik sets are unique)."""
+    survivors, s_tax = dedup_sorted(
+        code_arrays[0],
+        None if taxid_arrays is None else taxid_arrays[0],
+        taxdb,
+    )
+    for i in range(1, len(code_arrays)):
+        codes_i, tax_i = dedup_sorted(
+            code_arrays[i],
+            None if taxid_arrays is None else taxid_arrays[i],
+            taxdb,
+        )
+        mask, idx = member_mask(codes_i, survivors)
+        survivors = survivors[mask]
+        if s_tax is not None:
+            s_tax = s_tax[mask]
+            if tax_i is not None:
+                s_tax = _lca_merge(taxdb, s_tax, tax_i[idx[mask]])
+        if len(survivors) == 0:
+            break
+    return survivors, s_tax
+
+
+def subtract(
+    q_codes: np.ndarray,
+    q_tax: np.ndarray | None,
+    other_arrays,
+    other_tax_arrays=None,
+    compare_taxid: bool = False,
+    taxdb=None,
+):
+    """diff: remove query k-mers found in later files; with compare_taxid
+    a query survives a match when the target taxid equals the query's or
+    is its descendant (LCA(t, q) == q, diff.go:360-366,405-409)."""
+    for i, codes_i in enumerate(other_arrays):
+        if len(q_codes) == 0:
+            break
+        tax_i = None if other_tax_arrays is None else other_tax_arrays[i]
+        # targets may be unsorted (diff.go:341-377 handles both)
+        if tax_i is None:
+            codes_i = np.sort(codes_i, kind="stable")
+        else:
+            order = np.argsort(codes_i, kind="stable")
+            codes_i, tax_i = codes_i[order], tax_i[order]
+        codes_i, tax_i = dedup_sorted(codes_i, tax_i, taxdb)
+        mask, idx = member_mask(codes_i, q_codes)
+        if compare_taxid and q_tax is not None and tax_i is not None:
+            t = tax_i[idx]
+            keep_matched = (q_tax == t) | (
+                (taxdb.lca_pairs(t, q_tax) == q_tax) if taxdb is not None else False
+            )
+            remove = mask & ~keep_matched
+        else:
+            remove = mask
+        q_codes = q_codes[~remove]
+        if q_tax is not None:
+            q_tax = q_tax[~remove]
+    return q_codes, q_tax
+
+
+def common(code_arrays, taxid_arrays=None, threshold: int = 0, taxdb=None):
+    """k-mers shared by >= threshold files (common.go:75-111): each file
+    contributes once per code; taxids LCA-merge across files."""
+    if threshold <= 0:
+        threshold = len(code_arrays)
+    deduped = []
+    dedup_tax = []
+    for i, codes in enumerate(code_arrays):
+        t = None if taxid_arrays is None else taxid_arrays[i]
+        c, t = dedup_sorted(codes, t, taxdb)
+        deduped.append(c)
+        dedup_tax.append(t)
+    all_codes = np.concatenate(deduped)
+    order = np.argsort(all_codes, kind="stable")
+    all_codes = all_codes[order]
+    uniq, counts = np.unique(all_codes, return_counts=True)
+    keep_codes = uniq[counts >= threshold]
+    if taxid_arrays is None:
+        return keep_codes, None
+    all_tax = np.concatenate(
+        [t if t is not None else np.zeros(len(c), np.uint32)
+         for c, t in zip(deduped, dedup_tax)]
+    )[order]
+    m_codes, m_tax = dedup_sorted(all_codes, all_tax, taxdb)
+    mask, idx = member_mask(m_codes, keep_codes)
+    return keep_codes, m_tax[idx]
