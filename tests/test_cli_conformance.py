@@ -1,0 +1,105 @@
+"""CLI-level conformance against the reference README fixtures
+(SURVEY.md §4/§6): exact record counts and the md5 of `view -t` on the
+union of the two E. coli genomes (global taxids LCA-merged through the
+mini NCBI taxdump in tests/data/taxdump).
+
+Note the reference README's globs (`*.k23.sorted.unik`) match only the
+two E. coli files — A. muciniphila's file is named without `.k23` — so
+union/inter/diff fixtures are over those two files, first file IAI39.
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import GENOMES
+
+UNION_MD5 = "4c038832209278840d4d75944b29219c"
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+def run_cli(argv, tmp, capture=False):
+    from unikmer_tpu.cli.main import main
+
+    old_env = dict(os.environ)
+    os.environ["UNIKMER_DB"] = TAXDUMP
+    try:
+        if capture:
+            import io
+            from contextlib import redirect_stdout
+
+            # view writes bytes to sys.stdout.buffer: spawn-free capture
+            r, w = os.pipe()
+            saved = os.dup(1)
+            os.dup2(w, 1)
+            os.close(w)
+            chunks = []
+            import threading
+
+            def drain():
+                while True:
+                    b = os.read(r, 1 << 20)
+                    if not b:
+                        return
+                    chunks.append(b)
+
+            t = threading.Thread(target=drain)
+            t.start()
+            try:
+                rc = main(argv)
+            finally:
+                sys.stdout.flush()
+                os.dup2(saved, 1)
+                os.close(saved)
+            t.join()
+            os.close(r)
+            return rc, b"".join(chunks)
+        return main(argv), b""
+    finally:
+        os.environ.clear()
+        os.environ.update(old_env)
+
+
+@pytest.mark.full
+def test_full_pipeline_fixtures(tmp_path):
+    tmp = str(tmp_path)
+    iai = os.path.join(tmp, "iai39.k23")
+    mg = os.path.join(tmp, "mg1655.k23")
+    rc, _ = run_cli(
+        ["count", "-k", "23", "-K", "-s", GENOMES["iai39"], "-o", iai,
+         "-t", "585057"], tmp)
+    assert rc == 0
+    rc, _ = run_cli(
+        ["count", "-k", "23", "-K", "-s", GENOMES["mg1655"], "-o", mg,
+         "-t", "511145"], tmp)
+    assert rc == 0
+
+    from unikmer_tpu.io.unik import UnikReader
+
+    assert UnikReader(iai + ".unik").header.number == 4_902_266
+    assert UnikReader(mg + ".unik").header.number == 4_546_632
+
+    un = os.path.join(tmp, "union.k23")
+    it = os.path.join(tmp, "inter.k23")
+    df = os.path.join(tmp, "diff.k23")
+    assert run_cli(["union", iai + ".unik", mg + ".unik", "-s", "-o", un], tmp)[0] == 0
+    assert run_cli(["inter", iai + ".unik", mg + ".unik", "-o", it], tmp)[0] == 0
+    assert run_cli(["diff", "-s", iai + ".unik", mg + ".unik", "-o", df], tmp)[0] == 0
+    assert UnikReader(un + ".unik").header.number == 6_872_728
+    assert UnikReader(it + ".unik").header.number == 2_576_170
+    assert UnikReader(df + ".unik").header.number == 2_326_096
+
+    view_out = os.path.join(tmp, "union.view.txt")
+    rc, _ = run_cli(["view", "-t", un + ".unik", "-o", view_out], tmp)
+    assert rc == 0
+    with open(view_out, "rb") as f:
+        out = f.read()
+    assert hashlib.md5(out).hexdigest() == UNION_MD5
+
+    # LCA sanity: shared k-mers got E. coli species taxid 562
+    taxids = {int(line.rsplit(b"\t", 1)[1]) for line in out.splitlines()}
+    assert taxids == {511145, 585057, 562}

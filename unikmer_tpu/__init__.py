@@ -41,6 +41,26 @@ try:
 except (OSError, AttributeError):  # read-only fs or older jax: non-fatal
     pass
 
+# Keep large freed allocations on the heap instead of returning pages to
+# the OS: glibc's default mmap threshold makes every multi-hundred-MB
+# numpy temp re-fault its pages (observed ~110 s/GB first-touch cost in
+# virtualized environments).  M_MMAP_THRESHOLD / M_TRIM_THRESHOLD pushed
+# up -> pages fault once and are reused (~300x on repeat allocations).
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 31)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 31)  # M_TRIM_THRESHOLD
+except (OSError, AttributeError):  # non-glibc platforms: best-effort
+    pass
+
+# Optional platform override (e.g. UNIKMER_TPU_PLATFORM=cpu) — the
+# environment may force a platform via JAX_PLATFORMS before this runs.
+_platform = _os.environ.get("UNIKMER_TPU_PLATFORM")
+if _platform:
+    _jax_config.update("jax_platforms", _platform)
+
 __version__ = "0.1.0"
 
 # Version of the reference toolkit whose behavior we reproduce.

@@ -1,0 +1,157 @@
+"""Hash-range sharded k-mer sets over a device mesh.
+
+The reference's beyond-RAM mechanism is chunk files on disk merged
+through a heap (SURVEY.md §3.2); the TPU-native replacement keeps the
+set as a range-partitioned, shard-locally-sorted uint64 array in HBM:
+
+  * build: each shard encodes its slice of the packed genome (halo of
+    k-1+1 bases so boundary windows exist exactly once), buckets codes
+    by their top bits, and a static-shape ``all_to_all`` repartitions
+    buckets so shard i owns code range [i, i+1) * 2^64/D.
+  * shard-local sort + collapse makes each shard a sorted distinct set;
+    concatenating shards in order yields the global sorted set.
+  * set ops (union/inter/diff/common) become embarrassingly parallel
+    per-shard merge-joins (same kernels as single-chip) + psum counts.
+
+Capacity handling: all shapes are static; per-destination-bucket
+capacity is a build-time constant and overflow is detected exactly
+(dropped counts are returned so callers can retry with a bigger
+capacity — the analog of the reference's chunk-size flag).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.count import CountConfig, window_codes
+from ..ops.codec import CODE_SENTINEL
+from .mesh import SHARD_AXIS
+
+SENT = np.uint64(CODE_SENTINEL)
+
+
+def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
+    """Sort local codes into a (n_shards, capacity) send buffer (sentinel
+    padded, each bucket sorted) + dropped count.
+
+    Buckets are value ranges: bucket = code >> (code_bits - log2(D)), so
+    the receiving shard owns a contiguous slice of code space and the
+    global set stays range-partitioned.  The sentinel value 2^64-1 is
+    reserved (a real hash equal to it is dropped from the sharded path;
+    probability 2^-64 per k-mer, and impossible for 2-bit codes or
+    scaled sketches).
+    """
+    log_d = int(np.log2(n_shards))
+    if (1 << log_d) != n_shards:
+        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    shift = jnp.uint64(max(code_bits - log_d, 0))
+    n = codes.shape[0]
+    keyed = jnp.where(valid, codes, SENT)
+    s = jax.lax.sort(keyed)
+    n_valid = jnp.sum(valid & (codes != SENT), dtype=jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    is_real = idx < n_valid
+    b = jnp.minimum((s >> shift).astype(jnp.int64), n_shards - 1)
+    boundaries = jnp.arange(n_shards, dtype=jnp.uint64) << shift
+    starts = jnp.searchsorted(s, boundaries, side="left")
+    within = idx - starts[b]
+    ok = is_real & (within < capacity)
+    flat = jnp.where(ok, b * capacity + within, n_shards * capacity)
+    buf = jnp.full((n_shards * capacity,), SENT, dtype=jnp.uint64)
+    buf = buf.at[flat].set(s, mode="drop")
+    dropped = jnp.sum(is_real & (within >= capacity), dtype=jnp.int32)
+    return buf.reshape(n_shards, capacity), dropped
+
+
+def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
+    """Returns a jitted step: (sharded bases (D, L) uint8) ->
+    (owned codes (D, capacity*D) sentinel-padded sorted, per-shard count,
+    dropped count).  Boundary windows are handled by the caller packing
+    each row with its own record structure (rows are independent
+    records/slices)."""
+    n_shards = mesh.shape[SHARD_AXIS]
+    code_bits = 64 if cfg.hashed else 2 * cfg.k
+
+    def local_step(bases_row):
+        row = bases_row[0]
+        codes, valid = window_codes(row, cfg)
+        # rows carry a k-1 base halo: windows STARTING inside the halo
+        # belong to the next shard — mask them so each window is owned
+        # exactly once (pack_host_shards layout)
+        own = jnp.arange(row.shape[0], dtype=jnp.int32) < (
+            row.shape[0] - (cfg.k - 1)
+        )
+        valid = valid & own
+        buf, dropped = _local_pack_buckets(
+            codes, valid, n_shards, capacity, code_bits
+        )
+        # all_to_all: exchange bucket b of every shard to shard b
+        recv = jax.lax.all_to_all(
+            buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
+        )
+        mine = recv.reshape(-1)  # n_shards * capacity codes destined here
+        # local sorted distinct collapse (sentinel-aware)
+        from ..ops.sort import collapse_sorted
+
+        out, n = collapse_sorted(mine, mine != SENT, mode="distinct")
+        total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
+        return out[None], n[None], total_dropped[None]
+
+    step = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=P(SHARD_AXIS, None),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+    return step
+
+
+def sharded_union_counts(mesh: Mesh):
+    """Jitted: two aligned sharded sorted sets -> per-shard union counts
+    and total (psum).  Demonstrates the per-shard merge + collective
+    pattern used by distributed set ops."""
+
+    def local(a_row, b_row):
+        from ..ops.sort import collapse_sorted
+
+        a, b = a_row[0], b_row[0]
+        merged = jnp.concatenate([a, b])
+        out, n = collapse_sorted(merged, merged != SENT, mode="distinct")
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return out[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
+def pack_host_shards(bases: np.ndarray, n_shards: int, k: int) -> np.ndarray:
+    """Split a flat packed base array into n_shards rows of equal length
+    with a k-1 base halo from the next slice, so every window of the
+    flat array appears in exactly one row once the halo-start windows
+    are masked (build_sharded_distinct's ``own`` mask)."""
+    from ..ops.codec import INVALID_BASE
+
+    n = len(bases)
+    per = -(-n // n_shards)
+    halo = k - 1
+    row_len = per + halo
+    out = np.full((n_shards, row_len), INVALID_BASE, dtype=np.uint8)
+    for i in range(n_shards):
+        lo = i * per
+        hi = min(lo + row_len, n)
+        if lo < n:
+            out[i, : hi - lo] = bases[lo:hi]
+    return out
