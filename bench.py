@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end device throughput of the flagship pipeline
+(2-bit encode + canonical + sort + distinct-collapse = `count -K -s`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N}
+
+Baseline: the reference processes MG1655's 4.64M windows in 0.897 s
+(~5.17e6 k-mers/s, README.md:156-158 / BASELINE.md).
+
+Methodology: data device-resident; the jitted program returns only the
+distinct count (8-byte fetch forces execution — this backend's
+block_until_ready does not reliably synchronize, and the dev-tunnel's
+6 MB/s device->host link would otherwise dominate; production hosts
+fetch results at PCIe bandwidth).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import unikmer_tpu  # noqa: F401  (x64, compile cache, mallopt)
+import jax
+
+from unikmer_tpu.models.count import CountConfig, count_step
+
+K = 23
+SIZE = 1 << 23  # bases per batch; windows = SIZE - K + 1
+REPS = 5
+BASELINE_KMERS_PER_SEC = 4_641_630 / 0.897  # reference count wall-clock
+
+
+def main() -> int:
+    rng = np.random.default_rng(20260817)
+    bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
+    cfg = CountConfig(k=K, canonical=True)
+
+    dev_bases = jax.device_put(bases)
+    _ = np.asarray(jax.block_until_ready(dev_bases)[:1])
+
+    def step(b):
+        out, n = count_step(b, cfg)
+        return n
+
+    f = jax.jit(step)
+    t0 = time.time()
+    n = int(np.asarray(f(dev_bases)))  # compile + first run
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(REPS):
+        t = time.time()
+        n = int(np.asarray(f(dev_bases)))
+        times.append(time.time() - t)
+    best = min(times)
+    windows = SIZE - K + 1
+    kps = windows / best
+
+    result = {
+        "metric": "count_encode_canonical_sort_distinct",
+        "value": round(kps),
+        "unit": "kmers/s",
+        "vs_baseline": round(kps / BASELINE_KMERS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# backend={jax.default_backend()} distinct={n} windows={windows} "
+        f"best={best*1e3:.1f}ms times_ms={[round(t*1e3,1) for t in times]} "
+        f"compile_first={compile_s:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

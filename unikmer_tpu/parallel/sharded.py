@@ -46,9 +46,9 @@ def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
     probability 2^-64 per k-mer, and impossible for 2-bit codes or
     scaled sketches).
     """
-    log_d = int(np.log2(n_shards))
-    if (1 << log_d) != n_shards:
-        raise ValueError(f"n_shards must be a power of two, got {n_shards}")
+    log_d = int(np.ceil(np.log2(n_shards))) if n_shards > 1 else 0
+    # non-power-of-two meshes clamp the top buckets into the last shard
+    # (uneven load, still exact)
     shift = jnp.uint64(max(code_bits - log_d, 0))
     n = codes.shape[0]
     keyed = jnp.where(valid, codes, SENT)
