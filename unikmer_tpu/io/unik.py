@@ -236,7 +236,11 @@ class UnikWriter:
         if n == 0:
             return
         if h.is_sorted:
-            payload = encode_gb64(delta_encode(codes, self._prev_code))
+            from .. import native
+
+            payload = native.encode_deltas_gb64(codes, self._prev_code)
+            if payload is None:  # no native toolchain: numpy path
+                payload = encode_gb64(delta_encode(codes, self._prev_code))
             self._prev_code = int(codes[-1])
         else:
             w = code_width(h.k, h.flag)
@@ -356,8 +360,14 @@ class UnikReader:
     def _decode_block(self, body: bytes, n: int):
         h = self.header
         if h.is_sorted:
-            deltas, consumed = decode_gb64(body, n)
-            codes = delta_decode(deltas, self._prev_code)
+            from .. import native
+
+            res = native.decode_deltas_gb64(body, n, self._prev_code)
+            if res is None:  # no native toolchain: numpy path
+                deltas, consumed = decode_gb64(body, n)
+                codes = delta_decode(deltas, self._prev_code)
+            else:
+                codes, consumed = res
             self._prev_code = int(codes[-1])
             off = consumed
         else:
