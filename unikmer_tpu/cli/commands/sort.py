@@ -110,17 +110,10 @@ def _sort_external(args, opt, files, mode, out_file):
 
     taxdb = None
     chunk_files = []
-    buf_c, buf_t = [], []
-    buffered = 0
     h0 = None
     has_taxid = False
 
-    def dump(final=False):
-        nonlocal buf_c, buf_t, buffered
-        if buffered == 0:
-            return
-        codes = np.concatenate(buf_c)
-        taxids = np.concatenate(buf_t) if has_taxid else None
+    def on_chunk(codes, taxids):
         path = extsort.chunk_file_name(tmp_dir, len(chunk_files))
         if opt.verbose:
             log.info(f"dumping chunk {len(chunk_files)}: {len(codes)} k-mers")
@@ -129,9 +122,8 @@ def _sort_external(args, opt, files, mode, out_file):
             mode, taxdb, opt,
         )
         chunk_files.append(path)
-        buf_c, buf_t = [], []
-        buffered = 0
 
+    acc = None
     for f in files:
         with open_reader(f) as r:
             if h0 is None:
@@ -139,6 +131,7 @@ def _sort_external(args, opt, files, mode, out_file):
                 has_taxid = not opt.ignore_taxid and h0.has_taxid_info
                 if has_taxid and mode != "none":
                     taxdb = maybe_taxonomy(opt, True)
+                acc = extsort.ChunkAccumulator(chunk_size, has_taxid, on_chunk)
             elif not opt.skip_flag_check:
                 try:
                     check_compatibility(h0, r.header, f)
@@ -146,14 +139,9 @@ def _sort_external(args, opt, files, mode, out_file):
                     check_error(e)
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
-                buf_c.append(codes)
-                if has_taxid:
-                    buf_t.append(taxids if taxids is not None
-                                 else np.zeros(len(codes), np.uint32))
-                buffered += len(codes)
-                if buffered >= chunk_size:
-                    dump()
-    dump(final=True)
+                acc.add(codes, taxids)
+    if acc is not None:
+        acc.flush()
 
     if opt.verbose:
         log.info(f"merging {len(chunk_files)} chunk files")

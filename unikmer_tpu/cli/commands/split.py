@@ -54,63 +54,52 @@ def run(args) -> int:
 
     chunk_size = parse_byte_size(args.chunk_size) if args.chunk_size else 0
 
-    h0 = None
-    has_taxid = False
-    taxdb = None
-    chunk_idx = 0
-    buf_c, buf_t = [], []
-    buffered = 0
-    n_total = 0
-
-    # fast path: single sorted input -> stream chunks without sorting
-    all_sorted = True
+    state = {"h0": None, "has_taxid": False, "taxdb": None, "idx": 0, "n": 0}
 
     def base_flag():
         f = 0
-        if h0.is_canonical:
+        if state["h0"].is_canonical:
             f |= unik.CANONICAL
-        if h0.is_hashed:
+        if state["h0"].is_hashed:
             f |= unik.HASHED
         return f
 
-    def dump():
-        nonlocal buf_c, buf_t, buffered, chunk_idx, n_total
-        if buffered == 0:
-            return
-        codes = np.concatenate(buf_c)
-        taxids = np.concatenate(buf_t) if has_taxid else None
-        path = extsort.chunk_file_name(out_dir, chunk_idx)
-        extsort.dump_chunk(codes, taxids, path, h0.k, base_flag(), mode, taxdb, opt)
+    def on_chunk(codes, taxids):
+        path = extsort.chunk_file_name(out_dir, state["idx"])
+        extsort.dump_chunk(
+            codes, taxids, path, state["h0"].k, base_flag(), mode,
+            state["taxdb"], opt,
+        )
         if opt.verbose:
-            log.info(f"chunk {chunk_idx}: {len(codes)} k-mers saved to {path}")
-        chunk_idx += 1
-        n_total += buffered
-        buf_c, buf_t = [], []
-        buffered = 0
+            log.info(f"chunk {state['idx']}: {len(codes)} k-mers saved to {path}")
+        state["idx"] += 1
+        state["n"] += len(codes)
 
+    acc = None
     for f in files:
         with open_reader(f) as r:
-            if h0 is None:
-                h0 = r.header
-                has_taxid = not opt.ignore_taxid and h0.has_taxid_info
-                if has_taxid and mode != "none":
-                    taxdb = maybe_taxonomy(opt, True)
+            if state["h0"] is None:
+                state["h0"] = r.header
+                state["has_taxid"] = (
+                    not opt.ignore_taxid and r.header.has_taxid_info
+                )
+                if state["has_taxid"] and mode != "none":
+                    state["taxdb"] = maybe_taxonomy(opt, True)
+                acc = extsort.ChunkAccumulator(
+                    chunk_size, state["has_taxid"], on_chunk
+                )
             elif not opt.skip_flag_check:
                 try:
-                    check_compatibility(h0, r.header, f)
+                    check_compatibility(state["h0"], r.header, f)
                 except ValueError as e:
                     check_error(e)
-            all_sorted = all_sorted and r.header.is_sorted
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
-                buf_c.append(codes)
-                if has_taxid:
-                    buf_t.append(taxids if taxids is not None
-                                 else np.zeros(len(codes), np.uint32))
-                buffered += len(codes)
-                if chunk_size and buffered >= chunk_size:
-                    dump()
-    dump()
+                acc.add(codes, taxids)
+    if acc is not None:
+        acc.flush()
     if opt.verbose:
-        log.info(f"{n_total} k-mers saved to {chunk_idx} chunk files in {out_dir}")
+        log.info(
+            f"{state['n']} k-mers saved to {state['idx']} chunk files in {out_dir}"
+        )
     return 0
