@@ -1,0 +1,195 @@
+"""CLI tests for taxid-carrying paths: parse-taxid counting, LCA union,
+compare-taxid diff, mix-taxid inter, taxid grep, view -g hashed decode,
+seq-name filters, infile lists and stdin-free plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.io.unik import UnikReader
+from unikmer_tpu.ops import codec
+from tests.conftest import random_dna
+from tests.test_count import brute_kmers
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+def cli(argv):
+    from unikmer_tpu.cli.main import main
+
+    os.environ["UNIKMER_DB"] = TAXDUMP
+    return main([str(a) for a in argv])
+
+
+def read_unik(path):
+    with UnikReader(path) as r:
+        codes, taxids = r.read_all()
+        return r.header, codes, taxids
+
+
+@pytest.fixture()
+def fa(tmp_path, rng):
+    def make(name, seqs_with_headers):
+        p = tmp_path / name
+        p.write_text(
+            "".join(f">{h}\n{s}\n" for h, s in seqs_with_headers)
+        )
+        return str(p)
+
+    return make
+
+
+def test_count_parse_taxid_lca(tmp_path, fa, rng):
+    shared = random_dna(rng, 200).decode()
+    s1 = shared + random_dna(rng, 100).decode()
+    s2 = shared + random_dna(rng, 100).decode()
+    # taxids 511145 (MG1655 strain) and 585057 (IAI39) -> LCA 562
+    path = fa("multi.fa", [("r1 taxid|511145", s1), ("r2 taxid|585057", s2)])
+    out = tmp_path / "o"
+    assert cli([
+        "count", "-k", 11, "-K", "-s", path, "-o", out,
+        "-T", "-r", r"taxid\|(\d+)",
+    ]) == 0
+    h, codes, taxids = read_unik(f"{out}.unik")
+    assert h.is_include_taxid
+    shared_codes = {
+        codec.encode_kmer(s) for s in brute_kmers([shared], 11, canonical=True)
+    }
+    for c, t in zip(codes, taxids):
+        if int(c) in shared_codes:
+            assert t == 562, int(c)  # LCA of both strains
+        else:
+            assert t in (511145, 585057)
+
+
+def test_union_lca_and_inter_mix_taxid(tmp_path, fa, rng):
+    seq = random_dna(rng, 500).decode()
+    p = fa("g.fa", [("g", seq)])
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    c = tmp_path / "c"
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", a, "-t", 511145]) == 0
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", b, "-t", 585057]) == 0
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", c]) == 0  # no taxid
+    u = tmp_path / "u"
+    assert cli(["union", f"{a}.unik", f"{b}.unik", "-s", "-o", u]) == 0
+    _, codes, taxids = read_unik(f"{u}.unik")
+    assert set(taxids.tolist()) == {562}
+    # inter without mix-taxid must die on mixed inputs
+    with pytest.raises(SystemExit):
+        cli(["inter", f"{a}.unik", f"{c}.unik", "-o", tmp_path / "x"])
+    # with --mix-taxid it passes; taxids kept from the taxid-carrying file
+    i = tmp_path / "i"
+    assert cli(["inter", "-m", f"{a}.unik", f"{c}.unik", "-o", i]) == 0
+    _, codes, taxids = read_unik(f"{i}.unik")
+    assert len(codes) > 0 and set(taxids.tolist()) == {511145}
+
+
+def test_diff_compare_taxid(tmp_path, fa, rng):
+    seq = random_dna(rng, 400).decode()
+    p = fa("g.fa", [("g", seq)])
+    q = tmp_path / "q"
+    # query has species-level taxid 562
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", q, "-t", 562]) == 0
+    desc = tmp_path / "desc"
+    # target has strain 511145, a DESCENDANT of 562 -> kept with -t
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", desc, "-t", 511145]) == 0
+    other = tmp_path / "other"
+    # target has unrelated taxid 349741 -> removed even with -t
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", other, "-t", 349741]) == 0
+
+    d1 = tmp_path / "d1"
+    assert cli(["diff", "-t", f"{q}.unik", f"{desc}.unik", "-o", d1]) == 0
+    _, codes1, _ = read_unik(f"{d1}.unik")
+    _, qcodes, _ = read_unik(f"{q}.unik")
+    np.testing.assert_array_equal(codes1, qcodes)  # all survive
+
+    d2 = tmp_path / "d2"
+    assert cli(["diff", "-t", f"{q}.unik", f"{other}.unik", "-o", d2]) == 0
+    _, codes2, _ = read_unik(f"{d2}.unik")
+    assert len(codes2) == 0  # all removed (349741 not under 562)
+
+
+def test_common_threshold(tmp_path, fa, rng):
+    seqs = [random_dna(rng, 300).decode() for _ in range(3)]
+    shared = random_dna(rng, 60).decode()
+    outs = []
+    for i, s in enumerate(seqs):
+        p = fa(f"g{i}.fa", [(f"g{i}", s + shared)])
+        o = tmp_path / f"o{i}"
+        assert cli(["count", "-k", 11, "-K", "-s", p, "-o", o]) == 0
+        outs.append(f"{o}.unik")
+    c2 = tmp_path / "c2"
+    assert cli(["common", *outs, "-n", 2, "-o", c2]) == 0
+    _, codes, _ = read_unik(f"{c2}.unik")
+    shared_codes = {
+        codec.encode_kmer(s) for s in brute_kmers([shared], 11, canonical=True)
+    }
+    assert shared_codes <= set(codes.tolist())
+    # -p 1.0 == all files
+    c3 = tmp_path / "c3"
+    assert cli(["common", *outs, "-p", "1", "-o", c3]) == 0
+    _, codes3, _ = read_unik(f"{c3}.unik")
+    assert set(codes3.tolist()) <= set(codes.tolist())
+
+
+def test_grep_by_taxid(tmp_path, fa, rng):
+    seq1 = random_dna(rng, 300).decode()
+    seq2 = random_dna(rng, 300).decode()
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    assert cli(["count", "-k", 11, "-K", "-s", fa("a.fa", [("a", seq1)]), "-o", a, "-t", 511145]) == 0
+    assert cli(["count", "-k", 11, "-K", "-s", fa("b.fa", [("b", seq2)]), "-o", b, "-t", 349741]) == 0
+    cc = tmp_path / "cc"
+    assert cli(["concat", f"{a}.unik", f"{b}.unik", "-o", cc]) == 0
+    g = tmp_path / "g"
+    assert cli(["grep", "-t", "-q", 511145, f"{cc}.unik", "-o", g]) == 0
+    _, codes, taxids = read_unik(f"{g}.unik")
+    assert set(taxids.tolist()) == {511145}
+    _, acodes, _ = read_unik(f"{a}.unik")
+    assert sorted(codes.tolist()) == acodes.tolist()
+
+
+def test_view_genome_decode_hashed(tmp_path, fa, rng):
+    seq = random_dna(rng, 400).decode()
+    p = fa("g.fa", [("chr1", seq)])
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 21, "-K", "-H", "-s", p, "-o", a]) == 0
+    out = tmp_path / "view.txt"
+    assert cli(["view", "-g", p, f"{a}.unik", "-o", out]) == 0
+    lines = out.read_text().strip().split("\n")
+    want = {
+        s if s <= _rc(s) else _rc(s)
+        for s in brute_kmers([seq], 21, canonical=False)
+    }
+    # each line is a 21-mer string present in the genome (fwd or rc)
+    for ln in lines[:100]:
+        assert len(ln) == 21
+        assert ln in seq or _rc(ln) in seq
+
+
+def _rc(s):
+    COMP = dict(zip("ACGT", "TGCA"))
+    return "".join(COMP[c] for c in reversed(s))
+
+
+def test_seq_name_filter_and_infile_list(tmp_path, fa, rng):
+    seq1 = random_dna(rng, 300).decode()
+    seq2 = random_dna(rng, 300).decode()
+    p = fa("two.fa", [("keep_me", seq1), ("plasmid junk", seq2)])
+    out = tmp_path / "o"
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", out, "-B", "plasmid"]) == 0
+    _, codes, _ = read_unik(f"{out}.unik")
+    want = sorted({codec.encode_kmer(s) for s in brute_kmers([seq1], 11, True)})
+    np.testing.assert_array_equal(codes, np.array(want, np.uint64))
+
+    lst = tmp_path / "files.txt"
+    lst.write_text(p + "\n")
+    out2 = tmp_path / "o2"
+    assert cli(["count", "-k", 11, "-K", "-s", "-i", lst, "-o", out2]) == 0
+    _, codes2, _ = read_unik(f"{out2}.unik")
+    wantall = sorted(
+        {codec.encode_kmer(s) for s in brute_kmers([seq1, seq2], 11, True)}
+    )
+    np.testing.assert_array_equal(codes2, np.array(wantall, np.uint64))

@@ -150,6 +150,7 @@ class UnikWriter:
         compress: bool = True,
         compression_level: int = 5,
         block_size: int = DEFAULT_BLOCK,
+        threads: int = 4,
     ):
         if isinstance(path_or_file, (str, bytes)):
             self._file = open(path_or_file, "wb")
@@ -159,9 +160,16 @@ class UnikWriter:
             self._owns = False
         self._raw = self._file
         if compress:
-            self._file = gzip.GzipFile(
-                fileobj=self._file, mode="wb", compresslevel=compression_level
-            )
+            if threads > 1:
+                from .pgzip import ParallelGzipWriter
+
+                self._file = ParallelGzipWriter(
+                    self._file, compresslevel=compression_level, threads=threads
+                )
+            else:
+                self._file = gzip.GzipFile(
+                    fileobj=self._file, mode="wb", compresslevel=compression_level
+                )
         if len(description) > MAX_DESC:
             raise ValueError(f"description longer than {MAX_DESC} bytes")
         tw = taxid_width(max_taxid) if (flag & INCLUDE_TAXID) else 0
