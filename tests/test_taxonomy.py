@@ -1,0 +1,94 @@
+"""Taxonomy: host loader/LCA + device LCA equivalence."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+from unikmer_tpu.taxonomy.lca import (
+    device_tables,
+    lca_collapse_device,
+    lca_pairs_device,
+)
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+KNOWN = [
+    (511145, 585057, 562),  # two E. coli strains -> species
+    (511145, 511145, 511145),
+    (511145, 349741, 2),  # cross-phylum -> Bacteria
+    (562, 511145, 562),  # ancestor-descendant
+    (1, 562, 1),
+    (0, 562, 562),  # 0 is identity
+    (562, 0, 562),
+    (999999999, 562, 0),  # unknown -> 0
+]
+
+
+@pytest.fixture(scope="module")
+def taxdb():
+    return load_taxonomy(TAXDUMP)
+
+
+def test_host_lca_known_pairs(taxdb):
+    for a, b, want in KNOWN:
+        assert taxdb.lca(a, b) == want, (a, b)
+
+
+def test_host_lca_vectorized(taxdb, rng):
+    a = np.array([p[0] for p in KNOWN], np.uint32)
+    b = np.array([p[1] for p in KNOWN], np.uint32)
+    want = np.array([p[2] for p in KNOWN], np.uint32)
+    np.testing.assert_array_equal(taxdb.lca_pairs(a, b), want)
+
+
+def test_device_lca_matches_host(taxdb, rng):
+    parent, depth, max_depth = device_tables(taxdb)
+    ids = np.array(
+        [1, 2, 562, 561, 543, 511145, 585057, 349741, 239935, 83333], np.uint32
+    )
+    a = rng.choice(ids, 200).astype(np.uint32)
+    b = rng.choice(ids, 200).astype(np.uint32)
+    got = np.asarray(lca_pairs_device(a, b, parent, depth, max_depth))
+    want = taxdb.lca_pairs(a, b)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_lca_collapse(taxdb, rng):
+    parent, depth, max_depth = device_tables(taxdb)
+    # three entries of one code from different strains + singletons
+    codes = np.array([5, 5, 5, 9, 12, 12, 99], np.uint64)
+    tax = np.array([511145, 585057, 511145, 349741, 562, 83333, 7], np.uint32)
+    valid = np.array([1, 1, 1, 1, 1, 1, 0], bool)
+    s_codes, s_tax, keep = map(
+        np.asarray,
+        lca_collapse_device(codes, tax, valid, parent, depth, max_depth, 3),
+    )
+    out = {int(c): int(t) for c, t, k in zip(s_codes, s_tax, keep) if k}
+    assert out == {5: 562, 9: 349741, 12: 562}
+
+
+def test_lca_reduce_host(taxdb):
+    codes = np.array([5, 5, 9, 12, 12], np.uint64)
+    tax = np.array([511145, 585057, 349741, 562, 83333], np.uint32)
+    u, m = taxdb.lca_reduce(codes, tax)
+    assert u.tolist() == [5, 9, 12]
+    assert m.tolist() == [562, 349741, 562]
+
+
+def test_merged_remap(tmp_path, taxdb):
+    # merged.dmp remapping
+    d = tmp_path / "td"
+    d.mkdir()
+    (d / "nodes.dmp").write_text("1\t|\t1\t|\tno rank\t|\n2\t|\t1\t|\tsuperkingdom\t|\n")
+    (d / "merged.dmp").write_text("666\t|\t2\t|\n")
+    db = load_taxonomy(str(d))
+    out = db.remap_merged(np.array([666, 2, 1], np.uint32))
+    np.testing.assert_array_equal(out, [2, 2, 1])
+
+
+def test_rank(taxdb):
+    assert taxdb.rank(562) == "species"
+    assert taxdb.rank(561) == "genus"
+    assert taxdb.rank(123456789) == ""

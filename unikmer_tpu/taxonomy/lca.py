@@ -1,0 +1,110 @@
+"""Device-side (jnp) LCA: taxonomy tables in HBM, vectorized lifting.
+
+The host Taxonomy (taxdump.py) flattens NCBI nodes.dmp into dense
+parent/depth arrays; uploaded once, LCA of whole taxid arrays becomes
+pure gather math inside jitted programs (SURVEY.md §7.1), replacing the
+reference's per-pair map lookups (`taxondb.LCA(a,b)`).
+
+All loops are static-bounded by the tree depth (NCBI ~<=42), expressed
+as masked fori_loops — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_tables(taxdb):
+    """(parent int32, depth int32, max_depth) device-ready tables."""
+    parent = jnp.asarray(taxdb.parent.astype(np.int32))
+    depth = jnp.asarray(taxdb.depth.astype(np.int32))
+    max_depth = int(taxdb.depth.max())
+    return parent, depth, max_depth
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def lca_pairs_device(a, b, parent, depth, max_depth: int):
+    """Elementwise LCA with 0 as identity; unknown taxids -> 0.
+
+    ``a``/``b`` uint32 arrays; parent/depth from device_tables.
+    """
+    n_tax = parent.shape[0]
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    in_range_a = (a > 0) & (a < n_tax)
+    in_range_b = (b > 0) & (b < n_tax)
+    da = jnp.where(in_range_a, depth[jnp.clip(a, 0, n_tax - 1)], -1)
+    db = jnp.where(in_range_b, depth[jnp.clip(b, 0, n_tax - 1)], -1)
+    known_a = da >= 0
+    known_b = db >= 0
+
+    x = jnp.where(known_a, a, 0)
+    y = jnp.where(known_b, b, 0)
+
+    def lift_deeper(_, carry):
+        x, y, dx, dy = carry
+        mx = dx > dy
+        my = dy > dx
+        x = jnp.where(mx, parent[x], x)
+        dx = jnp.where(mx, dx - 1, dx)
+        y = jnp.where(my, parent[y], y)
+        dy = jnp.where(my, dy - 1, dy)
+        return x, y, dx, dy
+
+    x, y, _, _ = jax.lax.fori_loop(
+        0, max_depth, lift_deeper, (x, y, jnp.maximum(da, 0), jnp.maximum(db, 0))
+    )
+
+    def walk_up(_, carry):
+        x, y = carry
+        m = x != y
+        return jnp.where(m, parent[x], x), jnp.where(m, parent[y], y)
+
+    x, y = jax.lax.fori_loop(0, max_depth, walk_up, (x, y))
+
+    both = known_a & known_b
+    res = jnp.where(both, x, 0)
+    res = jnp.where(known_a & (b == 0), a, res)
+    res = jnp.where(known_b & (a == 0), b, res)
+    return res.astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rounds"))
+def lca_collapse_device(codes, taxids, valid, parent, depth,
+                        max_depth: int, rounds: int):
+    """Sorted distinct collapse with LCA-merged taxid column, on device.
+
+    ``rounds`` bounds the segmented reduction: ceil(log2(max number of
+    entries sharing one code)) — e.g. number of input files for a union.
+    Returns (codes, taxids, keep_mask) aligned to the sorted order.
+    """
+    invalid = (~valid).astype(jnp.uint8)
+    s_codes, s_inv, s_tax = jax.lax.sort(
+        (codes, invalid, taxids.astype(jnp.uint32)), num_keys=2
+    )
+    s_valid = s_inv == 0
+    n = codes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
+    # run start per element (cummax of masked index)
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx, 0)
+    )
+    tax = jnp.where(s_valid, s_tax, 0)
+    for r in range(rounds):
+        d = 1 << r
+        shifted = jnp.concatenate(
+            [tax[d:], jnp.zeros((d,), tax.dtype)]
+        )
+        same_run = jnp.concatenate(
+            [start[d:] == start[:-d] if d < n else jnp.zeros((0,), bool),
+             jnp.zeros((min(d, n),), bool)]
+        )
+        merged = lca_pairs_device(tax, shifted, parent, depth, max_depth)
+        tax = jnp.where(same_run, merged, tax)
+    keep = first & s_valid
+    return s_codes, tax, keep
