@@ -1,0 +1,78 @@
+"""Device (jitted) sorted-set algebra on padded uint64 arrays.
+
+The host engine (ops/sets.py) runs the CLI; this module is the
+HBM-resident equivalent used by the sharded/parallel paths and by
+pipelines that chain many set operations without host round-trips
+(SURVEY.md §7.1 "unikit.sets").
+
+Representation: a set is (codes, n) — a sorted uint64 array whose first
+n slots are the members and whose tail is CODE_SENTINEL padding.  All
+ops are static-shape; results use the combined capacity.
+
+Membership tests are vectorized binary searches (jnp.searchsorted —
+merge-path joins); sentinel-valued members are not supported here (the
+sharded pipelines already reserve the sentinel, see parallel/sharded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codec import CODE_SENTINEL
+
+SENT = np.uint64(CODE_SENTINEL)
+
+
+def _compact_mask(values: jnp.ndarray, keep: jnp.ndarray):
+    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
+    pos = jnp.where(keep, pos, values.shape[0])
+    out = jnp.full(values.shape, SENT, dtype=values.dtype)
+    out = out.at[pos].set(values, mode="drop")
+    return out, jnp.sum(keep, dtype=jnp.int64)
+
+
+@jax.jit
+def union(a: jnp.ndarray, b: jnp.ndarray):
+    """Union of two padded sorted sets -> (codes, n) with capacity
+    len(a)+len(b)."""
+    merged = jax.lax.sort(jnp.concatenate([a, b]))
+    first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
+    keep = first & (merged != SENT)
+    return _compact_mask(merged, keep)
+
+
+@jax.jit
+def intersect(a: jnp.ndarray, b: jnp.ndarray):
+    """Intersection -> (codes, n) with capacity len(a)."""
+    idx = jnp.clip(jnp.searchsorted(b, a), 0, b.shape[0] - 1)
+    keep = (b[idx] == a) & (a != SENT)
+    return _compact_mask(a, keep)
+
+
+@jax.jit
+def subtract(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b -> (codes, n) with capacity len(a)."""
+    idx = jnp.clip(jnp.searchsorted(b, a), 0, b.shape[0] - 1)
+    keep = (b[idx] != a) & (a != SENT)
+    return _compact_mask(a, keep)
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def common(sets: jnp.ndarray, threshold: int):
+    """Codes appearing in >= threshold of the stacked padded sets
+    (sets: (F, C)) -> (codes, n) with capacity F*C."""
+    merged = jax.lax.sort(sets.reshape(-1))
+    first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
+    idx = jnp.arange(merged.shape[0], dtype=jnp.int64)
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    last = jnp.concatenate([merged[1:] != merged[:-1], jnp.ones((1,), bool)])
+    end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx + 1, merged.shape[0])[::-1]
+    )[::-1]
+    count = end - start
+    keep = first & (merged != SENT) & (count >= threshold)
+    return _compact_mask(merged, keep)

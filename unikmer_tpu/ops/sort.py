@@ -80,18 +80,21 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
     s = jax.lax.sort(keyed)
     idx = jnp.arange(codes.shape[0], dtype=jnp.int64)
     in_head = idx < n_head
-    first, start_idx, end_idx = _run_bounds(s)
-    count = end_idx - start_idx
 
     if mode == "distinct":
+        # run-bound scans unneeded: only run starts matter
+        first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
         keep = first & in_head
         extra = (n_sent_real > 0).astype(jnp.int64)
-    elif mode == "unique":
-        keep = first & in_head & (count == 1)
-        extra = (n_sent_real == 1).astype(jnp.int64)
-    elif mode == "repeated":
-        keep = first & in_head & (count > 1)
-        extra = (n_sent_real > 1).astype(jnp.int64)
+    elif mode in ("unique", "repeated"):
+        first, start_idx, end_idx = _run_bounds(s)
+        count = end_idx - start_idx
+        if mode == "unique":
+            keep = first & in_head & (count == 1)
+            extra = (n_sent_real == 1).astype(jnp.int64)
+        else:
+            keep = first & in_head & (count > 1)
+            extra = (n_sent_real > 1).astype(jnp.int64)
     else:
         raise ValueError(f"unknown mode: {mode}")
 
