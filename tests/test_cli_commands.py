@@ -257,3 +257,31 @@ def test_rfilter_species_level(tmp_path, genomes):
     assert cli(["rfilter", f"{a}.unik", "-H", "genus", "-o", out2]) == 0
     _, codes2, _ = read_unik(f"{out2}.unik")
     assert len(codes2) == 0  # species 562 is not higher than genus
+
+
+def test_view_output_formats(tmp_path, genomes):
+    paths, _ = genomes
+    a = tmp_path / "a.k11"
+    assert cli(["count", "-k", 11, "-K", "-s", paths[0], "-o", a, "-t", 562]) == 0
+    _, codes, _ = read_unik(f"{a}.unik")
+    k0 = codec.decode_kmer(int(codes[0]), 11)
+
+    def view(*flags):
+        out = tmp_path / "v.txt"
+        assert cli(["view", *flags, f"{a}.unik", "-o", out]) == 0
+        return out.read_text().splitlines()
+
+    assert view()[0] == k0
+    assert view("-n")[0] == f"{k0}\t{int(codes[0])}"
+    assert view("-N")[0] == str(int(codes[0]))
+    assert view("-t")[0] == f"{k0}\t562"
+    assert view("-T")[0] == "562"
+    fa_lines = view("-a")
+    assert fa_lines[0] == f">{int(codes[0])}" and fa_lines[1] == k0
+    fq_lines = view("-q")
+    assert fq_lines[0] == f"@{int(codes[0])}"
+    assert fq_lines[1] == k0 and fq_lines[2] == "+" and fq_lines[3] == "g" * 11
+    # gzipped output
+    gz = tmp_path / "v.txt.gz"
+    assert cli(["view", f"{a}.unik", "-o", gz]) == 0
+    assert gzip.open(gz, "rt").readline().strip() == k0

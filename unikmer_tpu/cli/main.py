@@ -78,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         parser.print_help()
         return 0
     try:
-        return args.func(args) or 0
+        return _run_profiled(args)
     except BrokenPipeError:
         # head | view-style pipelines
         try:
@@ -88,6 +88,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     except KeyboardInterrupt:
         return 130
+
+
+def _run_profiled(args) -> int:
+    """Dispatch with optional tracing (the reference keeps commented
+    pprof/trace hooks in main.go:48-56; ours are env-gated and live):
+    UNIKMER_TPU_PROFILE=<dir> captures a JAX/XLA device trace,
+    UNIKMER_TPU_CPROFILE=<file> a host cProfile dump."""
+    import os
+
+    trace_dir = os.environ.get("UNIKMER_TPU_PROFILE")
+    cprof = os.environ.get("UNIKMER_TPU_CPROFILE")
+    if cprof:
+        import cProfile
+
+        prof = cProfile.Profile()
+        prof.enable()
+    if trace_dir:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+    try:
+        return args.func(args) or 0
+    finally:
+        if trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        if cprof:
+            prof.disable()
+            prof.dump_stats(cprof)
 
 
 if __name__ == "__main__":
