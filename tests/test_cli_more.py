@@ -1,0 +1,119 @@
+"""Additional CLI/IO coverage: FASTQ ingest, cascade merge, grep -m/-F,
+locate --circular, concat -t override."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.io.fastx import read_fastx
+from unikmer_tpu.io.unik import UnikReader
+from unikmer_tpu.ops import codec
+from tests.conftest import random_dna
+from tests.test_count import brute_kmers
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+def cli(argv):
+    from unikmer_tpu.cli.main import main
+
+    os.environ["UNIKMER_DB"] = TAXDUMP
+    return main([str(a) for a in argv])
+
+
+def read_unik(path):
+    with UnikReader(path) as r:
+        codes, taxids = r.read_all()
+        return r.header, codes, taxids
+
+
+def test_fastq_ingest(tmp_path, rng):
+    reads = [random_dna(rng, 50).decode() for _ in range(20)]
+    fq = tmp_path / "reads.fq"
+    fq.write_text(
+        "".join(
+            f"@r{i} desc\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(reads)
+        )
+    )
+    recs = list(read_fastx(str(fq)))
+    assert len(recs) == 20
+    assert recs[0].id == b"r0" and recs[0].seq == reads[0].encode()
+    out = tmp_path / "o"
+    assert cli(["count", "-k", 11, "-K", "-s", fq, "-o", out]) == 0
+    _, codes, _ = read_unik(f"{out}.unik")
+    want = sorted({codec.encode_kmer(s) for s in brute_kmers(reads, 11, True)})
+    np.testing.assert_array_equal(codes, np.array(want, np.uint64))
+
+
+def test_merge_cascade_rounds(tmp_path, rng):
+    # 6 chunk files merged with max-open-files=2 -> multi-round cascade
+    seq = random_dna(rng, 4000).decode()
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{seq}\n")
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 11, "-K", p, "-o", a]) == 0
+    chunks = tmp_path / "chunks"
+    assert cli(["split", f"{a}.unik", "-O", chunks, "-m", "512"]) == 0
+    n_chunks = len(os.listdir(chunks))
+    assert n_chunks >= 5
+    m1 = tmp_path / "m1"
+    assert cli(["merge", "-D", chunks, "-u", "-o", m1, "-M", 2,
+                "-t", tmp_path, "--force"]) == 0
+    m2 = tmp_path / "m2"
+    assert cli(["merge", "-D", chunks, "-u", "-o", m2]) == 0
+    _, c1, _ = read_unik(f"{m1}.unik")
+    _, c2, _ = read_unik(f"{m2}.unik")
+    np.testing.assert_array_equal(c1, c2)
+    want = sorted({codec.encode_kmer(s) for s in brute_kmers([seq], 11, True)})
+    np.testing.assert_array_equal(c1, np.array(want, np.uint64))
+
+
+def test_grep_multiple_outfiles_and_unik_query(tmp_path, rng):
+    seq1, seq2 = (random_dna(rng, 800).decode() for _ in range(2))
+    pa = tmp_path / "a.fa"
+    pa.write_text(f">a\n{seq1}\n")
+    pb = tmp_path / "b.fa"
+    pb.write_text(f">b\n{seq2}\n")
+    a = tmp_path / "a.k11"
+    b = tmp_path / "b.k11"
+    assert cli(["count", "-k", 11, "-K", "-s", pa, "-o", a]) == 0
+    assert cli(["count", "-k", 11, "-K", "-s", pb, "-o", b]) == 0
+    # query = set a itself, via -F
+    od = tmp_path / "grepout"
+    assert cli(["grep", "-F", f"{a}.unik", f"{a}.unik", f"{b}.unik",
+                "-m", "-O", od, "-s"]) == 0
+    files = sorted(os.listdir(od))
+    assert files == ["a.k11.unik.grep.unik", "b.k11.unik.grep.unik"]
+    _, ca, _ = read_unik(str(od / files[0]))
+    _, acodes, _ = read_unik(f"{a}.unik")
+    np.testing.assert_array_equal(ca, acodes)  # a ∩ a = a
+    _, cb, _ = read_unik(str(od / files[1]))
+    inter = np.intersect1d(acodes, read_unik(f"{b}.unik")[1])
+    np.testing.assert_array_equal(cb, inter)
+
+
+def test_locate_circular(tmp_path, rng):
+    seq = random_dna(rng, 300).decode()
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{seq}\n")
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 11, "-K", "-s", "--circular", p, "-o", a]) == 0
+    bed = tmp_path / "loc.bed"
+    assert cli(["locate", "-g", p, "--circular", f"{a}.unik", "-o", bed]) == 0
+    lines = bed.read_text().strip().split("\n")
+    # every position incl. wrap-around start positions is present
+    assert len(lines) == len(seq)
+
+
+def test_concat_taxid_override(tmp_path, rng):
+    seq = random_dna(rng, 300).decode()
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{seq}\n")
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", a, "-t", 511145]) == 0
+    cc = tmp_path / "cc"
+    assert cli(["concat", f"{a}.unik", "-t", 562, "-o", cc, "-n", 42]) == 0
+    h, codes, taxids = read_unik(f"{cc}.unik")
+    assert h.global_taxid == 562 and not h.is_include_taxid
+    assert h.number == 42
