@@ -116,3 +116,15 @@ def test_syncmer_mg1655_edgar_count():
     packed = pack_files([GENOMES["mg1655"]], 31)
     codes = count_packed(packed, CountConfig(k=31, syncmer_s=16))
     assert len(codes) == 579_624
+
+
+@pytest.mark.full
+def test_fixture_linear_minimizer_amuc():
+    # reference info table: count -k 23 -W 5 -H -K -l on A. muciniphila
+    # yields Number=860,900 (README.md:198) — pins the position-change
+    # emission rule of the minimizer stream
+    from unikmer_tpu.models.count import count_linear
+
+    packed = pack_files([GENOMES["amuc"]], 23)
+    codes = count_linear(packed, CountConfig(k=23, minimizer_w=5))
+    assert len(codes) == 860_900

@@ -88,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     except KeyboardInterrupt:
         return 130
+    except (ValueError, OSError, EOFError) as e:
+        # fatal-error semantics of the reference (checkError -> exit -1);
+        # set UNIKMER_TPU_DEBUG=1 for the full traceback
+        import os
+
+        if os.environ.get("UNIKMER_TPU_DEBUG"):
+            raise
+        from ..utils.log import init_logging, log
+
+        init_logging(False)
+        log.error(str(e))
+        return 255
 
 
 def _run_profiled(args) -> int:
