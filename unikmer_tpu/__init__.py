@@ -63,6 +63,27 @@ if _platform:
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy convenience exports for the library API."""
+    if name in ("CountConfig", "count_packed", "count_linear"):
+        from .models import count as _m
+
+        return getattr(_m, name)
+    if name in ("UnikReader", "UnikWriter"):
+        from .io import unik as _u
+
+        return getattr(_u, name)
+    if name in ("pack_files", "pack_records", "read_fastx"):
+        from .io import fastx as _f
+
+        return getattr(_f, name)
+    if name == "load_taxonomy":
+        from .taxonomy.taxdump import load_taxonomy
+
+        return load_taxonomy
+    raise AttributeError(name)
+
 # Version of the reference toolkit whose behavior we reproduce.
 REFERENCE_VERSION = "0.21.0"
 # .unik format version we emit (parity with unik/v5 v5.0 semantics;
