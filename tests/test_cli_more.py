@@ -117,3 +117,54 @@ def test_concat_taxid_override(tmp_path, rng):
     h, codes, taxids = read_unik(f"{cc}.unik")
     assert h.global_taxid == 562 and not h.is_include_taxid
     assert h.number == 42
+
+
+def test_stdin_stdout_pipe(tmp_path, rng):
+    """Real pipe usage via subprocess: count to stdout | view from stdin."""
+    import subprocess
+    import sys
+
+    seq = random_dna(rng, 400).decode()
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{seq}\n")
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo:/root/.axon_site",
+        UNIKMER_TPU_PLATFORM="cpu",
+    )
+    r1 = subprocess.run(
+        [sys.executable, "-m", "unikmer_tpu.cli.main", "count", "-k", "11",
+         "-K", "-s", str(p), "-o", "-"],
+        env=env, capture_output=True, timeout=300,
+    )
+    assert r1.returncode == 0 and len(r1.stdout) > 50
+    r2 = subprocess.run(
+        [sys.executable, "-m", "unikmer_tpu.cli.main", "view", "-"],
+        env=env, input=r1.stdout, capture_output=True, timeout=300,
+    )
+    assert r2.returncode == 0
+    lines = r2.stdout.decode().strip().split("\n")
+    want = sorted({
+        codec.encode_kmer(s) for s in brute_kmers([seq], 11, canonical=True)
+    })
+    assert len(lines) == len(want)
+    assert lines[0] == codec.decode_kmer(want[0], 11)
+
+
+def test_hashed_k51_roundtrip(tmp_path, rng):
+    """k>32 forces ntHash; dump --hashed accepts raw hash values."""
+    seq = random_dna(rng, 500).decode()
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{seq}\n")
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 51, "-K", "-s", p, "-o", a]) == 0
+    h, codes, _ = read_unik(f"{a}.unik")
+    assert h.is_hashed and h.k == 51 and len(codes) > 0
+    # view prints hash integers; dump --hashed reads them back
+    vw = tmp_path / "v.txt"
+    assert cli(["view", f"{a}.unik", "-o", vw]) == 0
+    d = tmp_path / "d"
+    assert cli(["dump", vw, "--hashed", "-k", 51, "-s", "-K", "-o", d]) == 0
+    h2, codes2, _ = read_unik(f"{d}.unik")
+    assert h2.is_hashed
+    np.testing.assert_array_equal(codes2, codes)

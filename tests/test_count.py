@@ -112,3 +112,20 @@ def test_fixture_first_kmers_mg1655():
         "AAAAAAAAACCGCTAGTATATTC",
         "AAAAAAAAACCTGAAAAAAACGG",
     ]
+
+
+def test_count_stream_chunked_matches_oneshot(rng):
+    from unikmer_tpu.models.count import count_stream
+
+    k = 9
+    seqs = [random_dna(rng, n).decode() for n in (500, 700, 300, 900)]
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode()) for i, s in enumerate(seqs)]
+    cfg = CountConfig(k=k, canonical=True)
+    oneshot = count_packed(pack_records(recs, k), cfg)
+    chunked = count_stream(iter(recs), cfg, chunk_bases=600)  # forces ~4 chunks
+    np.testing.assert_array_equal(chunked, oneshot)
+    # unique/repeated fall back to exact one-shot
+    rep = count_stream(iter(recs + recs[:1]), CountConfig(k=k, mode="repeated"),
+                       chunk_bases=600)
+    want = run_count(seqs + seqs[:1], k, mode="repeated")
+    np.testing.assert_array_equal(rep, want)

@@ -15,7 +15,6 @@ from ...io.fastx import pack_records, read_fastx
 from ...models.count import (
     CountConfig,
     count_linear,
-    count_packed,
     count_packed_taxids,
 )
 from ...ops.codec import MAX_K_ENCODED, MAX_K_HASHED
@@ -176,8 +175,9 @@ def run(args) -> int:
         log_saved(opt, len(codes), out_file)
         return 0
 
-    packed = pack_records(records(), k, args.circular)
-    codes = count_packed(packed, cfg)
+    from ...models.count import count_stream
+
+    codes = count_stream(records(), cfg)
     out, _ = out_binary_stream(out_file)
     with unik.UnikWriter(out, flag=flag, number=len(codes), **writer_kw) as w:
         w.write_codes(codes)

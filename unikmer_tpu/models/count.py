@@ -177,6 +177,51 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     return uniq, merged
 
 
+def count_stream(records, cfg: CountConfig, chunk_bases: int = 64 << 20) -> np.ndarray:
+    """Streaming distinct count: process records in device-sized chunks
+    and merge partial sorted sets, so host memory is O(distinct + chunk)
+    instead of O(total windows).  Exact for 'distinct'; unique/repeated
+    need global multiplicity and fall back to the one-shot path.
+
+    The reference's equivalent bounded-memory path is `sort -m`
+    (SURVEY.md §3.2); here chunking happens transparently inside count.
+    """
+    from ..io.fastx import Record, pack_records
+
+    if cfg.mode != "distinct":
+        return count_packed(pack_records(records, cfg.k, cfg.circular), cfg)
+    partial: list[np.ndarray] = []
+    buf: list = []
+    buffered = 0
+
+    def flush():
+        nonlocal buf, buffered
+        if not buf:
+            return
+        packed = pack_records(buf, cfg.k, cfg.circular)
+        buf = []
+        buffered = 0
+        part = count_packed(packed, cfg)
+        if len(part):
+            partial.append(part)
+
+    for rec in records:
+        buf.append(rec)
+        buffered += len(rec.seq)
+        if buffered >= chunk_bases:
+            flush()
+    flush()
+    if not partial:
+        return np.zeros(0, np.uint64)
+    if len(partial) == 1:
+        return partial[0]
+    merged = np.concatenate(partial)
+    merged.sort(kind="stable")
+    first = np.ones(len(merged), bool)
+    first[1:] = merged[1:] != merged[:-1]
+    return merged[first]
+
+
 def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry for -l/--linear: codes in genome order, dups kept."""
     if packed.bases.size == 0:
