@@ -7,7 +7,7 @@ import sys
 
 import numpy as np
 
-from ...io.unik import EXT, UnikReader, UnikWriter, INCLUDE_TAXID
+from ...io.unik import UnikReader, UnikWriter, INCLUDE_TAXID
 from ..opts import (
     add_global_flags,
     check_file_suffix,

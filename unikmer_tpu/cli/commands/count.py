@@ -6,7 +6,6 @@ Reference: unikmer/cmd/count.go (full semantics in SURVEY.md §3.1).
 from __future__ import annotations
 
 import re
-import sys
 
 import numpy as np
 

@@ -7,10 +7,8 @@ is its descendant, diff.go:360-366,405-409).
 
 from __future__ import annotations
 
-import numpy as np
-
 from ...ops import sets
-from ...utils.log import die, log
+from ...utils.log import die
 from ._common import add_files_arg, effective_taxids, log_saved, new_command, open_reader, unik_inputs
 from ._setops import maybe_taxonomy, write_result
 from ...io.unik import check_compatibility

@@ -6,8 +6,6 @@ reader.Flag verbatim).
 
 from __future__ import annotations
 
-import numpy as np
-
 from ...io import unik
 from ...ops.filter import low_complexity_mask
 from ...utils.log import die, log

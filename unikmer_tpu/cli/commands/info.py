@@ -5,7 +5,6 @@ Reference: unikmer/cmd/info.go (columns at info.go:403-421).
 
 from __future__ import annotations
 
-import gzip
 import os
 import sys
 from concurrent.futures import ThreadPoolExecutor

@@ -11,7 +11,6 @@ black lists, and root discarding.
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 

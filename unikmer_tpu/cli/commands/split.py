@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import numpy as np
-
 from ...io import unik
 from ...pipeline import extsort
 from ...utils.log import die, log

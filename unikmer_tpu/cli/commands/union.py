@@ -6,7 +6,6 @@ Reference: unikmer/cmd/union.go.
 from __future__ import annotations
 
 from ...ops import sets
-from ...utils.log import log
 from ._common import add_files_arg, log_saved, new_command, unik_inputs
 from ._setops import load_inputs, maybe_taxonomy, write_result
 

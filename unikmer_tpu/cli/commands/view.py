@@ -15,7 +15,7 @@ import numpy as np
 
 from ...ops.codec import decode_codes
 from ...utils import textout
-from ...utils.log import die, log
+from ...utils.log import log
 from ._common import (
     add_files_arg,
     effective_taxids,

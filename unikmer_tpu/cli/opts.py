@@ -14,7 +14,7 @@ import sys
 from dataclasses import dataclass
 
 from ..io.unik import EXT, UnikReader, check_compatibility
-from ..utils.log import check_error, die, init_logging, log
+from ..utils.log import check_error, die, init_logging
 
 DEFAULT_DATA_DIR = os.path.expanduser("~/.unikmer/")
 

@@ -186,7 +186,7 @@ def count_stream(records, cfg: CountConfig, chunk_bases: int = 64 << 20) -> np.n
     The reference's equivalent bounded-memory path is `sort -m`
     (SURVEY.md §3.2); here chunking happens transparently inside count.
     """
-    from ..io.fastx import Record, pack_records
+    from ..io.fastx import pack_records
 
     if cfg.mode != "distinct":
         return count_packed(pack_records(records, cfg.k, cfg.circular), cfg)

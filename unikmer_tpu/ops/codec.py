@@ -22,8 +22,6 @@ on TPU); Pallas kernels with explicit u32 pairs live in ops/pallas/.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
