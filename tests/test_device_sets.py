@@ -58,3 +58,25 @@ def test_empty_sets():
     assert unpack(ds.union(e, e)) == []
     assert unpack(ds.intersect(e, padded([1, 2], 64))) == []
     assert unpack(ds.subtract(padded([1, 2], 64), e)) == [1, 2]
+
+
+def test_union_with_taxids_lca(rng):
+    import os
+
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    from unikmer_tpu.taxonomy.lca import device_tables
+
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    parent, depth, max_depth = device_tables(taxdb)
+    a = padded([10, 20, 30], 16)
+    b = padded([20, 30, 40], 16)
+    ta = np.zeros(16, np.uint32); ta[:3] = [511145, 511145, 562]
+    tb = np.zeros(16, np.uint32); tb[:3] = [585057, 349741, 349741]
+    codes, taxids, n = ds.union_with_taxids(
+        a, ta, b, tb, parent, depth, max_depth, rounds=2
+    )
+    n = int(n)
+    got = {int(c): int(t) for c, t in zip(np.asarray(codes)[:n], np.asarray(taxids)[:n])}
+    assert got == {10: 511145, 20: 562, 30: 2, 40: 349741}

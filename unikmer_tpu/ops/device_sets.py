@@ -76,3 +76,28 @@ def common(sets: jnp.ndarray, threshold: int):
     count = end - start
     keep = first & (merged != SENT) & (count >= threshold)
     return _compact_mask(merged, keep)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "rounds"))
+def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
+    """Union with LCA-merged taxid column, fully on device
+    (the device analog of ops/sets.union + taxdb.lca_reduce).
+
+    a/b: padded sorted code arrays; ta/tb: uint32 taxids (0 on padding).
+    parent/depth/max_depth from taxonomy.lca.device_tables; rounds >=
+    ceil(log2(max multiplicity per code)) — 1 suffices for two deduped
+    inputs.  Returns (codes, taxids, n) compacted to a dense prefix.
+    """
+    from ..taxonomy.lca import lca_collapse_device
+
+    codes = jnp.concatenate([a, b])
+    taxids = jnp.concatenate([ta, tb]).astype(jnp.uint32)
+    valid = codes != SENT
+    s_codes, s_tax, keep = lca_collapse_device(
+        codes, taxids, valid, parent, depth, max_depth, rounds
+    )
+    out_c, n = _compact_mask(s_codes, keep)
+    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
+    pos = jnp.where(keep, pos, s_codes.shape[0])
+    out_t = jnp.zeros(s_codes.shape, jnp.uint32).at[pos].set(s_tax, mode="drop")
+    return out_c, out_t, n
