@@ -146,32 +146,45 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     ``records`` is an iterable of fastx.Record; ``re_taxid`` a compiled
     bytes regexp with one capture group; ``taxdb`` a taxonomy.Taxonomy.
     Returns (codes, taxids) sorted by code, filtered by cfg.mode.
+
+    Batched: ALL records are packed into one device invocation; each
+    valid window is assigned its record's taxid by a searchsorted over
+    record start offsets (one device pass instead of one per record).
     """
     from ..io.fastx import pack_records
     from ..utils.log import die
 
-    all_codes: list[np.ndarray] = []
-    all_tax: list[np.ndarray] = []
-    for rec in records:
+    records = list(records)
+    rec_taxids = np.empty(len(records), np.uint32)
+    for i, rec in enumerate(records):
         m = re_taxid.search(rec.name)
         if not m:
             die(f"failed to parse taxid in header: {rec.name.decode()}")
         try:
-            taxid = int(m.group(1))
-        except ValueError:
-            die(f"failed to parse taxid {m.group(1)!r} in header: {rec.name.decode()}")
-        packed = pack_records([rec], cfg.k, cfg.circular)
-        codes = count_linear(packed, cfg)
-        all_codes.append(codes)
-        all_tax.append(np.full(len(codes), taxid, np.uint32))
-    if not all_codes:
+            rec_taxids[i] = int(m.group(1))
+        except (ValueError, OverflowError):
+            die(
+                f"failed to parse taxid {m.group(1)!r} in header: "
+                f"{rec.name.decode()}"
+            )
+    packed = pack_records(records, cfg.k, cfg.circular)
+    if packed.bases.size == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-    codes = np.concatenate(all_codes)
-    taxids = np.concatenate(all_tax)
+    # records shorter than k were dropped by the packer: align taxids
+    if packed.n_records != len(records):
+        kept = [i for i, rec in enumerate(records) if len(rec.seq) >= cfg.k]
+        rec_taxids = rec_taxids[kept]
+    bases = pad_bases(packed.bases)
+    dev_codes, dev_valid = linear_codes_step(bases, cfg)
+    codes = np.asarray(dev_codes)
+    valid = np.asarray(dev_valid)
+    pos = np.flatnonzero(valid)
+    codes = codes[pos]
+    rec_id = np.searchsorted(packed.starts, pos, side="right") - 1
+    taxids = rec_taxids[rec_id]
     uniq, merged = taxdb.lca_reduce(codes, taxids)
     if cfg.mode in ("unique", "repeated"):
         u, counts = np.unique(codes, return_counts=True)
-        assert np.array_equal(u, uniq)
         keep = counts == 1 if cfg.mode == "unique" else counts > 1
         return uniq[keep], merged[keep]
     return uniq, merged
