@@ -1,0 +1,128 @@
+"""Seeded randomized fuzz: .unik round-trips across flag combinations,
+set-op algebra vs Python sets, collapse modes vs Counter."""
+
+import collections
+import io
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.io import unik
+from unikmer_tpu.ops import sets
+from unikmer_tpu.ops.sort import collapse_sorted
+from unikmer_tpu.pipeline import extsort
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fuzz_unik_roundtrip(rng, trial):
+    k = int(rng.integers(1, 33))
+    flag = 0
+    if rng.random() < 0.5:
+        flag |= unik.SORTED
+    if rng.random() < 0.3:
+        flag |= unik.COMPACT
+    if rng.random() < 0.5:
+        flag |= unik.CANONICAL
+    if rng.random() < 0.3:
+        flag |= unik.HASHED
+    include_tax = rng.random() < 0.5
+    if include_tax:
+        flag |= unik.INCLUDE_TAXID
+    n = int(rng.integers(0, 5000))
+    bits = 64 if flag & unik.HASHED else 2 * k
+    hi = int(min(1 << bits, 1 << 63))
+    codes = rng.integers(0, hi, size=n, dtype=np.uint64)
+    if flag & unik.SORTED:
+        codes = np.sort(codes)
+    max_taxid = int(rng.choice([200, 70000, (1 << 32) - 1]))
+    taxids = (
+        rng.integers(0, max_taxid, size=n, dtype=np.uint32) if include_tax else None
+    )
+    compress = bool(rng.random() < 0.5)
+    threads = int(rng.choice([1, 4]))
+    buf = io.BytesIO()
+    with unik.UnikWriter(
+        buf, k=k, flag=flag, max_taxid=max_taxid, compress=compress,
+        threads=threads, block_size=int(rng.choice([7, 100, 1 << 20])),
+        description=bytes(rng.integers(32, 126, size=int(rng.integers(0, 64))).astype(np.uint8)),
+        global_taxid=0 if include_tax else int(rng.integers(0, 1000)),
+        scale=int(rng.choice([1, 15])),
+    ) as w:
+        w.write_codes(codes, taxids)
+    r = unik.UnikReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    out, out_tax = r.read_all()
+    np.testing.assert_array_equal(out, codes)
+    if include_tax:
+        np.testing.assert_array_equal(out_tax, taxids)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_set_algebra(rng, trial):
+    space = int(rng.choice([50, 1000, 1 << 40]))
+    a = np.unique(rng.integers(0, space, size=rng.integers(0, 400), dtype=np.uint64))
+    b = np.unique(rng.integers(0, space, size=rng.integers(0, 400), dtype=np.uint64))
+    sa, sb = set(a.tolist()), set(b.tolist())
+    u, _ = sets.union([a, b])
+    assert u.tolist() == sorted(sa | sb)
+    i, _ = sets.intersect([a, b])
+    assert i.tolist() == sorted(sa & sb)
+    d, _ = sets.subtract(a, None, [b])
+    assert d.tolist() == sorted(sa - sb)
+    c, _ = sets.common([a, b], threshold=2)
+    assert c.tolist() == sorted(sa & sb)
+
+
+@pytest.mark.parametrize("mode", ["distinct", "unique", "repeated"])
+def test_fuzz_collapse_modes(rng, mode):
+    for _ in range(5):
+        n = int(rng.integers(1, 2000))
+        codes = rng.integers(0, 50, size=n, dtype=np.uint64)
+        valid = rng.random(n) < 0.8
+        out, cnt = collapse_sorted(codes, valid, mode=mode)
+        got = np.asarray(out)[: int(cnt)].tolist()
+        counter = collections.Counter(codes[valid].tolist())
+        if mode == "distinct":
+            want = sorted(counter)
+        elif mode == "unique":
+            want = sorted(c for c, m in counter.items() if m == 1)
+        else:
+            want = sorted(c for c, m in counter.items() if m > 1)
+        assert got == want, mode
+
+
+def test_fuzz_merge_batches_vs_sort(rng):
+    # bulk tournament merge over random sorted chunk files == global sort
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        files = []
+        all_codes = []
+        for i in range(6):
+            codes = np.sort(
+                rng.integers(0, 10000, size=rng.integers(1, 3000), dtype=np.uint64)
+            )
+            all_codes.append(codes)
+            path = os.path.join(d, f"c{i}.unik")
+            with unik.UnikWriter(path, k=13, flag=unik.SORTED,
+                                 block_size=64) as w:
+                w.write_codes(codes)
+            files.append(path)
+        got = []
+        extsort.merge_sorted_files(
+            files, lambda c, t: got.extend(c.tolist()), mode="none"
+        )
+        want = np.sort(np.concatenate(all_codes)).tolist()
+        assert got == want
+        # unique mode
+        got_u = []
+        extsort.merge_sorted_files(
+            files, lambda c, t: got_u.extend(c.tolist()), mode="unique"
+        )
+        assert got_u == sorted(set(want))
+        # repeated (final round)
+        got_r = []
+        extsort.merge_sorted_files(
+            files, lambda c, t: got_r.extend(c.tolist()), mode="repeated"
+        )
+        counter = collections.Counter(want)
+        assert got_r == sorted(c for c, m in counter.items() if m > 1)
