@@ -82,6 +82,7 @@ def make_writer_like(
         max_taxid=max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     )
 
 

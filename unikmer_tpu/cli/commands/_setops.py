@@ -100,6 +100,7 @@ def write_result(
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     ) as w:
         w.write_codes(codes, taxids)
     return out_file

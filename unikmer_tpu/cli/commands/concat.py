@@ -74,6 +74,7 @@ def run(args) -> int:
                     max_taxid=(1 << (8 * h.taxid_bytes)) - 1 if h.taxid_bytes else 0,
                     compress=opt.compress,
                     compression_level=opt.compression_level,
+                    threads=opt.threads,
                 )
             else:
                 if not opt.skip_flag_check:

@@ -139,6 +139,7 @@ def run(args) -> int:
         k=k,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
         global_taxid=args.taxid if (args.taxid > 0 and not args.parse_taxid) else 0,
         scale=args.scale if args.scale > 1 else 1,
         max_taxid=opt.max_taxid,

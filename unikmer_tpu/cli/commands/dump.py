@@ -149,6 +149,7 @@ def run(args) -> int:
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     ) as w:
         w.write_codes(
             np.array(codes_out, np.uint64),

@@ -55,6 +55,7 @@ def run(args) -> int:
             max_taxid=(1 << (8 * h.taxid_bytes)) - 1 if h.taxid_bytes else 0,
             compress=opt.compress,
             compression_level=opt.compression_level,
+            threads=opt.threads,
         )
         for codes, taxids in r.iter_blocks():
             low = low_complexity_mask(

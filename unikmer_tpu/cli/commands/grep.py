@@ -274,6 +274,7 @@ def _write_result(path, opt, h, code_parts, tax_parts, has_taxid, args):
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     ) as w:
         w.write_codes(codes, taxids)
     return len(codes)

@@ -97,6 +97,7 @@ def run(args) -> int:
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     )
     n = extsort.cascade_merge(
         files,

@@ -295,6 +295,7 @@ def run(args) -> int:
                     max_taxid=(1 << (8 * (h.taxid_bytes or 4))) - 1,
                     compress=opt.compress,
                     compression_level=opt.compression_level,
+                    threads=opt.threads,
                 )
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, False)

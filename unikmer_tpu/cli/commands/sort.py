@@ -86,6 +86,7 @@ def _sort_in_memory(args, opt, files, mode, out_file):
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     ) as w:
         w.write_codes(codes, taxids)
     log_saved(opt, len(codes), out_file)
@@ -154,6 +155,7 @@ def _sort_external(args, opt, files, mode, out_file):
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     )
     n = extsort.cascade_merge(
         chunk_files,

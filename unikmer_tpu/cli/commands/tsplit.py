@@ -92,6 +92,7 @@ def run(args) -> int:
             max_taxid=(1 << (8 * max_taxid_width)) - 1,
             compress=opt.compress,
             compression_level=opt.compression_level,
+            threads=opt.threads,
         ) as w:
             w.write_codes(sel)
         if opt.verbose:

@@ -134,6 +134,7 @@ def dump_chunk(
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
+        threads=opt.threads,
     ) as w:
         w.write_codes(codes, taxids)
 
@@ -287,6 +288,7 @@ def cascade_merge(
                 max_taxid=opt.max_taxid,
                 compress=opt.compress,
                 compression_level=opt.compression_level,
+                threads=opt.threads,
             )
             merge_sorted_files(
                 group,
