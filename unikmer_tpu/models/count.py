@@ -190,7 +190,14 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     return uniq, merged
 
 
-def count_stream(records, cfg: CountConfig, chunk_bases: int = 64 << 20) -> np.ndarray:
+# Default stream chunk: fits the standard 2^23 device bucket (with room
+# for per-record separators/wrap bases), so every chunk reuses the one
+# cached XLA program instead of compiling larger buckets.
+STREAM_CHUNK_BASES = 7 << 20
+
+
+def count_stream(records, cfg: CountConfig,
+                 chunk_bases: int = STREAM_CHUNK_BASES) -> np.ndarray:
     """Streaming distinct count: process records in device-sized chunks
     and merge partial sorted sets, so host memory is O(distinct + chunk)
     instead of O(total windows).  Exact for 'distinct'; unique/repeated
