@@ -32,7 +32,26 @@ REPS = 5
 BASELINE_KMERS_PER_SEC = 4_641_630 / 0.897  # reference count wall-clock
 
 
+def _watchdog(seconds: int) -> None:
+    """The tunnel-attached chip occasionally wedges (every op hangs);
+    fail fast with a diagnostic instead of hanging the driver."""
+    import os
+    import signal
+
+    def on_alarm(signum, frame):
+        print(
+            "# bench watchdog: device unresponsive after "
+            f"{seconds}s (known transient tunnel wedge; retry later)",
+            file=sys.stderr,
+        )
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main() -> int:
+    _watchdog(480)
     rng = np.random.default_rng(20260817)
     bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
     cfg = CountConfig(k=K, canonical=True)
