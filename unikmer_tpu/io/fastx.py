@@ -161,34 +161,33 @@ def pack_records(
     record are appended after it (reference NewKmerIterator(..., circular)
     wrap-around), producing exactly the extra len-((k-1)..1) windows.
     """
-    bufs: list[np.ndarray] = []
-    starts: list[int] = []
-    lengths: list[int] = []
-    off = 0
-    sep = np.array([INVALID_BASE], dtype=np.uint8)
-    for rec in records:
-        if len(rec.seq) < k:
-            continue
-        b = BASE_LUT[np.frombuffer(rec.seq, dtype=np.uint8)]
-        starts.append(off)
-        lengths.append(len(b))
-        bufs.append(b)
-        off += len(b)
-        if circular and k > 1:
-            wrap = b[: k - 1]
-            bufs.append(wrap)
-            off += len(wrap)
-        bufs.append(sep)
-        off += 1
-    if not bufs:
+    kept = [rec for rec in records if len(rec.seq) >= k]
+    if not kept:
         return PackedSeqs(
             np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64)
         )
-    return PackedSeqs(
-        np.concatenate(bufs),
-        np.asarray(starts, dtype=np.int64),
-        np.asarray(lengths, dtype=np.int64),
-    )
+    wrap = (k - 1) if (circular and k > 1) else 0
+    total = sum(len(r.seq) + wrap + 1 for r in kept)
+    # single preallocated buffer, filled in place: large fresh numpy
+    # temps are expensive (first-touch page faults), so map the LUT
+    # directly into the output slices
+    lut = BASE_LUT
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.empty(len(kept), dtype=np.int64)
+    lengths = np.empty(len(kept), dtype=np.int64)
+    off = 0
+    for i, rec in enumerate(kept):
+        n = len(rec.seq)
+        starts[i] = off
+        lengths[i] = n
+        np.take(lut, np.frombuffer(rec.seq, dtype=np.uint8), out=out[off : off + n])
+        off += n
+        if wrap:
+            out[off : off + wrap] = out[starts[i] : starts[i] + wrap]
+            off += wrap
+        out[off] = INVALID_BASE
+        off += 1
+    return PackedSeqs(out, starts, lengths)
 
 
 def pack_files(paths: Iterable[str], k: int, circular: bool = False) -> PackedSeqs:
