@@ -129,3 +129,26 @@ def test_count_stream_chunked_matches_oneshot(rng):
                        chunk_bases=600)
     want = run_count(seqs + seqs[:1], k, mode="repeated")
     np.testing.assert_array_equal(rep, want)
+
+
+def test_compressed_result_fetch_roundtrip(rng):
+    """u16-delta + exception packing must reconstruct codes exactly,
+    including sparse sets with many >=2^16 deltas."""
+    from unikmer_tpu.models.count import (
+        CountConfig,
+        _count_step_packed_result,
+        _decode_packed_result,
+        count_step,
+        pad_bases,
+    )
+
+    for nbases, k in ((5000, 9), (3000, 23)):  # dense 9-mers, sparse 23-mers
+        seqs = [random_dna(rng, nbases).decode()]
+        recs = [Record(b"s", b"s", seqs[0].encode())]
+        packed = pack_records(recs, k)
+        cfg = CountConfig(k=k, canonical=True)
+        bases = pad_bases(packed.bases)
+        want_out, want_n = count_step(bases, cfg)
+        want = np.asarray(want_out[: int(want_n)])
+        got = _decode_packed_result(*_count_step_packed_result(bases, cfg))
+        np.testing.assert_array_equal(got, want)

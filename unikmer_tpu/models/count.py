@@ -129,14 +129,68 @@ def pad_bases(bases: np.ndarray) -> np.ndarray:
     return padded
 
 
+# Compressed result fetch: sorted codes come back as uint16 deltas plus
+# an exception list for deltas >= 2^16 (rare in dense sets) — ~4x fewer
+# bytes over PCIe, and ~4x wall-clock on this environment's slow
+# device->host tunnel.  Exact: overflowing exception counts fall back to
+# the raw fetch.
+_MAX_EXC = 1 << 16
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _count_step_packed_result(bases: jnp.ndarray, cfg: CountConfig):
+    out, n = count_step(bases, cfg)
+    idx = jnp.arange(out.shape[0], dtype=jnp.int64)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), out[:-1]])
+    delta = jnp.where(idx < n, out - prev, jnp.uint64(0))
+    big = delta >= jnp.uint64(1 << 16)
+    n_exc = jnp.sum(big, dtype=jnp.int64)
+    # compact exception (index, value) pairs into fixed-size buffers
+    pos = jnp.cumsum(big.astype(jnp.int64)) - 1
+    pos = jnp.where(big & (pos < _MAX_EXC), pos, _MAX_EXC)
+    exc_idx = jnp.full((_MAX_EXC,), -1, jnp.int64).at[pos].set(idx, mode="drop")
+    exc_val = jnp.zeros((_MAX_EXC,), jnp.uint64).at[pos].set(out, mode="drop")
+    small = jnp.where(big, jnp.uint64(0), delta).astype(jnp.uint16)
+    return small, exc_idx, exc_val, n_exc, n
+
+
+def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
+    n = int(n)
+    n_exc = int(n_exc)
+    d = np.asarray(small[:n]).astype(np.uint64)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    with np.errstate(over="ignore"):
+        codes = np.cumsum(d, dtype=np.uint64)
+    if n_exc:
+        idx = np.asarray(exc_idx[:n_exc]).astype(np.int64)
+        val = np.asarray(exc_val[:n_exc])
+        # each exception j resets the absolute value at index i_j; the
+        # per-segment correction is val_j - cumsum[i_j], applied as a
+        # step function via one more cumsum (mod-2^64 arithmetic exact)
+        with np.errstate(over="ignore"):
+            seg_corr = val - codes[idx]
+            step = np.zeros(n, np.uint64)
+            step[idx] = seg_corr - np.concatenate(
+                [np.zeros(1, np.uint64), seg_corr[:-1]]
+            )
+            codes += np.cumsum(step, dtype=np.uint64)
+    return codes
+
+
 def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry: packed sequences -> sorted numpy uint64 of kept codes."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64)
     bases = pad_bases(packed.bases)
-    out, n = count_step(bases, cfg)
-    n = int(n)
-    return np.asarray(out[:n])
+    if jax.default_backend() == "cpu":
+        out, n = count_step(bases, cfg)
+        return np.asarray(out[: int(n)])
+    small, exc_idx, exc_val, n_exc, n = _count_step_packed_result(bases, cfg)
+    if int(n_exc) > _MAX_EXC:  # pathological sparsity: raw fetch
+        out, n = count_step(bases, cfg)
+        return np.asarray(out[: int(n)])
+    return _decode_packed_result(small, exc_idx, exc_val, n_exc, n)
 
 
 def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
