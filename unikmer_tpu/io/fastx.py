@@ -166,25 +166,31 @@ def pack_records(
         return PackedSeqs(
             np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, np.int64)
         )
+    lengths = np.fromiter((len(r.seq) for r in kept), np.int64, len(kept))
     wrap = (k - 1) if (circular and k > 1) else 0
-    total = sum(len(r.seq) + wrap + 1 for r in kept)
-    # single preallocated buffer, filled in place: large fresh numpy
-    # temps are expensive (first-touch page faults), so map the LUT
-    # directly into the output slices
+    if wrap == 0:
+        # fast path: one C-level join with a separator byte that the LUT
+        # maps to the invalid sentinel, then ONE vectorized LUT pass —
+        # per-record numpy calls cost ~35us each at 10^6 records
+        joined = b"\n".join(r.seq for r in kept) + b"\n"
+        out = BASE_LUT[np.frombuffer(joined, dtype=np.uint8)]
+        starts = np.zeros(len(kept), np.int64)
+        np.cumsum(lengths[:-1] + 1, out=starts[1:])
+        return PackedSeqs(out, starts, lengths)
+    # circular: wrap bases are appended per record (genome inputs: few
+    # records, the per-record loop is fine)
+    total = int(lengths.sum()) + (wrap + 1) * len(kept)
     lut = BASE_LUT
     out = np.empty(total, dtype=np.uint8)
     starts = np.empty(len(kept), dtype=np.int64)
-    lengths = np.empty(len(kept), dtype=np.int64)
     off = 0
     for i, rec in enumerate(kept):
         n = len(rec.seq)
         starts[i] = off
-        lengths[i] = n
         np.take(lut, np.frombuffer(rec.seq, dtype=np.uint8), out=out[off : off + n])
         off += n
-        if wrap:
-            out[off : off + wrap] = out[starts[i] : starts[i] + wrap]
-            off += wrap
+        out[off : off + wrap] = out[starts[i] : starts[i] + wrap]
+        off += wrap
         out[off] = INVALID_BASE
         off += 1
     return PackedSeqs(out, starts, lengths)
