@@ -33,11 +33,12 @@ def run(args) -> int:
         for file in files:
             with open_reader(file) as r:
                 n = r.header.number
-                if n < 0 and args.force:
+                if n < 0 or args.force:
                     n = sum(len(c) for c, _ in r.iter_blocks())
                 name = os.path.basename(file) if args.basename else file
                 if args.file_name:
-                    out.write(f"{name}\t{n}\n")
+                    # reference prints number first (num.go:110-115)
+                    out.write(f"{n}\t{name}\n")
                 else:
                     out.write(f"{n}\n")
     finally:
