@@ -244,29 +244,51 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     return uniq, merged
 
 
-# Default stream chunk: fits the standard 2^23 device bucket (with room
-# for per-record separators/wrap bases), so every chunk reuses the one
-# cached XLA program instead of compiling larger buckets.
-STREAM_CHUNK_BASES = 7 << 20
+def _stream_chunk_bases() -> int:
+    """Stream chunk sized so every chunk fits the standard cached device
+    bucket (2^23 on TPU, 2^20 on CPU) with room for separators."""
+    return (7 << 20) if jax.default_backend() == "tpu" else (7 << 16)
 
 
 def count_stream(records, cfg: CountConfig,
-                 chunk_bases: int = STREAM_CHUNK_BASES) -> np.ndarray:
-    """Streaming distinct count: process records in device-sized chunks
-    and merge partial sorted sets, so host memory is O(distinct + chunk)
-    instead of O(total windows).  Exact for 'distinct'; unique/repeated
-    need global multiplicity and fall back to the one-shot path.
+                 chunk_bases: int | None = None) -> np.ndarray:
+    """Streaming count: process records in device-sized chunks and merge
+    partial sorted sets, so host memory is O(distinct + chunk) instead
+    of O(total windows).  Exact for all modes:
+
+      distinct: union of per-chunk distinct sets.
+      unique/repeated: per chunk emit each code with multiplicity
+        min(count, 2) (the external-sort non-final-round trick,
+        util-sort.go:377-388); the global capped multiplicity then
+        separates count==1 from count>=2 exactly.
 
     The reference's equivalent bounded-memory path is `sort -m`
     (SURVEY.md §3.2); here chunking happens transparently inside count.
     """
     from ..io.fastx import pack_records
 
-    if cfg.mode != "distinct":
-        return count_packed(pack_records(records, cfg.k, cfg.circular), cfg)
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
     partial: list[np.ndarray] = []
     buf: list = []
     buffered = 0
+    capped = cfg.mode in ("unique", "repeated")
+    distinct_cfg = (
+        cfg if not capped
+        else CountConfig(
+            k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
+            scale=cfg.scale, minimizer_w=cfg.minimizer_w,
+            syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode="distinct",
+        )
+    )
+    repeated_cfg = (
+        None if not capped
+        else CountConfig(
+            k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
+            scale=cfg.scale, minimizer_w=cfg.minimizer_w,
+            syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode="repeated",
+        )
+    )
 
     def flush():
         nonlocal buf, buffered
@@ -275,9 +297,13 @@ def count_stream(records, cfg: CountConfig,
         packed = pack_records(buf, cfg.k, cfg.circular)
         buf = []
         buffered = 0
-        part = count_packed(packed, cfg)
-        if len(part):
-            partial.append(part)
+        u = count_packed(packed, distinct_cfg)
+        if len(u):
+            partial.append(u)
+        if capped:
+            r = count_packed(packed, repeated_cfg)
+            if len(r):
+                partial.append(r)  # second copy marks within-chunk dups
 
     for rec in records:
         buf.append(rec)
@@ -287,13 +313,16 @@ def count_stream(records, cfg: CountConfig,
     flush()
     if not partial:
         return np.zeros(0, np.uint64)
-    if len(partial) == 1:
-        return partial[0]
     merged = np.concatenate(partial)
     merged.sort(kind="stable")
     first = np.ones(len(merged), bool)
     first[1:] = merged[1:] != merged[:-1]
-    return merged[first]
+    if not capped:
+        return merged[first]
+    run_id = np.cumsum(first) - 1
+    counts = np.bincount(run_id)
+    keep = counts == 1 if cfg.mode == "unique" else counts >= 2
+    return merged[first][keep]
 
 
 def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
