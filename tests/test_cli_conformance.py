@@ -103,3 +103,33 @@ def test_full_pipeline_fixtures(tmp_path):
     # LCA sanity: shared k-mers got E. coli species taxid 562
     taxids = {int(line.rsplit(b"\t", 1)[1]) for line in out.splitlines()}
     assert taxids == {511145, 585057, 562}
+
+
+@pytest.mark.full
+def test_locate_readme_example(tmp_path):
+    """README.md:186-191: locate of the linear-minimizer sketch on
+    A. muciniphila — byte-exact first lines (pins minimizer emission
+    order, hashed locate, and BED6 rendering)."""
+    tmp = str(tmp_path)
+    m = os.path.join(tmp, "amuc.m")
+    rc, _ = run_cli(
+        ["count", "-k", "23", "-W", "5", "-H", "-K", "-l", GENOMES["amuc"],
+         "-o", m], tmp)
+    assert rc == 0
+    from unikmer_tpu.io.unik import UnikReader
+
+    # info table fixture: 860,900 records (README.md:198)
+    n = sum(len(c) for c, _ in UnikReader(m + ".unik").iter_blocks())
+    assert n == 860_900
+    bed = os.path.join(tmp, "loc.bed")
+    rc, _ = run_cli(["locate", "-g", GENOMES["amuc"], m + ".unik", "-o", bed], tmp)
+    assert rc == 0
+    with open(bed) as f:
+        lines = [next(f).rstrip("\n") for _ in range(5)]
+    assert lines == [
+        "NC_010655.1\t2\t25\tATCTTATAAAATAACCACATAAC\t0\t.",
+        "NC_010655.1\t5\t28\tTTATAAAATAACCACATAACTTA\t0\t.",
+        "NC_010655.1\t6\t29\tTATAAAATAACCACATAACTTAA\t0\t.",
+        "NC_010655.1\t9\t32\tAAAATAACCACATAACTTAAAAA\t0\t.",
+        "NC_010655.1\t13\t36\tTAACCACATAACTTAAAAAGAAT\t0\t.",
+    ]
