@@ -56,9 +56,62 @@ def union(code_arrays, taxid_arrays=None, taxdb=None):
     if taxid_arrays is None:
         codes = np.sort(codes, kind="stable")
         return dedup_sorted(codes, None)
+    consts = _constant_taxids(taxid_arrays)
+    if consts is not None and len(code_arrays) <= 64:
+        return _union_const_taxids(code_arrays, consts, taxdb)
     taxids = np.concatenate(taxid_arrays)
     order = np.argsort(codes, kind="stable")
     return dedup_sorted(codes[order], taxids[order], taxdb)
+
+
+def _constant_taxids(taxid_arrays):
+    """Per-array constant taxid values, or None if any array varies.
+    (Global-taxid inputs — the common case — are constant columns.)"""
+    consts = []
+    for t in taxid_arrays:
+        if t is None or len(t) == 0:
+            consts.append(0)
+            continue
+        if t[0] != t[-1] or (t != t[0]).any():
+            return None
+        consts.append(int(t[0]))
+    return consts
+
+
+def _union_const_taxids(code_arrays, consts, taxdb):
+    """Union where file i contributes the single taxid consts[i]: the
+    LCA of a result code depends only on WHICH files contain it, so
+    compute a per-code file-membership bitmask and look the LCA up in a
+    tiny per-pattern table — O(F) vectorized searchsorted passes instead
+    of the generic segmented LCA reduction (which allocates ~30 large
+    temps; first-touch page faults dominate on this VM)."""
+    deduped = []
+    for c in code_arrays:
+        if len(c) and (np.diff(c.astype(np.uint64)) <= 0).any():
+            c = np.unique(c)
+        else:
+            c, _ = dedup_sorted(c, None)
+        deduped.append(c)
+    out = deduped[0]
+    for c in deduped[1:]:
+        # merge-of-sorted via membership + sort of the new tail
+        mask, _ = member_mask(out, c)
+        out = np.sort(np.concatenate([out, c[~mask]]), kind="stable")
+    bits = np.zeros(len(out), np.uint64)
+    for i, c in enumerate(deduped):
+        mask, _ = member_mask(c, out)
+        bits |= mask.astype(np.uint64) << np.uint64(i)
+    patterns, inv = np.unique(bits, return_inverse=True)
+    lca_per_pattern = np.empty(len(patterns), np.uint32)
+    for j, p in enumerate(patterns):
+        members = [consts[i] for i in range(len(consts)) if (int(p) >> i) & 1]
+        acc = members[0] if members else 0
+        for m in members[1:]:
+            acc = _lca_merge(
+                taxdb, np.array([acc], np.uint32), np.array([m], np.uint32)
+            )[0]
+        lca_per_pattern[j] = acc
+    return out, lca_per_pattern[inv]
 
 
 def member_mask(sorted_ref: np.ndarray, queries: np.ndarray):
