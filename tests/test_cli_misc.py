@@ -1,0 +1,87 @@
+"""Misc command coverage: encode/decode formats, version, autocompletion,
+info tabular mode."""
+
+import os
+
+import pytest
+
+from unikmer_tpu.ops import codec
+from unikmer_tpu.ops.nthash import nthash_kmer
+
+
+def cli(argv, tmp=None):
+    from unikmer_tpu.cli.main import main
+
+    return main([str(a) for a in argv])
+
+
+def test_encode_plain_and_all(tmp_path):
+    txt = tmp_path / "in.txt"
+    txt.write_text("ACGT\nacgu\n")
+    out = tmp_path / "out.txt"
+    assert cli(["encode", txt, "-o", out]) == 0
+    assert out.read_text().splitlines() == ["27", "27"]
+    assert cli(["encode", txt, "-o", out, "-a"]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "ACGT\tACGT\t27\t00 01 10 11"
+    assert lines[1] == "acgu\tACGT\t27\t00 01 10 11"
+    # canonical: ACGT is its own revcomp
+    assert cli(["encode", txt, "-o", out, "-K"]) == 0
+    assert out.read_text().splitlines() == ["27", "27"]
+
+
+def test_encode_hashed(tmp_path):
+    txt = tmp_path / "in.txt"
+    txt.write_text("ACGTACGTACG\n")
+    out = tmp_path / "out.txt"
+    assert cli(["encode", txt, "-H", "-o", out]) == 0
+    assert int(out.read_text().strip()) == nthash_kmer("ACGTACGTACG", False)
+    # k>32 forces hashing
+    long = "ACGT" * 10
+    txt.write_text(long + "\n")
+    assert cli(["encode", txt, "-o", out]) == 0
+    assert int(out.read_text().strip()) == nthash_kmer(long, False)
+
+
+def test_decode_roundtrip_and_overflow(tmp_path):
+    txt = tmp_path / "in.txt"
+    txt.write_text("27\n0\n")
+    out = tmp_path / "out.txt"
+    assert cli(["decode", txt, "-k", 4, "-o", out]) == 0
+    assert out.read_text().splitlines() == ["ACGT", "AAAA"]
+    assert cli(["decode", txt, "-k", 4, "-o", out, "-a"]) == 0
+    assert out.read_text().splitlines()[0] == "27\tACGT"
+    txt.write_text("300\n")
+    with pytest.raises(SystemExit):
+        cli(["decode", txt, "-k", 2, "-o", out])
+
+
+def test_version(capsys):
+    assert cli(["version"]) == 0
+    out = capsys.readouterr().out
+    assert "unikmer" in out
+
+
+def test_autocompletion(tmp_path):
+    f = tmp_path / "comp.sh"
+    assert cli(["autocompletion", "--file", f, "--type", "bash"]) == 0
+    s = f.read_text()
+    assert "count" in s and "rfilter" in s and "complete" in s
+    assert cli(["autocompletion", "--file", f, "--type", "zsh"]) == 0
+    assert cli(["autocompletion", "--file", f, "--type", "fish"]) == 0
+
+
+def test_info_tabular(tmp_path, rng):
+    from tests.conftest import random_dna
+
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{random_dna(rng, 200).decode()}\n")
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 11, "-K", "-s", p, "-o", a]) == 0
+    out = tmp_path / "info.tsv"
+    assert cli(["info", f"{a}.unik", "-T", "-o", out]) == 0
+    lines = out.read_text().splitlines()
+    header = lines[0].split("\t")
+    assert header[:3] == ["file", "k", "canonical"]
+    row = lines[1].split("\t")
+    assert row[1] == "11" and row[2] == "✓"
