@@ -193,3 +193,27 @@ def test_seq_name_filter_and_infile_list(tmp_path, fa, rng):
         {codec.encode_kmer(s) for s in brute_kmers([seq1, seq2], 11, True)}
     )
     np.testing.assert_array_equal(codes2, np.array(wantall, np.uint64))
+
+
+def test_view_genome_partial_decode(tmp_path, fa, rng):
+    """Hashes absent from the provided genomes print as integers while
+    present ones decode (view.go:176-185)."""
+    seq = random_dna(rng, 200).decode()
+    p = fa("g.fa", [("chr1", seq)])
+    a = tmp_path / "a"
+    assert cli(["count", "-k", 15, "-K", "-H", "-s", p, "-o", a]) == 0
+    # append a foreign hash so one record can't be decoded
+    from unikmer_tpu.io.unik import UnikReader, UnikWriter, SORTED, CANONICAL, HASHED
+    import numpy as np
+
+    h, codes, _ = read_unik(f"{a}.unik")
+    foreign = np.uint64(0xDEADBEEFDEADBEEF)
+    codes2 = np.sort(np.append(codes, foreign))
+    with UnikWriter(str(tmp_path / "b.unik"), k=15,
+                    flag=SORTED | CANONICAL | HASHED) as w:
+        w.write_codes(codes2)
+    out = tmp_path / "v.txt"
+    assert cli(["view", "-g", p, str(tmp_path / "b.unik"), "-o", out]) == 0
+    lines = out.read_text().splitlines()
+    assert str(int(foreign)) in lines  # undecodable printed as integer
+    assert sum(1 for l in lines if len(l) == 15) == len(codes)

@@ -216,6 +216,8 @@ def _build_query_set(kmer_queries, unik_query_codes, unik_query_hashed, h):
     hashed = h.is_hashed if unik_query_hashed is None else unik_query_hashed
     for q in kmer_queries:
         if hashed:
+            if len(q) != h.k:
+                die(f"length of query '{q}' ({len(q)}) != k ({h.k})")
             codes.append(nthash_kmer(q, canonical=h.is_canonical))
         else:
             if len(q) != h.k:

@@ -109,22 +109,34 @@ def _kmer_matrix(codes, h, k, sequences, hash2loc):
         from ...models.locate import lookup_hashes
 
         found, seq_idx, pos = lookup_hashes(hash2loc, codes)
+        if not found.all():
+            # undecodable hashes print as integers (reference
+            # view.go:176-181 warns per miss); rare -> per-row path
+            for c in codes[~found]:
+                log.warning(
+                    f"fail to decode hash: {int(c)}, which is not found in given genomes"
+                )
+            return [
+                (
+                    sequences[seq_idx[i]][pos[i] : pos[i] + k].decode()
+                    if found[i]
+                    else str(int(codes[i]))
+                )
+                for i in range(len(codes))
+            ]
         rows = np.empty((len(codes), k), np.uint8)
         for i in range(len(codes)):
-            if found[i]:
-                s = sequences[seq_idx[i]]
-                rows[i] = np.frombuffer(s[pos[i] : pos[i] + k], np.uint8)
-            else:
-                log.warning(
-                    f"fail to decode hash: {int(codes[i])}, which is not found in given genomes"
-                )
-                return None  # mixed decodable/undecodable: fall back
+            s = sequences[seq_idx[i]]
+            rows[i] = np.frombuffer(s[pos[i] : pos[i] + k], np.uint8)
         return rows
     return None
 
 
 def _render_block(args, show_taxid, h, k, codes, taxids, sequences, hash2loc):
     arr = _kmer_matrix(codes, h, k, sequences, hash2loc)
+    if isinstance(arr, list):
+        # mixed decodable/undecodable hashes: per-line slow path
+        return _render_rows(args, show_taxid, k, codes, taxids, arr)
     if args.fasta or args.fastq:
         return _render_fastx(args, show_taxid, h, k, codes, taxids, arr)
     if show_taxid:
@@ -142,6 +154,30 @@ def _render_block(args, show_taxid, h, k, codes, taxids, sequences, hash2loc):
     if arr is None:
         return textout.lines_fixed_plus_int(None, codes)
     return textout.lines_fixed(arr)
+
+
+def _render_rows(args, show_taxid, k, codes, taxids, kmers):
+    quality = "g" * k
+    parts = []
+    for i, km in enumerate(kmers):
+        c, t = int(codes[i]), int(taxids[i])
+        if args.fasta:
+            head = f">{c} {t}" if show_taxid else f">{c}"
+            parts.append(f"{head}\n{km}\n")
+        elif args.fastq:
+            head = f"@{c} {t}" if show_taxid else f"@{c}"
+            parts.append(f"{head}\n{km}\n+\n{quality}\n")
+        elif show_taxid:
+            parts.append(f"{km}\t{t}\n")
+        elif args.show_taxid_only:
+            parts.append(f"{t}\n")
+        elif args.show_code_only:
+            parts.append(f"{c}\n")
+        elif args.show_code:
+            parts.append(f"{km}\t{c}\n")
+        else:
+            parts.append(f"{km}\n")
+    return "".join(parts).encode()
 
 
 def _render_fastx(args, show_taxid, h, k, codes, taxids, arr):
