@@ -60,7 +60,9 @@ def test_count_parse_taxid_lca(tmp_path, fa, rng):
         if int(c) in shared_codes:
             assert t == 562, int(c)  # LCA of both strains
         else:
-            assert t in (511145, 585057)
+            # a random 11-mer may collide across the two private tails,
+            # which legitimately LCA-merges to 562 as well
+            assert t in (511145, 585057, 562)
 
 
 def test_union_lca_and_inter_mix_taxid(tmp_path, fa, rng):
