@@ -1,0 +1,140 @@
+"""KmerSet device-resident library API (unikmer_tpu/api.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.api import KmerSet
+from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+@pytest.fixture(scope="module")
+def taxdb():
+    return load_taxonomy(TAXDUMP)
+
+
+def _mk(codes, **kw):
+    return KmerSet.from_codes(np.asarray(codes, np.uint64), k=23,
+                              canonical=True, **kw)
+
+
+def test_from_codes_sorts_and_dedups():
+    s = _mk([7, 3, 3, 99, 7, 1])
+    assert len(s) == 4
+    np.testing.assert_array_equal(s.to_numpy(), [1, 3, 7, 99])
+
+
+def test_set_algebra_matches_python_sets(rng):
+    a_np = rng.integers(0, 5000, 3000, dtype=np.uint64)
+    b_np = rng.integers(0, 5000, 3000, dtype=np.uint64)
+    a, b = _mk(a_np), _mk(b_np)
+    sa, sb = set(a_np.tolist()), set(b_np.tolist())
+    np.testing.assert_array_equal((a | b).to_numpy(), sorted(sa | sb))
+    np.testing.assert_array_equal((a & b).to_numpy(), sorted(sa & sb))
+    np.testing.assert_array_equal((a - b).to_numpy(), sorted(sa - sb))
+
+
+def test_chaining_stays_on_device(rng):
+    xs = [_mk(rng.integers(0, 999, 500, dtype=np.uint64)) for _ in range(4)]
+    acc = xs[0]
+    want = set(xs[0].to_numpy().tolist())
+    for x in xs[1:]:
+        acc = (acc | x) - _mk([5, 6])
+        want = (want | set(x.to_numpy().tolist())) - {5, 6}
+    np.testing.assert_array_equal(acc.to_numpy(), sorted(want))
+    # intermediate results are device arrays, not numpy
+    import jax
+
+    assert isinstance(acc._codes, jax.Array)
+
+
+def test_compat_check():
+    a = KmerSet.from_codes(np.arange(4, dtype=np.uint64), k=23)
+    b = KmerSet.from_codes(np.arange(4, dtype=np.uint64), k=25)
+    with pytest.raises(ValueError, match="k differs"):
+        _ = a | b
+    c = KmerSet.from_codes(np.arange(4, dtype=np.uint64), k=23, hashed=True)
+    with pytest.raises(ValueError, match="hashed differs"):
+        _ = a & c
+
+
+def test_contains(rng):
+    members = rng.choice(10_000, 500, replace=False).astype(np.uint64)
+    s = _mk(members)
+    queries = np.arange(10_000, dtype=np.uint64)
+    got = s.contains(queries)
+    want = np.isin(queries, members)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_common_threshold(rng):
+    sets_np = [rng.integers(0, 300, 200, dtype=np.uint64) for _ in range(5)]
+    sets = [_mk(x) for x in sets_np]
+    got = KmerSet.common(sets, 3).to_numpy()
+    from collections import Counter
+
+    cnt = Counter()
+    for x in sets_np:
+        cnt.update(set(x.tolist()))
+    want = sorted(c for c, n in cnt.items() if n >= 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    codes = np.unique(rng.integers(0, 2**46, 2000, dtype=np.uint64))
+    s = KmerSet.from_codes(codes, k=23, canonical=True)
+    path = str(tmp_path / "x.unik")
+    s.save(path)
+    r = KmerSet.from_unik(path)
+    assert r.k == 23 and r.canonical and not r.hashed
+    np.testing.assert_array_equal(r.to_numpy(), codes)
+
+
+def test_taxid_union_lca(taxdb, tmp_path):
+    # two E. coli strains LCA to species 562 on shared codes
+    a = KmerSet.from_codes([10, 20, 30], k=23, canonical=True,
+                           taxids=[511145, 511145, 511145], taxdb=taxdb)
+    b = KmerSet.from_codes([20, 30, 40], k=23, canonical=True,
+                           taxids=[585057, 585057, 585057], taxdb=taxdb)
+    u = a | b
+    np.testing.assert_array_equal(u.to_numpy(), [10, 20, 30, 40])
+    np.testing.assert_array_equal(
+        u.taxids_to_numpy(), [511145, 562, 562, 585057]
+    )
+    # round-trips through .unik with the taxid column
+    path = str(tmp_path / "t.unik")
+    u.save(path)
+    r = KmerSet.from_unik(path, taxdb=taxdb)
+    np.testing.assert_array_equal(r.taxids_to_numpy(), [511145, 562, 562, 585057])
+
+
+def test_from_fasta_matches_cli_fixture():
+    # A. muciniphila k=23 canonical distinct = 2,630,905 (README fixture);
+    # the smallest genome keeps CPU-test runtime reasonable
+    path = "/root/reference/testdata/old/A.muciniphila-ATCC_BAA-835.fasta.gz"
+    s = KmerSet.from_fasta(path, k=23, canonical=True)
+    assert len(s) == 2_630_905
+    # spot membership: first k-mer of the genome
+    from unikmer_tpu.io.fastx import pack_files
+    from unikmer_tpu.ops import codec
+
+    packed = pack_files([path], 23, False)
+    first = packed.bases[:23]
+    code = 0
+    for b in first:
+        code = (code << 2) | int(b)
+    canon = codec.canonical_np(np.array([code], np.uint64), 23)
+    assert s.contains(canon)[0]
+
+
+def test_empty_set_ops():
+    e = KmerSet.from_codes(np.zeros(0, np.uint64), k=23)
+    a = _mk([1, 2, 3])
+    e2 = KmerSet.from_codes(np.zeros(0, np.uint64), k=23, canonical=True)
+    assert len(e) == 0
+    np.testing.assert_array_equal((a | e2).to_numpy(), [1, 2, 3])
+    np.testing.assert_array_equal((e2 & a).to_numpy(), [])
+    np.testing.assert_array_equal((a - e2).to_numpy(), [1, 2, 3])

@@ -82,6 +82,10 @@ def __getattr__(name):
         from .taxonomy.taxdump import load_taxonomy
 
         return load_taxonomy
+    if name == "KmerSet":
+        from .api import KmerSet
+
+        return KmerSet
     raise AttributeError(name)
 
 # Version of the reference toolkit whose behavior we reproduce.

@@ -1,0 +1,286 @@
+"""Device-resident k-mer set API: chain set algebra without host round-trips.
+
+The CLI mirrors the reference's one-process-per-command model, where
+every operation reads `.unik` files and writes one back (SURVEY.md §2.1).
+A TPU-native framework can do better for programmatic use: `KmerSet`
+keeps each set as a sorted, sentinel-padded uint64 array in HBM
+(ops/device_sets.py), so a whole pipeline of unions/intersections/
+subtractions runs as chained XLA programs with only 8-byte count
+fetches in between.  Host materialization happens only at `.to_numpy()`
+/ `.save()` boundaries.
+
+Example::
+
+    import unikmer_tpu as ut
+    a = ut.KmerSet.from_fasta("a.fa.gz", k=23, canonical=True)
+    b = ut.KmerSet.from_fasta("b.fa.gz", k=23, canonical=True)
+    (a | b).save("union.unik")
+    hits = (a & b).contains(query_codes)
+
+Capacities are padded to the compile-friendly bucket quantum
+(models/count._pad_quantum) so every shape hits the persistent compile
+cache; `compact()` re-buckets after chains of unions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops import device_sets
+from .ops.codec import CODE_SENTINEL
+from .ops.sort import collapse_sorted
+from .models.count import CountConfig, _padded_len, count_step, pad_bases
+
+_SENT = np.uint64(CODE_SENTINEL)
+
+
+def _pad_codes_device(codes: np.ndarray, cap: int) -> jnp.ndarray:
+    out = np.full(cap, _SENT, dtype=np.uint64)
+    out[: len(codes)] = codes
+    return jax.device_put(out)
+
+
+class KmerSet:
+    """A sorted, deduplicated k-mer set resident in device memory.
+
+    Attributes mirror the `.unik` header surface: ``k``, ``canonical``,
+    ``hashed``, ``scale``; an optional uint32 taxid column rides along
+    and is LCA-merged on union when a taxonomy is attached.
+    """
+
+    def __init__(self, codes, n, k, *, canonical=False, hashed=False,
+                 scale=1, taxids=None, taxdb=None):
+        self._codes = codes  # device u64, capacity padded with sentinel
+        self._n = int(n)
+        self.k = int(k)
+        self.canonical = bool(canonical)
+        self.hashed = bool(hashed)
+        self.scale = int(scale)
+        self._taxids = taxids  # device u32 (0 on padding) or None
+        self._taxdb = taxdb
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def from_codes(cls, codes, k, *, canonical=False, hashed=False, scale=1,
+                   taxids=None, taxdb=None, assume_sorted_unique=False):
+        """Build from a host/device uint64 array (sorted+deduped on device
+        unless ``assume_sorted_unique``)."""
+        codes = np.asarray(codes, dtype=np.uint64)
+        if taxids is not None:
+            taxids = np.asarray(taxids, dtype=np.uint32)
+            if len(taxids) != len(codes):
+                raise ValueError("taxids length must match codes")
+            if not assume_sorted_unique:
+                if taxdb is None:
+                    raise ValueError(
+                        "deduplicating taxid-carrying codes needs taxdb for LCA"
+                    )
+                codes, taxids = taxdb.lca_reduce(codes, taxids)
+                assume_sorted_unique = True
+        cap = _padded_len(max(len(codes), 1))
+        dev = _pad_codes_device(codes, cap)
+        if not assume_sorted_unique:
+            dev, n = collapse_sorted(dev, dev != _SENT, mode="distinct")
+            n = int(n)
+        else:
+            n = len(codes)
+        dev_tax = None
+        if taxids is not None:
+            t = np.zeros(cap, np.uint32)
+            t[: len(taxids)] = taxids
+            dev_tax = jax.device_put(t)
+        return cls(dev, n, k, canonical=canonical, hashed=hashed,
+                   scale=scale, taxids=dev_tax, taxdb=taxdb)
+
+    @classmethod
+    def from_fasta(cls, paths, k, *, canonical=False, hashed=False, scale=1,
+                   minimizer_w=0, syncmer_s=0, circular=False,
+                   mode="distinct", taxdb=None):
+        """Count k-mers of FASTA/Q file(s) directly into a device set.
+
+        The result never leaves the device: only the 8-byte count is
+        fetched (count pipeline: models/count.count_step).
+        """
+        from .io.fastx import pack_files
+
+        if isinstance(paths, (str, bytes)):
+            paths = [paths]
+        cfg = CountConfig(k=k, canonical=canonical, hashed=hashed,
+                          scale=scale, minimizer_w=minimizer_w,
+                          syncmer_s=syncmer_s, circular=circular, mode=mode)
+        packed = pack_files(paths, cfg.k, circular)
+        if packed.bases.size == 0:
+            return cls.from_codes(np.zeros(0, np.uint64), k,
+                                  canonical=cfg.canonical, hashed=cfg.hashed,
+                                  scale=scale, taxdb=taxdb)
+        out, n = count_step(pad_bases(packed.bases), cfg)
+        s = cls(out, int(n), k, canonical=cfg.canonical, hashed=cfg.hashed,
+                scale=scale, taxdb=taxdb)
+        return s.compact()
+
+    @classmethod
+    def from_unik(cls, path, taxdb=None):
+        """Load a `.unik` file into device memory."""
+        from .io.unik import UnikReader
+
+        with UnikReader(path) as r:
+            codes, taxids = r.read_all()
+            h = r.header
+            if h.has_global_taxid and taxids is None:
+                taxids = np.full(len(codes), h.global_taxid, np.uint32)
+            sorted_unique = bool(h.is_sorted)
+            return cls.from_codes(
+                codes, h.k, canonical=h.is_canonical, hashed=h.is_hashed,
+                scale=h.scale if h.is_scaled else 1, taxids=taxids,
+                taxdb=taxdb, assume_sorted_unique=sorted_unique,
+            )
+
+    # ------------------------------------------------------- properties
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def has_taxids(self) -> bool:
+        return self._taxids is not None
+
+    @property
+    def capacity(self) -> int:
+        return int(self._codes.shape[0])
+
+    def _check_compatible(self, other: "KmerSet"):
+        """The reference enforces equal k/canonical/hashed/scaled across
+        inputs (unikmer/cmd/util-binary-file.go:31-44)."""
+        if not isinstance(other, KmerSet):
+            raise TypeError(f"expected KmerSet, got {type(other).__name__}")
+        for attr in ("k", "canonical", "hashed", "scale"):
+            if getattr(self, attr) != getattr(other, attr):
+                raise ValueError(
+                    f"incompatible sets: {attr} differs "
+                    f"({getattr(self, attr)} vs {getattr(other, attr)})"
+                )
+
+    def _flags_kw(self):
+        return dict(canonical=self.canonical, hashed=self.hashed,
+                    scale=self.scale)
+
+    # -------------------------------------------------------- set algebra
+    def union(self, other: "KmerSet") -> "KmerSet":
+        self._check_compatible(other)
+        if self.has_taxids and other.has_taxids:
+            taxdb = self._taxdb or other._taxdb
+            if taxdb is None:
+                raise ValueError("taxid-carrying union needs an attached taxdb")
+            from .taxonomy.lca import device_tables
+
+            parent, depth, max_depth = device_tables(taxdb)
+            c, t, n = device_sets.union_with_taxids(
+                self._codes, self._taxids, other._codes, other._taxids,
+                parent, depth, int(max_depth), 1,
+            )
+            return KmerSet(c, n, self.k, taxids=t, taxdb=taxdb,
+                           **self._flags_kw()).compact()
+        c, n = device_sets.union(self._codes, other._codes)
+        return KmerSet(c, n, self.k, taxdb=self._taxdb,
+                       **self._flags_kw()).compact()
+
+    def intersect(self, other: "KmerSet") -> "KmerSet":
+        self._check_compatible(other)
+        c, n = device_sets.intersect(self._codes, other._codes)
+        out = KmerSet(c, n, self.k, taxdb=self._taxdb, **self._flags_kw())
+        return out.compact()
+
+    def subtract(self, other: "KmerSet") -> "KmerSet":
+        self._check_compatible(other)
+        c, n = device_sets.subtract(self._codes, other._codes)
+        out = KmerSet(c, n, self.k, taxdb=self._taxdb, **self._flags_kw())
+        return out.compact()
+
+    __or__ = union
+    __and__ = intersect
+    __sub__ = subtract
+
+    @staticmethod
+    def common(sets, threshold: int) -> "KmerSet":
+        """Codes present in >= threshold of the given sets
+        (`unikmer common`; reference cmd/common.go)."""
+        sets = list(sets)
+        if not sets:
+            raise ValueError("common() needs at least one set")
+        first = sets[0]
+        for s in sets[1:]:
+            first._check_compatible(s)
+        cap = max(s.capacity for s in sets)
+        stacked = jnp.stack([
+            s._codes if s.capacity == cap
+            else jnp.concatenate([
+                s._codes, jnp.full((cap - s.capacity,), _SENT, jnp.uint64)
+            ])
+            for s in sets
+        ])
+        c, n = device_sets.common(stacked, threshold)
+        return KmerSet(c, n, first.k, taxdb=first._taxdb,
+                       **first._flags_kw()).compact()
+
+    # ------------------------------------------------------------ queries
+    def contains(self, queries) -> np.ndarray:
+        """Vectorized membership (merge-path binary search on device)."""
+        q = jnp.asarray(np.asarray(queries, dtype=np.uint64))
+        idx = jnp.clip(jnp.searchsorted(self._codes, q), 0,
+                       self._codes.shape[0] - 1)
+        # the all-ones sentinel pads capacity and is not supported as a
+        # member (ops/device_sets.py); CLI paths that need exact sentinel
+        # accounting go through ops/sort.collapse_sorted instead
+        hit = (self._codes[idx] == q) & (q != _SENT)
+        return np.asarray(hit)
+
+    # ------------------------------------------------------- maintenance
+    def compact(self) -> "KmerSet":
+        """Re-bucket capacity to the smallest padded length holding n
+        (keeps chained-op shapes inside the cached-program set)."""
+        want = _padded_len(max(self._n, 1))
+        if want == self.capacity:
+            return self
+        c = self._codes[:want]
+        t = self._taxids[:want] if self._taxids is not None else None
+        return KmerSet(c, self._n, self.k, taxids=t, taxdb=self._taxdb,
+                       **self._flags_kw())
+
+    # ----------------------------------------------------------- egress
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self._codes[: self._n])
+
+    def taxids_to_numpy(self) -> np.ndarray | None:
+        if self._taxids is None:
+            return None
+        return np.asarray(self._taxids[: self._n])
+
+    def save(self, path, *, compress=True, compression_level=5, threads=4,
+             description=b"") -> None:
+        """Write a sorted `.unik` file (io/unik.py layout)."""
+        from .io import unik
+
+        flag = unik.SORTED
+        if self.canonical:
+            flag |= unik.CANONICAL
+        if self.hashed:
+            flag |= unik.HASHED
+        taxids = self.taxids_to_numpy()
+        max_taxid = 0
+        if taxids is not None:
+            flag |= unik.INCLUDE_TAXID
+            max_taxid = int(taxids.max(initial=0))
+        with unik.UnikWriter(
+            path, self.k, flag, number=self._n, description=description,
+            scale=self.scale, max_taxid=max_taxid, compress=compress,
+            compression_level=compression_level, threads=threads,
+        ) as w:
+            w.write_codes(self.to_numpy(), taxids)
+
+    def __repr__(self) -> str:
+        tax = "+taxids" if self.has_taxids else ""
+        return (f"KmerSet(n={self._n}, k={self.k}, "
+                f"{'hashed' if self.hashed else 'encoded'}"
+                f"{', canonical' if self.canonical else ''}{tax}, "
+                f"capacity={self.capacity})")
