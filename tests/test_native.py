@@ -50,3 +50,103 @@ def test_map_bases_skip_ws(lib):
     np.testing.assert_array_equal(
         out, np.array([0, 1, 2, 3, 0, 1, 2, 3, 255, 255, 3], np.uint8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused native FASTA/FASTQ loader (fastx_load)
+# ---------------------------------------------------------------------------
+
+import gzip
+
+from unikmer_tpu.io import fastx
+
+
+def _assert_load_parity(path, k, circular):
+    want = fastx.pack_records(list(fastx.read_fastx(path)), k, circular)
+    got = native.load_fastx_packed(path, k, circular)
+    assert got is not None
+    bases, starts, lengths, ids = got
+    np.testing.assert_array_equal(bases, want.bases)
+    np.testing.assert_array_equal(starts, want.starts)
+    np.testing.assert_array_equal(lengths, want.lengths)
+    kept = [r.id for r in fastx.read_fastx(path) if len(r.seq) >= k]
+    assert ids == kept
+
+
+def test_fastx_load_genome_parity(lib):
+    path = "/root/reference/testdata/old/A.muciniphila-ATCC_BAA-835.fasta.gz"
+    for k, circ in ((23, False), (31, True)):
+        _assert_load_parity(path, k, circ)
+
+
+def test_fastx_load_fastq_quirks(lib, tmp_path, rng):
+    recs = []
+    for i in range(500):
+        L = int(rng.integers(3, 90))
+        seq = "".join("ACGTN"[j] for j in rng.integers(0, 5, L))
+        recs.append(f"@read{i} desc here\r\n{seq}\r\n+\r\n{'I' * L}\r\n")
+    raw = "".join(recs).encode()
+    plain = tmp_path / "t.fq"
+    plain.write_bytes(raw)
+    gz = tmp_path / "t.fq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(raw)
+    multi = tmp_path / "m.fq.gz"  # multi-member (our pgzip layout)
+    with open(multi, "wb") as f:
+        f.write(gzip.compress("".join(recs[:250]).encode()))
+        f.write(gzip.compress("".join(recs[250:]).encode()))
+    for p in (plain, gz, multi):
+        _assert_load_parity(str(p), 7, False)
+
+
+def test_fastx_load_fasta_edges(lib, tmp_path):
+    fa = b">a desc\nACGTacgt\nNNGT\n\n>b\nAC\n>empty\n>c\nACGTACGTACGT\n"
+    p = tmp_path / "e.fa"
+    p.write_bytes(fa)
+    for k in (3, 9):
+        _assert_load_parity(str(p), k, False)
+        _assert_load_parity(str(p), k, True)
+
+
+def test_fastx_load_malformed(lib, tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_bytes(b"this is not fasta\n")
+    with pytest.raises(ValueError):
+        native.load_fastx_packed(str(p), 5, False)
+
+
+def test_pack_files_native_path_matches(tmp_path):
+    # pack_files must agree whether it takes the native or Python path
+    fa = b">x\n" + b"ACGTTGCA" * 50 + b"\n>y\nACGTACGTACGTA\n"
+    p = tmp_path / "x.fa"
+    p.write_bytes(fa)
+    want = fastx.pack_records(list(fastx.read_fastx(str(p))), 11, False)
+    got = fastx.pack_files([str(p)], 11, False)
+    np.testing.assert_array_equal(got.bases, want.bases)
+    np.testing.assert_array_equal(got.starts, want.starts)
+
+
+def test_count_stream_packed_equivalence(tmp_path, rng):
+    from unikmer_tpu.models.count import (
+        CountConfig, count_stream, count_stream_packed, split_packed,
+    )
+
+    recs = []
+    for i in range(300):
+        L = int(rng.integers(20, 200))
+        seq = "".join("ACGT"[j] for j in rng.integers(0, 4, L))
+        recs.append(f">r{i}\n{seq}\n")
+    p = tmp_path / "s.fa"
+    p.write_bytes("".join(recs).encode())
+    records = list(fastx.read_fastx(str(p)))
+    for mode in ("distinct", "unique", "repeated"):
+        cfg = CountConfig(k=15, canonical=True, mode=mode)
+        want = count_stream(iter(records), cfg, chunk_bases=4096)
+        packed = fastx.pack_files([str(p)], 15, False)
+        got = count_stream_packed([packed], cfg, chunk_bases=4096)
+        np.testing.assert_array_equal(got, want)
+    # split_packed re-chunks at record boundaries
+    packed = fastx.pack_files([str(p)], 15, False)
+    pieces = list(split_packed(packed, 2048))
+    assert sum(pc.n_records for pc in pieces) == packed.n_records
+    assert all(pc.n_records >= 1 for pc in pieces)

@@ -5,12 +5,13 @@ Reference: unikmer/cmd/count.go (full semantics in SURVEY.md §3.1).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
 
 from ...io import unik
-from ...io.fastx import pack_records, read_fastx
+from ...io.fastx import pack_files, pack_records, read_fastx
 from ...models.count import (
     CountConfig,
     count_linear,
@@ -145,6 +146,15 @@ def run(args) -> int:
         max_taxid=opt.max_taxid,
     )
 
+    # native fused ingest (inflate+parse+pack in C++, io/fastx.pack_files)
+    # applies when no header-dependent filtering is requested and every
+    # input is a bounded-size regular file
+    use_packed_ingest = (
+        not args.parse_taxid
+        and not name_res
+        and all(_native_ingest_ok(f) for f in files)
+    )
+
     if args.linear:
         out, _ = out_binary_stream(out_file)
         with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
@@ -155,7 +165,10 @@ def run(args) -> int:
                     w.write_codes(codes, taxids)
                     n += len(codes)
             else:
-                packed = pack_records(records(), k, args.circular)
+                if use_packed_ingest:
+                    packed = pack_files(files, k, args.circular)
+                else:
+                    packed = pack_records(records(), k, args.circular)
                 codes = count_linear(packed, cfg)
                 w.write_codes(codes)
                 n = len(codes)
@@ -175,14 +188,38 @@ def run(args) -> int:
         log_saved(opt, len(codes), out_file)
         return 0
 
-    from ...models.count import count_stream
+    from ...models.count import count_stream, count_stream_packed
 
-    codes = count_stream(records(), cfg)
+    if use_packed_ingest:
+        def packed_iter():
+            for f in files:
+                if opt.verbose:
+                    log.info(f"reading sequence file: {f}")
+                yield pack_files([f], k, args.circular)
+
+        codes = count_stream_packed(packed_iter(), cfg)
+    else:
+        codes = count_stream(records(), cfg)
     out, _ = out_binary_stream(out_file)
     with unik.UnikWriter(out, flag=flag, number=len(codes), **writer_kw) as w:
         w.write_codes(codes)
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+# Whole-file native ingest holds one decompressed file in host RAM;
+# beyond this compressed size, stream records instead (bounded memory).
+_NATIVE_INGEST_MAX = int(
+    os.environ.get("UNIKMER_TPU_NATIVE_INGEST_MAX", 1 << 30)
+)
+
+
+def _native_ingest_ok(path: str) -> bool:
+    return (
+        path != "-"
+        and os.path.isfile(path)
+        and os.path.getsize(path) <= _NATIVE_INGEST_MAX
+    )
 
 
 def _linear_one(rec, cfg, re_taxid):

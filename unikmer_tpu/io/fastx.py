@@ -197,8 +197,58 @@ def pack_records(
 
 
 def pack_files(paths: Iterable[str], k: int, circular: bool = False) -> PackedSeqs:
+    """Pack one or more FASTA/Q files.
+
+    Fast path: the fused native loader (native/unikit_native.cpp
+    fastx_load — inflate + parse + 2-bit pack in one C++ pass); falls
+    back to the Python reader for stdin, xz/zstd inputs, or when the
+    native library is unavailable.  Both produce identical layouts
+    (tests/test_native.py locks the parity).
+    """
+    paths = list(paths)
+    native_parts = []
+    for p in paths:
+        part = _try_native_load(p, k, circular)
+        if part is None:
+            break
+        native_parts.append(part)
+    else:
+        if not native_parts:
+            return pack_records([], k, circular)
+        if len(native_parts) == 1:
+            b, s, ln, _ = native_parts[0]
+            return PackedSeqs(b, s, ln)
+        bases = np.concatenate([x[0] for x in native_parts])
+        offs = np.cumsum([0] + [len(x[0]) for x in native_parts[:-1]])
+        starts = np.concatenate(
+            [x[1] + off for x, off in zip(native_parts, offs)]
+        )
+        lengths = np.concatenate([x[2] for x in native_parts])
+        return PackedSeqs(bases, starts, lengths)
+
     def gen():
         for p in paths:
             yield from read_fastx(p)
 
     return pack_records(gen(), k, circular)
+
+
+def _try_native_load(path: str, k: int, circular: bool):
+    """Native fused load when applicable; None to fall back."""
+    if path == "-" or not os.path.isfile(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(6)
+    except OSError:
+        return None
+    if magic[:6] == _XZ_MAGIC or magic[:4] == _ZSTD_MAGIC:
+        return None  # native loader handles plain + gzip only
+    try:
+        from .. import native
+
+        return native.load_fastx_packed(path, k, circular)
+    except ValueError:
+        raise
+    except Exception:
+        return None

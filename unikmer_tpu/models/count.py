@@ -250,6 +250,35 @@ def _stream_chunk_bases() -> int:
     return (7 << 20) if jax.default_backend() == "tpu" else (7 << 16)
 
 
+def _capped_cfgs(cfg: CountConfig):
+    """(distinct_cfg, repeated_cfg-or-None) for the capped-multiplicity
+    chunk merge used by the streaming paths."""
+    capped = cfg.mode in ("unique", "repeated")
+    if not capped:
+        return cfg, None
+    mk = lambda mode: CountConfig(
+        k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
+        scale=cfg.scale, minimizer_w=cfg.minimizer_w,
+        syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode=mode,
+    )
+    return mk("distinct"), mk("repeated")
+
+
+def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
+    if not partial:
+        return np.zeros(0, np.uint64)
+    merged = np.concatenate(partial)
+    merged.sort(kind="stable")
+    first = np.ones(len(merged), bool)
+    first[1:] = merged[1:] != merged[:-1]
+    if cfg.mode not in ("unique", "repeated"):
+        return merged[first]
+    run_id = np.cumsum(first) - 1
+    counts = np.bincount(run_id)
+    keep = counts == 1 if cfg.mode == "unique" else counts >= 2
+    return merged[first][keep]
+
+
 def count_stream(records, cfg: CountConfig,
                  chunk_bases: int | None = None) -> np.ndarray:
     """Streaming count: process records in device-sized chunks and merge
@@ -272,23 +301,7 @@ def count_stream(records, cfg: CountConfig,
     partial: list[np.ndarray] = []
     buf: list = []
     buffered = 0
-    capped = cfg.mode in ("unique", "repeated")
-    distinct_cfg = (
-        cfg if not capped
-        else CountConfig(
-            k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
-            scale=cfg.scale, minimizer_w=cfg.minimizer_w,
-            syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode="distinct",
-        )
-    )
-    repeated_cfg = (
-        None if not capped
-        else CountConfig(
-            k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
-            scale=cfg.scale, minimizer_w=cfg.minimizer_w,
-            syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode="repeated",
-        )
-    )
+    distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
 
     def flush():
         nonlocal buf, buffered
@@ -300,7 +313,7 @@ def count_stream(records, cfg: CountConfig,
         u = count_packed(packed, distinct_cfg)
         if len(u):
             partial.append(u)
-        if capped:
+        if repeated_cfg is not None:
             r = count_packed(packed, repeated_cfg)
             if len(r):
                 partial.append(r)  # second copy marks within-chunk dups
@@ -311,18 +324,49 @@ def count_stream(records, cfg: CountConfig,
         if buffered >= chunk_bases:
             flush()
     flush()
-    if not partial:
-        return np.zeros(0, np.uint64)
-    merged = np.concatenate(partial)
-    merged.sort(kind="stable")
-    first = np.ones(len(merged), bool)
-    first[1:] = merged[1:] != merged[:-1]
-    if not capped:
-        return merged[first]
-    run_id = np.cumsum(first) - 1
-    counts = np.bincount(run_id)
-    keep = counts == 1 if cfg.mode == "unique" else counts >= 2
-    return merged[first][keep]
+    return _merge_partials(partial, cfg)
+
+
+def split_packed(packed: PackedSeqs, chunk_bases: int):
+    """Split a PackedSeqs at record boundaries into pieces of at most
+    ~chunk_bases bases each (a piece always holds >= 1 record)."""
+    n_rec = packed.n_records
+    if n_rec == 0:
+        return
+    total = len(packed.bases)
+    lo = 0
+    while lo < n_rec:
+        limit = packed.starts[lo] + chunk_bases
+        hi = int(np.searchsorted(packed.starts, limit, side="right"))
+        hi = max(hi, lo + 1)
+        end = packed.starts[hi] if hi < n_rec else total
+        yield PackedSeqs(
+            packed.bases[packed.starts[lo]:end],
+            packed.starts[lo:hi] - packed.starts[lo],
+            packed.lengths[lo:hi],
+        )
+        lo = hi
+
+
+def count_stream_packed(packed_iter, cfg: CountConfig,
+                        chunk_bases: int | None = None) -> np.ndarray:
+    """count_stream over already-packed buffers (native ingest path):
+    each PackedSeqs is re-chunked at record boundaries to the device
+    bucket size; merge semantics identical to count_stream."""
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
+    partial: list[np.ndarray] = []
+    distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
+    for packed in packed_iter:
+        for piece in split_packed(packed, chunk_bases):
+            u = count_packed(piece, distinct_cfg)
+            if len(u):
+                partial.append(u)
+            if repeated_cfg is not None:
+                r = count_packed(piece, repeated_cfg)
+                if len(r):
+                    partial.append(r)
+    return _merge_partials(partial, cfg)
 
 
 def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:

@@ -63,8 +63,26 @@ def get_lib():
     lib.map_bases.argtypes = [u8p, ctypes.c_size_t, u8p]
     lib.map_bases_skip_ws.restype = ctypes.c_size_t
     lib.map_bases_skip_ws.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.fastx_load.restype = ctypes.POINTER(FastxPackStruct)
+    lib.fastx_load.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
+    lib.fastx_pack_free.restype = None
+    lib.fastx_pack_free.argtypes = [ctypes.POINTER(FastxPackStruct)]
     _lib = lib
     return lib
+
+
+class FastxPackStruct(ctypes.Structure):
+    _fields_ = [
+        ("bases", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_bases", ctypes.c_int64),
+        ("starts", ctypes.POINTER(ctypes.c_int64)),
+        ("lengths", ctypes.POINTER(ctypes.c_int64)),
+        ("n_records", ctypes.c_int64),
+        ("ids", ctypes.POINTER(ctypes.c_uint8)),
+        ("id_offs", ctypes.POINTER(ctypes.c_int64)),
+        ("fastq", ctypes.c_int32),
+        ("err", ctypes.c_char * 256),
+    ]
 
 
 def _u64p(a: np.ndarray):
@@ -117,3 +135,37 @@ def map_bases_skip_ws(seq: bytes) -> np.ndarray | None:
     out = np.empty(len(inp), np.uint8)
     n = lib.map_bases_skip_ws(_u8p(inp), len(inp), _u8p(out))
     return out[:n]
+
+
+def load_fastx_packed(path: str, k: int, circular: bool = False):
+    """Fused native ingest: file -> inflate -> parse -> packed base codes.
+
+    Returns (bases u8, starts i64, lengths i64, ids list[bytes]) in the
+    exact io/fastx.pack_records layout, or None when the native library
+    is unavailable (caller falls back to the Python reader).  Raises
+    ValueError on malformed input (matching the Python reader's errors).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = lib.fastx_load(path.encode(), k, 1 if circular else 0)
+    try:
+        s = p.contents
+        if s.err and s.err != b"":
+            raise ValueError(f"{path}: {s.err.decode()}")
+        n = int(s.n_records)
+        if n == 0:
+            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64), [])
+        bases = np.ctypeslib.as_array(s.bases, (int(s.n_bases),)).copy()
+        starts = np.ctypeslib.as_array(s.starts, (n,)).copy()
+        lengths = np.ctypeslib.as_array(s.lengths, (n,)).copy()
+        offs = np.ctypeslib.as_array(s.id_offs, (n + 1,))
+        blob = (
+            np.ctypeslib.as_array(s.ids, (int(offs[-1]),)).tobytes()
+            if int(offs[-1]) else b""
+        )
+        ids = [blob[offs[i]:offs[i + 1]] for i in range(n)]
+        return bases, starts, lengths, ids
+    finally:
+        lib.fastx_pack_free(p)

@@ -184,3 +184,292 @@ size_t map_bases_skip_ws(const uint8_t* seq, size_t n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fused FASTA/FASTQ loader: file -> (inflate) -> parse -> 2-bit pack.
+//
+// The reference reads through Go's pgzip + fastx readers
+// (unikmer/cmd/count.go:285-332); the TPU framework's data loader runs
+// the whole ingest in native code and emits the exact packed layout of
+// io/fastx.pack_records: records joined with one INVALID sentinel byte
+// after each (circular genomes first append their k-1 leading bases),
+// records shorter than k dropped, per-line ends ASCII-trimmed.
+// ---------------------------------------------------------------------
+
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+#include <string>
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t kInvalid = 0xFF;
+
+struct Growable {
+    uint8_t* data = nullptr;
+    size_t len = 0, cap = 0;
+    void reserve(size_t want) {
+        if (want <= cap) return;
+        size_t ncap = cap ? cap : 1 << 20;
+        while (ncap < want) ncap *= 2;
+        data = (uint8_t*)std::realloc(data, ncap);
+        cap = ncap;
+    }
+    void append(const uint8_t* src, size_t n) {
+        reserve(len + n);
+        std::memcpy(data + len, src, n);
+        len += n;
+    }
+    void push(uint8_t b) {
+        reserve(len + 1);
+        data[len++] = b;
+    }
+};
+
+bool read_whole_file(const char* path, std::vector<uint8_t>& out, char* err) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) { std::snprintf(err, 256, "cannot open %s", path); return false; }
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    if (sz < 0) { std::fclose(f); std::snprintf(err, 256, "cannot stat %s", path); return false; }
+    out.resize((size_t)sz);
+    size_t got = sz ? std::fread(out.data(), 1, (size_t)sz, f) : 0;
+    std::fclose(f);
+    if (got != (size_t)sz) { std::snprintf(err, 256, "short read on %s", path); return false; }
+    return true;
+}
+
+// Inflate a (possibly multi-member) gzip buffer.
+bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
+                char* err) {
+    out.clear();
+    out.reserve(in.size() * 4 + (1 << 20));
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) {
+        std::snprintf(err, 256, "inflateInit failed");
+        return false;
+    }
+    zs.next_in = const_cast<Bytef*>(in.data());
+    zs.avail_in = (uInt)in.size();
+    std::vector<uint8_t> buf(1 << 20);
+    for (;;) {
+        zs.next_out = buf.data();
+        zs.avail_out = (uInt)buf.size();
+        int rc = inflate(&zs, Z_NO_FLUSH);
+        size_t produced = buf.size() - zs.avail_out;
+        out.insert(out.end(), buf.data(), buf.data() + produced);
+        if (rc == Z_STREAM_END) {
+            if (zs.avail_in == 0) break;      // done
+            if (inflateReset2(&zs, 15 + 16) != Z_OK) {  // next member
+                std::snprintf(err, 256, "inflateReset failed");
+                inflateEnd(&zs);
+                return false;
+            }
+            continue;
+        }
+        if (rc != Z_OK) {
+            std::snprintf(err, 256, "inflate error %d", rc);
+            inflateEnd(&zs);
+            return false;
+        }
+        if (produced == 0 && zs.avail_in == 0) {
+            std::snprintf(err, 256, "truncated gzip stream");
+            inflateEnd(&zs);
+            return false;
+        }
+    }
+    inflateEnd(&zs);
+    return true;
+}
+
+inline bool is_ws(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+           c == '\f';
+}
+
+}  // namespace
+
+extern "C" {
+
+struct FastxPack {
+    uint8_t* bases;     // packed base codes + sentinel separators
+    int64_t n_bases;
+    int64_t* starts;    // per-record start offset in bases
+    int64_t* lengths;   // per-record original length (no wrap bases)
+    int64_t n_records;
+    uint8_t* ids;       // concatenated record IDs (first header token)
+    int64_t* id_offs;   // n_records+1 offsets into ids
+    int32_t fastq;      // 1 if input was FASTQ
+    char err[256];      // nonempty on failure
+};
+
+void fastx_pack_free(FastxPack* p) {
+    if (!p) return;
+    std::free(p->bases);
+    std::free(p->starts);
+    std::free(p->lengths);
+    std::free(p->ids);
+    std::free(p->id_offs);
+    std::free(p);
+}
+
+// Load + parse + pack one FASTA/FASTQ file (gzip sniffed by magic).
+// Returns a FastxPack; on failure the pack has err[0] != 0.
+FastxPack* fastx_load(const char* path, int64_t k, int32_t circular) {
+    FastxPack* p = (FastxPack*)std::calloc(1, sizeof(FastxPack));
+    std::vector<uint8_t> raw;
+    if (!read_whole_file(path, raw, p->err)) return p;
+    std::vector<uint8_t> text;
+    if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+        if (!gunzip_all(raw, text, p->err)) return p;
+        raw.clear();
+        raw.shrink_to_fit();
+    } else {
+        text.swap(raw);
+    }
+
+    // locate first non-whitespace byte for format detection
+    size_t i = 0, n = text.size();
+    while (i < n && is_ws(text[i])) i++;
+    if (i == n) {  // empty input: zero records
+        p->starts = (int64_t*)std::malloc(1);
+        p->lengths = (int64_t*)std::malloc(1);
+        p->id_offs = (int64_t*)std::calloc(1, sizeof(int64_t));
+        return p;
+    }
+    bool fastq = text[i] == '@';
+    if (!fastq && text[i] != '>') {
+        std::snprintf(p->err, 256, "not FASTA/FASTQ (starts with 0x%02x)",
+                      text[i]);
+        return p;
+    }
+    p->fastq = fastq ? 1 : 0;
+
+    Growable bases;
+    bases.reserve(n + (1 << 16));
+    std::vector<int64_t> starts, lengths, id_offs;
+    Growable ids;
+    id_offs.push_back(0);
+    int64_t wrap = (circular && k > 1) ? (k - 1) : 0;
+
+    // per-record state
+    int64_t rec_start = -1;   // offset in bases
+    int64_t rec_ids_len = 0;  // ids.len before this record's id
+
+    auto line_end = [&](size_t pos) {
+        while (pos < n && text[pos] != '\n') pos++;
+        return pos;
+    };
+    auto trim = [&](size_t& a, size_t& b) {
+        while (a < b && is_ws(text[a])) a++;
+        while (b > a && is_ws(text[b - 1])) b--;
+    };
+    auto start_record = [&](size_t hdr_a, size_t hdr_b) {
+        // header in text[hdr_a, hdr_b): id = first token
+        trim(hdr_a, hdr_b);
+        size_t tok = hdr_a;
+        while (tok < hdr_b && !is_ws(text[tok])) tok++;
+        rec_ids_len = ids.len;
+        ids.append(text.data() + hdr_a, tok - hdr_a);
+        rec_start = (int64_t)bases.len;
+    };
+    auto finish_record = [&]() {
+        if (rec_start < 0) return;
+        int64_t len = (int64_t)bases.len - rec_start;
+        if (len < k) {  // ErrShortSeq: drop (count.go:323-331)
+            bases.len = (size_t)rec_start;
+            ids.len = (size_t)rec_ids_len;
+            rec_start = -1;
+            return;
+        }
+        starts.push_back(rec_start);
+        lengths.push_back(len);
+        if (wrap) {  // circular: append leading k-1 bases before sentinel
+            bases.reserve(bases.len + (size_t)wrap + 1);
+            std::memcpy(bases.data + bases.len, bases.data + rec_start,
+                        (size_t)wrap);
+            bases.len += (size_t)wrap;
+        }
+        bases.push(kInvalid);
+        id_offs.push_back((int64_t)ids.len);
+        rec_start = -1;
+    };
+    auto append_seq_line = [&](size_t a, size_t b) {
+        trim(a, b);
+        bases.reserve(bases.len + (b - a));
+        uint8_t* dst = bases.data + bases.len;
+        const uint8_t* src = text.data() + a;
+        for (size_t j = 0; j < b - a; j++) dst[j] = BASE_LUT[src[j]];
+        bases.len += b - a;
+    };
+
+    if (!fastq) {
+        while (i < n) {
+            size_t e = line_end(i);
+            if (text[i] == '>') {
+                finish_record();
+                start_record(i + 1, e);
+            } else if (rec_start >= 0) {
+                append_seq_line(i, e);
+            }
+            i = e + 1;
+        }
+        finish_record();
+    } else {
+        while (i < n) {
+            // skip blank lines between records
+            while (i < n && is_ws(text[i])) i++;
+            if (i >= n) break;
+            if (text[i] != '@') {
+                std::snprintf(p->err, 256, "malformed FASTQ header at %zu", i);
+                std::free(bases.data);
+                std::free(ids.data);
+                return p;
+            }
+            size_t e = line_end(i);
+            start_record(i + 1, e);
+            i = e + 1;
+            size_t sa = i, se = line_end(i);
+            append_seq_line(sa, se);
+            int64_t seq_len = (int64_t)bases.len - rec_start;
+            i = se + 1;
+            size_t pe = line_end(i);
+            if (i >= n || text[i] != '+') {
+                std::snprintf(p->err, 256, "malformed FASTQ: missing + at %zu",
+                              i);
+                std::free(bases.data);
+                std::free(ids.data);
+                return p;
+            }
+            i = pe + 1;
+            // quality: one line always, more while shorter than the seq
+            // (multi-line quality, mirroring io/fastx._read_fastq)
+            int64_t qlen = -1;
+            while (qlen < seq_len && i < n) {
+                size_t qa = i, qe = line_end(i);
+                size_t ta = qa, tb = qe;
+                trim(ta, tb);
+                qlen = (qlen < 0 ? 0 : qlen) + (int64_t)(tb - ta);
+                i = qe + 1;
+            }
+            finish_record();
+        }
+    }
+
+    p->n_bases = (int64_t)bases.len;
+    p->bases = bases.data;
+    p->n_records = (int64_t)starts.size();
+    p->starts = (int64_t*)std::malloc(sizeof(int64_t) * (starts.size() + 1));
+    p->lengths = (int64_t*)std::malloc(sizeof(int64_t) * (lengths.size() + 1));
+    std::memcpy(p->starts, starts.data(), sizeof(int64_t) * starts.size());
+    std::memcpy(p->lengths, lengths.data(), sizeof(int64_t) * lengths.size());
+    p->ids = ids.data;
+    p->id_offs = (int64_t*)std::malloc(sizeof(int64_t) * id_offs.size());
+    std::memcpy(p->id_offs, id_offs.data(), sizeof(int64_t) * id_offs.size());
+    return p;
+}
+
+}  // extern "C"
