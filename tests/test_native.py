@@ -150,3 +150,20 @@ def test_count_stream_packed_equivalence(tmp_path, rng):
     pieces = list(split_packed(packed, 2048))
     assert sum(pc.n_records for pc in pieces) == packed.n_records
     assert all(pc.n_records >= 1 for pc in pieces)
+
+
+def test_render_lines_matches_textout(lib, rng):
+    from unikmer_tpu.ops.codec import decode_codes
+    from unikmer_tpu.utils import textout
+
+    for k in (1, 11, 23, 31):
+        codes = rng.integers(0, 1 << (2 * k), 3000, dtype=np.uint64)
+        tax = rng.integers(0, 1 << 32, 3000, dtype=np.uint64)
+        arr = decode_codes(codes, k)
+        assert native.render_lines(codes, k) == textout.lines_fixed(arr)
+        assert native.render_lines(codes, k, tax) == textout.lines_fixed_plus_int(arr, tax)
+        assert native.render_lines(codes, None) == textout.lines_fixed_plus_int(None, codes)
+        assert native.render_lines(codes, None, tax) == textout.lines_two_ints(codes, tax)
+        np.testing.assert_array_equal(native.decode_codes_ascii(codes, k), arr)
+    edge = np.array([0, 1, (1 << 64) - 1], np.uint64)
+    assert native.render_lines(edge, None) == b"0\n1\n18446744073709551615\n"

@@ -14,7 +14,7 @@ import numpy as np
 
 from ...io import unik
 from ...ops import codec
-from ...ops.nthash import nthash_kmer
+from ...ops.nthash import nthash_kmer, nthash_rows_np
 from ...utils.log import die, log
 from ..opts import ensure_unik_suffix, get_file_list, get_options, out_binary_stream
 from ._common import new_command, log_saved
@@ -49,6 +49,20 @@ def run(args) -> int:
     hashed = args.hash
     canonical = args.canonical or args.canonical_only
 
+    # buffer all input text once (the loop's memory is O(records) anyway)
+    blobs = []
+    for file in files:
+        stream = sys.stdin.buffer if file == "-" else open(file, "rb")
+        with stream:
+            blobs.append(stream.read())
+    data = b"".join(blobs)
+
+    fast = _parse_fast(data, args, hashed, canonical)
+    if fast is not None:
+        codes_arr, taxids_arr, k, include_taxid, hashed = fast
+        return _write_out(args, opt, out_file, codes_arr, taxids_arr, k,
+                          include_taxid, hashed, hashed_already, canonical)
+
     include_taxid = None
     k = args.kmer_len if hashed_already else -1
     global_taxid = args.taxid
@@ -56,8 +70,10 @@ def run(args) -> int:
     taxids_out: list[int] = []
     seen = set() if args.unique else None
 
-    for file in files:
-        stream = sys.stdin.buffer if file == "-" else open(file, "rb")
+    if True:
+        import io as _io
+
+        stream = _io.BytesIO(data)
         with stream:
             for raw in stream:
                 line = raw.strip()
@@ -125,9 +141,81 @@ def run(args) -> int:
                 if include_taxid:
                     taxids_out.append(taxid)
 
+    return _write_out(
+        args, opt, out_file, np.array(codes_out, np.uint64),
+        np.array(taxids_out, np.uint32) if include_taxid else None,
+        k, bool(include_taxid), hashed, hashed_already, canonical,
+    )
+
+
+def _parse_fast(data: bytes, args, hashed: bool, canonical: bool):
+    """Native bulk parse of the whole input (native/unikit_native.cpp
+    parse_code_lines) with vectorized canonical / ntHash / dedup.
+    Returns (codes, taxids, k, include_taxid, hashed) or None to fall
+    back to the per-line loop (exact reference error messages)."""
+    from ... import native
+
+    if native.get_lib() is None:
+        return None
+    stripped = data.strip()
+    if not stripped:
+        return np.zeros(0, np.uint64), None, args.kmer_len, False, hashed
+    first = stripped.split(b"\n", 1)[0].strip()
+    include_taxid = b"\t" in first
+    if include_taxid and args.taxid > 0:
+        log.warning("since input has more than one column, global taxid is ignored")
+    hashed_already = args.hashed
+    if hashed_already:
+        k = args.kmer_len
+        kmer_mode = False
+    else:
+        token = first.split(b"\t", 1)[0].strip()
+        k = len(token)
+        kmer_mode = True
+        if k > codec.MAX_K_ENCODED and not hashed:
+            hashed = True
+            log.warning("flag -H/--hash is switched on for k > 32")
+        if hashed and k > codec.MAX_K_HASHED:
+            die(f"k-mer size ({k}) should be <=64")
+    res = native.parse_code_lines(data, kmer_mode, k, include_taxid)
+    if res is None or isinstance(res, int):
+        return None  # unavailable or malformed: per-line loop reports
+    codes, taxids = res
+    if kmer_mode:
+        if hashed:
+            rows = _codes_to_base_rows(codes, k)
+            codes = nthash_rows_np(rows, canonical)
+        elif args.canonical_only:
+            canon = codec.canonical_np(codes, k)
+            keep = canon == codes
+            codes = codes[keep]
+            if taxids is not None:
+                taxids = taxids[keep]
+        elif args.canonical:
+            codes = codec.canonical_np(codes, k)
+    if args.unique:
+        _, idx = np.unique(codes, return_index=True)
+        idx.sort(kind="stable")  # first occurrence, input order
+        codes = codes[idx]
+        if taxids is not None:
+            taxids = taxids[idx]
+    return codes, taxids, k, include_taxid, hashed
+
+
+def _codes_to_base_rows(codes: np.ndarray, k: int) -> np.ndarray:
+    """(n, k) 2-bit base rows from packed codes (little-endian view)."""
+    byte_view = np.ascontiguousarray(codes, np.uint64).view(np.uint8).reshape(-1, 8)
+    out = np.empty((len(codes), k), np.uint8)
+    for j in range(k):
+        bit = 2 * (k - 1 - j)
+        out[:, j] = (byte_view[:, bit >> 3] >> (bit & 7)) & 3
+    return out
+
+
+def _write_out(args, opt, out_file, codes_arr, taxids_arr, k, include_taxid,
+               hashed, hashed_already, canonical) -> int:
     if k <= 0:
         k = 1
-    include_taxid = bool(include_taxid)
     flag = 0
     if args.sorted:
         flag |= unik.SORTED
@@ -144,16 +232,13 @@ def run(args) -> int:
         out,
         k=k,
         flag=flag,
-        number=len(codes_out),
-        global_taxid=global_taxid if (global_taxid > 0 and not include_taxid) else 0,
+        number=len(codes_arr),
+        global_taxid=args.taxid if (args.taxid > 0 and not include_taxid) else 0,
         max_taxid=opt.max_taxid,
         compress=opt.compress,
         compression_level=opt.compression_level,
         threads=opt.threads,
     ) as w:
-        w.write_codes(
-            np.array(codes_out, np.uint64),
-            np.array(taxids_out, np.uint32) if include_taxid else None,
-        )
-    log_saved(opt, len(codes_out), out_file)
+        w.write_codes(codes_arr, taxids_arr if include_taxid else None)
+    log_saved(opt, len(codes_arr), out_file)
     return 0

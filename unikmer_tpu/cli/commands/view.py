@@ -133,6 +133,10 @@ def _kmer_matrix(codes, h, k, sequences, hash2loc):
 
 
 def _render_block(args, show_taxid, h, k, codes, taxids, sequences, hash2loc):
+    if not (args.fasta or args.fastq) and hash2loc is None:
+        r = _render_native(args, show_taxid, h, k, codes, taxids)
+        if r is not None:
+            return r
     arr = _kmer_matrix(codes, h, k, sequences, hash2loc)
     if isinstance(arr, list):
         # mixed decodable/undecodable hashes: per-line slow path
@@ -154,6 +158,23 @@ def _render_block(args, show_taxid, h, k, codes, taxids, sequences, hash2loc):
     if arr is None:
         return textout.lines_fixed_plus_int(None, codes)
     return textout.lines_fixed(arr)
+
+
+def _render_native(args, show_taxid, h, k, codes, taxids):
+    """Fused native decode+format for the plain text modes (C++,
+    native/unikit_native.cpp); None -> numpy fallback."""
+    from ... import native
+
+    dk = None if h.is_hashed else k  # hashed codes print as integers
+    if show_taxid:
+        return native.render_lines(codes, dk, taxids)
+    if args.show_taxid_only:
+        return native.render_lines(taxids.astype(np.uint64), None)
+    if args.show_code_only:
+        return native.render_lines(codes, None)
+    if args.show_code:
+        return native.render_lines(codes, dk, codes)
+    return native.render_lines(codes, dk)
 
 
 def _render_rows(args, show_taxid, k, codes, taxids, kmers):

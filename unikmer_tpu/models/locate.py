@@ -44,9 +44,6 @@ def build_genome_index(
     sequences: list[bytes] = []
     ids: list[bytes] = []
     seq_file: list[int] = []
-    all_codes: list[np.ndarray] = []
-    all_idx: list[np.ndarray] = []
-    all_pos: list[np.ndarray] = []
     for fi, gf in enumerate(genome_files):
         for rec in read_fastx(gf):
             if name_filters and any(r.search(rec.name) for r in name_filters):
@@ -56,22 +53,27 @@ def build_genome_index(
             seq = rec.seq
             if circular:
                 seq = seq + seq[: k - 1]
-            bases = codec.BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
-            codes, valid = linear_codes_step(pad_bases(bases), cfg)
-            codes = np.asarray(codes)
-            valid = np.asarray(valid)
-            npos = len(seq) - k + 1
-            positions = np.flatnonzero(valid[:npos])
-            all_codes.append(codes[positions])
-            all_idx.append(np.full(len(positions), len(sequences), np.int32))
-            all_pos.append(positions.astype(np.int64))
             sequences.append(seq)
             ids.append(rec.id)
             seq_file.append(fi)
-    if all_codes:
-        codes = np.concatenate(all_codes)
-        seq_idx = np.concatenate(all_idx)
-        pos = np.concatenate(all_pos)
+    if sequences:
+        # one packed buffer, ONE device pass for every window of every
+        # sequence (was one device invocation per record — pathological
+        # for multi-contig assemblies); separators mask cross-record
+        # windows exactly like the count pipeline
+        joined = b"\n".join(sequences) + b"\n"
+        bases = codec.BASE_LUT[np.frombuffer(joined, dtype=np.uint8)]
+        starts = np.zeros(len(sequences), np.int64)
+        lens = np.fromiter((len(s) for s in sequences), np.int64,
+                           len(sequences))
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        dev_codes, dev_valid = linear_codes_step(pad_bases(bases), cfg)
+        flat = np.flatnonzero(np.asarray(dev_valid)[: len(bases)])
+        codes = np.asarray(dev_codes)[flat]
+        seq_idx = (
+            np.searchsorted(starts, flat, side="right") - 1
+        ).astype(np.int32)
+        pos = flat - starts[seq_idx]
         order = np.argsort(codes, kind="stable")
         codes, seq_idx, pos = codes[order], seq_idx[order], pos[order]
     else:

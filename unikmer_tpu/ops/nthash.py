@@ -96,6 +96,58 @@ def nthash_windows(bases: jnp.ndarray, k: int, canonical: bool) -> jnp.ndarray:
     return f_acc
 
 
+def _rol_np(x: np.ndarray, s: int) -> np.ndarray:
+    s &= 63
+    if s == 0:
+        return x
+    return (x << np.uint64(s)) | (x >> np.uint64(64 - s))
+
+
+def _shift_up_np(x: np.ndarray, s: int) -> np.ndarray:
+    if s == 0:
+        return x
+    out = np.zeros_like(x)
+    out[:-s] = x[s:]
+    return out
+
+
+def nthash_windows_np(bases: np.ndarray, k: int, canonical: bool) -> np.ndarray:
+    """Numpy twin of nthash_windows for host-side bulk paths (e.g. the
+    dump command's -H re-hash), same doubling composition, bit-exact."""
+    if not 0 < k <= MAX_K:
+        raise ValueError(f"k must be in [1,{MAX_K}], got {k}")
+    idx = np.minimum(np.asarray(bases), np.uint8(4)).astype(np.int32)
+    f_pow = _SEEDS_FWD[idx]
+    r_pow = _SEEDS_RC[idx]
+    pow_w = 1
+    f_acc = r_acc = None
+    acc_w = 0
+    for b in range(7):
+        if (k >> b) & 1:
+            if f_acc is None:
+                f_acc, r_acc, acc_w = f_pow, r_pow, pow_w
+            else:
+                f_acc = _rol_np(f_pow, acc_w) ^ _shift_up_np(f_acc, pow_w)
+                r_acc = r_pow ^ _rol_np(_shift_up_np(r_acc, pow_w), pow_w)
+                acc_w += pow_w
+        if (k >> (b + 1)) != 0:
+            f_pow = _rol_np(f_pow, pow_w) ^ _shift_up_np(f_pow, pow_w)
+            r_pow = r_pow ^ _rol_np(_shift_up_np(r_pow, pow_w), pow_w)
+            pow_w *= 2
+    if canonical:
+        return np.minimum(f_acc, r_acc)
+    return f_acc
+
+
+def nthash_rows_np(rows: np.ndarray, canonical: bool) -> np.ndarray:
+    """ntHash of each row of an (n, k) 2-bit base matrix (host-side)."""
+    n, k = rows.shape
+    flat = np.full((n, k + 1), 4, np.uint8)
+    flat[:, :k] = rows
+    hashes = nthash_windows_np(flat.reshape(-1), k, canonical)
+    return hashes[:: k + 1][:n].copy()
+
+
 def nthash_kmer(kmer: bytes | str, canonical: bool = False) -> int:
     """Host-side single k-mer ntHash (encode/dump commands)."""
     from .codec import BASE_LUT
