@@ -41,11 +41,27 @@ try:
 except (OSError, AttributeError):  # read-only fs or older jax: non-fatal
     pass
 
+# numpy madvises MADV_HUGEPAGE on every buffer >= 4 MB; on virtualized
+# hosts (Firecracker/GKE guests) a 2 MB huge fault can cost ~100 ms —
+# measured 200 s/GB first-touch vs 0.7 s/GB with plain 4 KB faults, a
+# ~200x tax on every large temp in the CLI.  Disable it (runtime switch
+# works even when numpy is already imported); UNIKMER_TPU_HUGEPAGE=1
+# restores numpy's default for bare-metal hosts where THP helps.
+if _os.environ.get("UNIKMER_TPU_HUGEPAGE") != "1":
+    _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # subprocesses
+    try:
+        try:
+            from numpy._core import multiarray as _ma
+        except ImportError:  # numpy < 2
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:  # private API: best-effort
+        pass
+
 # Keep large freed allocations on the heap instead of returning pages to
-# the OS: glibc's default mmap threshold makes every multi-hundred-MB
-# numpy temp re-fault its pages (observed ~110 s/GB first-touch cost in
-# virtualized environments).  M_MMAP_THRESHOLD / M_TRIM_THRESHOLD pushed
-# up -> pages fault once and are reused (~300x on repeat allocations).
+# the OS: with glibc's default mmap threshold every multi-hundred-MB
+# numpy temp is a fresh mmap that re-faults its pages.  M_MMAP_THRESHOLD
+# / M_TRIM_THRESHOLD pushed up -> pages fault once and are reused.
 try:
     import ctypes as _ctypes
 
