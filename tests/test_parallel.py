@@ -6,7 +6,7 @@ import pytest
 
 from unikmer_tpu.models.count import CountConfig
 from unikmer_tpu.ops import codec
-from unikmer_tpu.parallel.mesh import make_mesh
+from unikmer_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from unikmer_tpu.parallel.sharded import (
     SENT,
     build_sharded_distinct,
@@ -100,3 +100,78 @@ def test_sharded_union(rng, mesh):
     fn = sharded_union_counts(mesh)
     out, n, total = fn(a, b)
     assert int(np.asarray(total)[0]) == len(all_vals)
+
+
+def test_sharded_set_ops_match_numpy(rng, mesh):
+    from unikmer_tpu.parallel.sharded import (
+        partition_host_set, sharded_set_op, sharded_common,
+    )
+
+    D = mesh.shape[SHARD_AXIS]
+    cap = 512
+    a = np.unique(rng.integers(0, 1 << 62, 1500, dtype=np.uint64))
+    b = np.unique(rng.integers(0, 1 << 62, 1500, dtype=np.uint64))
+    b[: len(a) // 3] = a[: len(a) // 3]  # force overlap
+    b = np.unique(b)
+    sa = partition_host_set(a, D, cap, code_bits=62)
+    sb = partition_host_set(b, D, cap, code_bits=62)
+    want = {
+        "union": np.union1d(a, b),
+        "inter": np.intersect1d(a, b),
+        "diff": np.setdiff1d(a, b),
+    }
+    for op, w in want.items():
+        fn = sharded_set_op(mesh, op)
+        out, n, total = fn(sa, sb)
+        assert int(np.asarray(total)[0]) == len(w)
+        got = []
+        out = np.asarray(out)
+        for i in range(D):
+            got.append(out[i][: int(np.asarray(n)[i])])
+        np.testing.assert_array_equal(np.concatenate(got), w)
+
+    # common over 4 stacked sets, threshold 2
+    sets = [np.unique(rng.integers(0, 1 << 62, 800, dtype=np.uint64))
+            for _ in range(4)]
+    sets[1][:200] = sets[0][:200]
+    sets[1] = np.unique(sets[1])
+    stacked = np.stack([partition_host_set(s, D, cap, code_bits=62) for s in sets], axis=1)
+    fn = sharded_common(mesh, 2)
+    out, n, total = fn(stacked)
+    from collections import Counter
+
+    cnt = Counter()
+    for s in sets:
+        cnt.update(set(s.tolist()))
+    w = np.array(sorted(c for c, m in cnt.items() if m >= 2), np.uint64)
+    assert int(np.asarray(total)[0]) == len(w)
+
+
+def test_sharded_union_taxids_lca(rng, mesh):
+    import os
+
+    from unikmer_tpu.parallel.sharded import (
+        partition_host_set, sharded_union_taxids,
+    )
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    from unikmer_tpu.taxonomy.lca import device_tables
+
+    taxdb = load_taxonomy(os.path.join(os.path.dirname(__file__), "data", "taxdump"))
+    parent, depth, max_depth = device_tables(taxdb)
+    D = mesh.shape[SHARD_AXIS]
+    a = np.unique(rng.integers(0, 1 << 62, 600, dtype=np.uint64))
+    b = a.copy()  # full overlap: every code LCA-merges
+    ta = np.full(len(a), 511145, np.uint32)
+    tb = np.full(len(b), 585057, np.uint32)
+    sa, sta = partition_host_set(a, D, 256, code_bits=62, taxids=ta)
+    sb, stb = partition_host_set(b, D, 256, code_bits=62, taxids=tb)
+    fn = sharded_union_taxids(mesh, int(max_depth))
+    c, t, n, total = fn(sa, sta, sb, stb, parent, depth)
+    assert int(np.asarray(total)[0]) == len(a)
+    c, t, n = np.asarray(c), np.asarray(t), np.asarray(n)
+    got_c, got_t = [], []
+    for i in range(D):
+        got_c.append(c[i][: n[i]])
+        got_t.append(t[i][: n[i]])
+    np.testing.assert_array_equal(np.concatenate(got_c), a)
+    assert (np.concatenate(got_t) == 562).all()  # strains -> species LCA

@@ -135,6 +135,114 @@ def sharded_union_counts(mesh: Mesh):
     )
 
 
+def sharded_set_op(mesh: Mesh, op: str):
+    """Jitted per-shard merge-join over two aligned range-partitioned
+    sorted sets: op in {'union','inter','diff'}.  Returns
+    (per-shard padded result, per-shard count, psum total) — the
+    distributed analog of cmd/{union,inter,diff} (SURVEY.md §2.4:
+    per-file worker pools -> data-parallel shard processing + psum)."""
+    from ..ops import device_sets
+
+    if op not in ("union", "inter", "diff"):
+        raise ValueError(f"unknown sharded set op: {op}")
+
+    def local(a_row, b_row):
+        a, b = a_row[0], b_row[0]
+        if op == "union":
+            out, n = device_sets.union(a, b)
+        elif op == "inter":
+            out, n = device_sets.intersect(a, b)
+        else:
+            out, n = device_sets.subtract(a, b)
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return out[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
+def sharded_common(mesh: Mesh, threshold: int):
+    """Jitted: stacked aligned sharded sets (D, F, C) -> per-shard codes
+    present in >= threshold of the F sets + psum total (cmd/common)."""
+    from ..ops import device_sets
+
+    def local(rows):
+        out, n = device_sets.common(rows[0], threshold)
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return out[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(SHARD_AXIS, None, None),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
+def sharded_union_taxids(mesh: Mesh, max_depth: int):
+    """Jitted LCA-merging union over sharded (codes, taxids) pairs with
+    replicated taxonomy tables (taxonomy/lca.device_tables)."""
+    from ..ops import device_sets
+
+    def local(a_row, ta_row, b_row, tb_row, parent, depth):
+        c, t, n = device_sets.union_with_taxids(
+            a_row[0], ta_row[0], b_row[0], tb_row[0],
+            parent, depth, max_depth, 1,
+        )
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return c[None], t[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                P(None), P(None),
+            ),
+            out_specs=(
+                P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS), P(SHARD_AXIS),
+            ),
+        )
+    )
+
+
+def partition_host_set(codes: np.ndarray, n_shards: int, capacity: int,
+                       code_bits: int = 64, taxids: np.ndarray | None = None):
+    """Range-partition a sorted host set into the (D, capacity) sharded
+    layout (sentinel padded) used by the sharded ops.  Raises if any
+    shard overflows capacity."""
+    log_d = int(np.ceil(np.log2(n_shards))) if n_shards > 1 else 0
+    shift = max(code_bits - log_d, 0)
+    b = np.minimum(codes >> np.uint64(shift), n_shards - 1).astype(np.int64)
+    out = np.full((n_shards, capacity), SENT, dtype=np.uint64)
+    out_t = (
+        np.zeros((n_shards, capacity), np.uint32) if taxids is not None else None
+    )
+    for i in range(n_shards):
+        mine = codes[b == i]
+        if len(mine) > capacity:
+            raise ValueError(
+                f"shard {i} needs {len(mine)} slots > capacity {capacity}"
+            )
+        out[i, : len(mine)] = mine
+        if out_t is not None:
+            out_t[i, : len(mine)] = taxids[b == i]
+    if out_t is not None:
+        return out, out_t
+    return out
+
+
 def pack_host_shards(bases: np.ndarray, n_shards: int, k: int) -> np.ndarray:
     """Split a flat packed base array into n_shards rows of equal length
     with a k-1 base halo from the next slice, so every window of the
