@@ -126,3 +126,117 @@ def test_fuzz_merge_batches_vs_sort(rng):
         )
         counter = collections.Counter(want)
         assert got_r == sorted(c for c, m in counter.items() if m > 1)
+
+
+# ---------------------------------------------------------------------------
+# CLI-level fuzz: grep membership, locate BED, map regions vs brute force
+# ---------------------------------------------------------------------------
+
+from unikmer_tpu.ops import codec as _codec
+from tests.test_cli_commands import cli as _cli
+from tests.test_count import brute_kmers as _brute_kmers
+from tests.conftest import random_dna as _random_dna
+
+
+def _revcomp(s: str) -> str:
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_grep_membership(tmp_path, rng, trial, capsysbinary):
+    k = int(rng.integers(5, 18))
+    seq = _random_dna(rng, 1200).decode()
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">g\n{seq}\n")
+    unik = tmp_path / "s"
+    assert _cli(["count", "-k", k, "-K", "-s", fa, "-o", unik]) == 0
+    member = set(_brute_kmers([seq], k, canonical=True))
+    # queries: half real k-mers, half random (some present by chance)
+    n_q = 40
+    reals = rng.choice(sorted(member), n_q // 2, replace=False).tolist()
+    rands = [_random_dna(rng, k).decode() for _ in range(n_q - len(reals))]
+    queries = reals + rands
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("".join(q + "\n" for q in queries))
+    out = tmp_path / "hits"
+    capsysbinary.readouterr()
+    assert _cli(["grep", "-f", qfile, str(unik) + ".unik", "-o", out]) == 0
+    from unikmer_tpu.io.unik import UnikReader
+
+    with UnikReader(str(out) + ".unik") as r:
+        hits, _ = r.read_all()
+    hit_set = set(int(c) for c in hits)
+    want = set()
+    for q in queries:
+        canon = min(q, _revcomp(q))
+        if canon in member:
+            want.add(_codec.encode_kmer(canon))
+    assert hit_set == want
+    # invert match: everything in the set except the queried ones
+    out2 = tmp_path / "inv"
+    assert _cli(["grep", "-v", "-f", qfile, str(unik) + ".unik", "-o", out2]) == 0
+    with UnikReader(str(out2) + ".unik") as r:
+        inv, _ = r.read_all()
+    want_inv = {_codec.encode_kmer(m) for m in member} - want
+    assert set(int(c) for c in inv) == want_inv
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_fuzz_locate_bed6(tmp_path, rng, trial, capsysbinary):
+    k = int(rng.integers(5, 14))
+    # duplicated block forces multi-occurrence k-mers
+    core = _random_dna(rng, 300).decode()
+    seq = core + _random_dna(rng, 100).decode() + core
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">chr\n{seq}\n")
+    unik = tmp_path / "s"
+    assert _cli(["count", "-k", k, "-K", "-s", fa, "-o", unik]) == 0
+    capsysbinary.readouterr()
+    assert _cli(["locate", "-g", fa, str(unik) + ".unik"]) == 0
+    bed = capsysbinary.readouterr().out.decode().strip().splitlines()
+    got = set()
+    for line in bed:
+        chrom, s, e, km, zero, strand = line.split("\t")
+        assert chrom == "chr" and int(e) - int(s) == k
+        assert zero == "0" and strand == "."
+        p = int(s)
+        # locate prints the genome-strand k-mer at the position
+        # (reference locate.go / locked README fixture)
+        assert seq[p : p + k] == km
+        got.add(p)
+    # every genome position whose canonical k-mer is in the set must be
+    # reported exactly once
+    member = {min(seq[i : i + k], _revcomp(seq[i : i + k]))
+              for i in range(len(seq) - k + 1)}
+    want = set(range(len(seq) - k + 1))
+    assert got == want
+
+
+@pytest.mark.parametrize("gap", [0, 2])
+def test_fuzz_map_regions(tmp_path, rng, gap, capsysbinary):
+    k = 9
+    seq = _random_dna(rng, 800).decode()
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">c\n{seq}\n")
+    # set = k-mers of two disjoint windows of the genome
+    s1, s2 = seq[100:220], seq[400:520]
+    sub = tmp_path / "sub.fa"
+    sub.write_text(f">a\n{s1}\n>b\n{s2}\n")
+    unik = tmp_path / "s"
+    assert _cli(["count", "-k", k, "-K", "-s", sub, "-o", unik]) == 0
+    capsysbinary.readouterr()
+    assert _cli(["map", "-g", fa, str(unik) + ".unik", "-m", 20, "-M",
+                 "-x", gap, "-X", 10 if gap else 0]) == 0
+    bed = capsysbinary.readouterr().out.decode().strip().splitlines()
+    regions = []
+    for line in bed:
+        chrom, s, e = line.split("\t")[:3]
+        regions.append((int(s), int(e)))
+    # the two planted windows must be recovered (allowing boundary slack
+    # from chance matches elsewhere)
+    def covered(a, b):
+        return any(s <= a and b <= e for s, e in regions)
+
+    assert covered(100, 220) and covered(400, 520)
+    for s, e in regions:
+        assert e - s >= 20
