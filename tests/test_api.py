@@ -138,3 +138,21 @@ def test_empty_set_ops():
     np.testing.assert_array_equal((a | e2).to_numpy(), [1, 2, 3])
     np.testing.assert_array_equal((e2 & a).to_numpy(), [])
     np.testing.assert_array_equal((a - e2).to_numpy(), [1, 2, 3])
+
+
+def test_head_sample_filter(rng):
+    codes = np.unique(rng.integers(0, 1 << 46, 500, dtype=np.uint64))
+    s = KmerSet.from_codes(codes, k=23, canonical=True)
+    np.testing.assert_array_equal(s.head(10).to_numpy(), codes[:10])
+    samp = s.sample(3, 7)
+    np.testing.assert_array_equal(samp.to_numpy(), codes[3::7])
+    # poly-A k-mer is low complexity; a random one is (usually) not
+    from unikmer_tpu.ops.filter import low_complexity_mask
+
+    f = s.filter_low_complexity()
+    want = codes[~low_complexity_mask(codes, 23)]
+    np.testing.assert_array_equal(f.to_numpy(), want)
+    inv = s.filter_low_complexity(invert=True)
+    assert len(f) + len(inv) == len(s)
+    polyA = KmerSet.from_codes(np.array([0], np.uint64), k=23)
+    assert len(polyA.filter_low_complexity()) == 0

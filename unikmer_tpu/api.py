@@ -235,6 +235,49 @@ class KmerSet:
         hit = (self._codes[idx] == q) & (q != _SENT)
         return np.asarray(hit)
 
+    # -------------------------------------------------- per-set transforms
+    def head(self, n: int) -> "KmerSet":
+        """First n codes (cmd/head semantics on a sorted set)."""
+        n = max(0, min(int(n), self._n))
+        return KmerSet.from_codes(
+            self.to_numpy()[:n], self.k,
+            taxids=None if self._taxids is None else self.taxids_to_numpy()[:n],
+            taxdb=self._taxdb, assume_sorted_unique=True, **self._flags_kw(),
+        )
+
+    def sample(self, start: int, window: int) -> "KmerSet":
+        """Fixed-stride sampling: keep record j when j >= start and
+        (j - start) % window == 0 (cmd/sample.go:134-149)."""
+        if window <= 0 or start < 0:
+            raise ValueError("sample needs start >= 0 and window >= 1")
+        idx = np.arange(self._n)
+        keep = (idx >= start) & ((idx - start) % window == 0)
+        return KmerSet.from_codes(
+            self.to_numpy()[keep], self.k,
+            taxids=None if self._taxids is None
+            else self.taxids_to_numpy()[keep],
+            taxdb=self._taxdb, assume_sorted_unique=True, **self._flags_kw(),
+        )
+
+    def filter_low_complexity(self, penalty_s=3, penalty_d=1, threshold=15,
+                              window=7, invert=False) -> "KmerSet":
+        """Drop (or keep, with invert) low-complexity k-mers
+        (cmd/filter.go window-score semantics; encoded sets only)."""
+        if self.hashed:
+            raise ValueError("low-complexity filter needs 2-bit encoded k-mers")
+        from .ops.filter import low_complexity_mask
+
+        codes = self.to_numpy()
+        low = low_complexity_mask(codes, self.k, penalty_s, penalty_d,
+                                  threshold, window)
+        keep = low if invert else ~low
+        return KmerSet.from_codes(
+            codes[keep], self.k,
+            taxids=None if self._taxids is None
+            else self.taxids_to_numpy()[keep],
+            taxdb=self._taxdb, assume_sorted_unique=True, **self._flags_kw(),
+        )
+
     # ------------------------------------------------------- maintenance
     def compact(self) -> "KmerSet":
         """Re-bucket capacity to the smallest padded length holding n

@@ -124,11 +124,7 @@ def _kmer_matrix(codes, h, k, sequences, hash2loc):
                 )
                 for i in range(len(codes))
             ]
-        rows = np.empty((len(codes), k), np.uint8)
-        for i in range(len(codes)):
-            s = sequences[seq_idx[i]]
-            rows[i] = np.frombuffer(s[pos[i] : pos[i] + k], np.uint8)
-        return rows
+        return hash2loc.gather_kmers(seq_idx, pos)
     return None
 
 

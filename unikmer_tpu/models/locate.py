@@ -30,6 +30,28 @@ class GenomeIndex:
     ids: list[bytes]
     seq_file: np.ndarray  # int32 genome-file index per sequence
     k: int
+    _blob: np.ndarray | None = None
+    _blob_offs: np.ndarray | None = None
+
+    def seq_blob(self):
+        """(concatenated sequence bytes, per-sequence start offsets) for
+        vectorized substring gathers (view -g bulk decode)."""
+        if self._blob is None:
+            self._blob = np.frombuffer(b"".join(self.sequences), np.uint8)
+            lens = np.fromiter(
+                (len(s) for s in self.sequences), np.int64,
+                len(self.sequences),
+            )
+            offs = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            self._blob_offs = offs
+        return self._blob, self._blob_offs
+
+    def gather_kmers(self, seq_idx: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """(n, k) ASCII matrix of the genome k-mers at (seq_idx, pos)."""
+        blob, offs = self.seq_blob()
+        start = offs[seq_idx] + pos
+        return blob[start[:, None] + np.arange(self.k, dtype=np.int64)]
 
 
 def build_genome_index(
