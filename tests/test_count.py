@@ -152,3 +152,23 @@ def test_compressed_result_fetch_roundtrip(rng):
         want = np.asarray(want_out[: int(want_n)])
         got = _decode_packed_result(*_count_step_packed_result(bases, cfg))
         np.testing.assert_array_equal(got, want)
+
+
+def test_pack2bit_roundtrip_and_count(rng):
+    from unikmer_tpu.models.count import (
+        CountConfig, _count_step_packed2_result, _decode_packed_result,
+        count_step, pack_bases_2bit, pad_bases, unpack_bases_2bit,
+    )
+
+    bases = rng.integers(0, 4, 5000, dtype=np.uint8)
+    bases[rng.choice(5000, 100, replace=False)] = 255  # invalid slots
+    padded = pad_bases(bases)
+    p2, vm = pack_bases_2bit(padded)
+    back = np.asarray(unpack_bases_2bit(p2, vm, len(padded)))
+    np.testing.assert_array_equal(back, padded)
+
+    cfg = CountConfig(k=13, canonical=True)
+    want_out, want_n = count_step(padded, cfg)
+    res = _count_step_packed2_result(p2, vm, cfg, len(padded))
+    got = _decode_packed_result(*res)
+    np.testing.assert_array_equal(got, np.asarray(want_out[: int(want_n)]))

@@ -129,6 +129,48 @@ def pad_bases(bases: np.ndarray) -> np.ndarray:
     return padded
 
 
+# Compressed host->device base transfer: 2 bits/base + 1 validity
+# bit/base (2.125 bits vs 8) — 3.8x less PCIe/tunnel traffic; the device
+# unpacks with two cheap VPU gathers inside the jitted program.
+def pack_bases_2bit(bases: np.ndarray):
+    """(packed2 u8 [ceil(n/4)], validmask u8 [ceil(n/8)]) for a padded
+    base array (values 0..3 valid, anything else invalid)."""
+    n = len(bases)
+    n4 = -(-n // 4) * 4
+    n8 = -(-n // 8) * 8
+    b = np.zeros(n4, np.uint8)
+    np.copyto(b[:n], bases, casting="unsafe")
+    valid = np.zeros(n8, bool)
+    valid[:n] = bases < 4
+    b = np.where(valid[:n4], b, 0).astype(np.uint8)
+    quads = b.reshape(-1, 4)
+    packed2 = (
+        quads[:, 0]
+        | (quads[:, 1] << 2)
+        | (quads[:, 2] << 4)
+        | (quads[:, 3] << 6)
+    ).astype(np.uint8)
+    validmask = np.packbits(valid.reshape(-1, 8), axis=1, bitorder="little")
+    return packed2, validmask.reshape(-1)
+
+
+def unpack_bases_2bit(packed2: jnp.ndarray, validmask: jnp.ndarray, n: int):
+    """Device-side inverse of pack_bases_2bit -> u8 bases with
+    codec.INVALID_BASE on invalid slots (shape (n,))."""
+    q = packed2.astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    b = ((q[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8).reshape(-1)[:n]
+    m = validmask.astype(jnp.uint32)
+    bits = jnp.arange(8, dtype=jnp.uint32)
+    v = ((m[:, None] >> bits[None, :]) & 1).astype(jnp.bool_).reshape(-1)[:n]
+    return jnp.where(v, b, jnp.uint8(codec.INVALID_BASE))
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _count_step_from_packed2(packed2, validmask, cfg: CountConfig, n: int):
+    return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
+
+
 # Compressed result fetch: sorted codes come back as uint16 deltas plus
 # an exception list for deltas >= 2^16 (rare in dense sets) — ~4x fewer
 # bytes over PCIe, and ~4x wall-clock on this environment's slow
@@ -137,9 +179,7 @@ def pad_bases(bases: np.ndarray) -> np.ndarray:
 _MAX_EXC = 1 << 16
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _count_step_packed_result(bases: jnp.ndarray, cfg: CountConfig):
-    out, n = count_step(bases, cfg)
+def _compress_result(out, n):
     idx = jnp.arange(out.shape[0], dtype=jnp.int64)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), out[:-1]])
     delta = jnp.where(idx < n, out - prev, jnp.uint64(0))
@@ -152,6 +192,18 @@ def _count_step_packed_result(bases: jnp.ndarray, cfg: CountConfig):
     exc_val = jnp.zeros((_MAX_EXC,), jnp.uint64).at[pos].set(out, mode="drop")
     small = jnp.where(big, jnp.uint64(0), delta).astype(jnp.uint16)
     return small, exc_idx, exc_val, n_exc, n
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _count_step_packed_result(bases: jnp.ndarray, cfg: CountConfig):
+    out, n = count_step(bases, cfg)
+    return _compress_result(out, n)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _count_step_packed2_result(packed2, validmask, cfg: CountConfig, n: int):
+    out, nn = count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
+    return _compress_result(out, nn)
 
 
 def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
@@ -179,14 +231,20 @@ def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
 
 
 def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
-    """Host entry: packed sequences -> sorted numpy uint64 of kept codes."""
+    """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
+
+    Non-CPU backends ship bases 2-bit packed (3.8x less host->device
+    traffic) and fetch results as u16 deltas (~4x less device->host)."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64)
     bases = pad_bases(packed.bases)
     if jax.default_backend() == "cpu":
         out, n = count_step(bases, cfg)
         return np.asarray(out[: int(n)])
-    small, exc_idx, exc_val, n_exc, n = _count_step_packed_result(bases, cfg)
+    packed2, validmask = pack_bases_2bit(bases)
+    small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
+        packed2, validmask, cfg, len(bases)
+    )
     if int(n_exc) > _MAX_EXC:  # pathological sparsity: raw fetch
         out, n = count_step(bases, cfg)
         return np.asarray(out[: int(n)])
