@@ -50,7 +50,47 @@ def _watchdog(seconds: int) -> None:
     signal.alarm(seconds)
 
 
+def _probe_device_ready(tries: int = 20, wait_s: int = 90) -> bool:
+    """The tunnel chip occasionally wedges for a while; probe with a tiny
+    op under a short alarm and wait out a transient wedge instead of
+    failing the whole bench run."""
+    import os
+    import signal
+
+    for attempt in range(tries):
+        ok = {"v": False}
+
+        def on_alarm(signum, frame):
+            raise TimeoutError
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(45)
+        try:
+            x = jax.device_put(np.ones(8, np.float32))
+            ok["v"] = float(np.asarray(x)[0]) == 1.0
+        except Exception:
+            ok["v"] = False
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+        if ok["v"]:
+            return True
+        print(
+            f"# bench: device probe {attempt + 1}/{tries} failed; "
+            f"waiting {wait_s}s (transient tunnel wedge)",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+    return False
+
+
 def main() -> int:
+    if not _probe_device_ready():
+        print(
+            "# bench: device unresponsive after all probe retries",
+            file=sys.stderr,
+        )
+        return 1
     _watchdog(480)
     rng = np.random.default_rng(20260817)
     bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
