@@ -133,3 +133,46 @@ def test_locate_readme_example(tmp_path):
         "NC_010655.1\t9\t32\tAAAATAACCACATAACTTAAAAA\t0\t.",
         "NC_010655.1\t13\t36\tTAACCACATAACTTAAAAAGAAT\t0\t.",
     ]
+
+
+@pytest.mark.full
+def test_sort_u_and_d_readme_fixtures(tmp_path):
+    """README.md:222-236: `sort -u -m 1M` over the two E. coli sorted
+    sets equals the union (same md5); `sort -d` gives the 2,576,170
+    repeated set (equal to the intersection of the two distinct sets)."""
+    tmp = str(tmp_path)
+    iai = os.path.join(tmp, "iai39.k23")
+    mg = os.path.join(tmp, "mg1655.k23")
+    for path, genome, tax in ((iai, GENOMES["iai39"], "585057"),
+                              (mg, GENOMES["mg1655"], "511145")):
+        rc, _ = run_cli(["count", "-k", "23", "-K", "-s", genome, "-o", path,
+                         "-t", tax], tmp)
+        assert rc == 0
+
+    from unikmer_tpu.io.unik import UnikReader
+
+    un2 = os.path.join(tmp, "union2.k23")
+    rc, _ = run_cli(["sort", "-u", "-m", "1M", iai + ".unik", mg + ".unik",
+                     "-o", un2], tmp)
+    assert rc == 0
+    # the README's table comes from `stats -a` which counts records (the
+    # external-sort path cannot know the total before writing)
+    n2 = sum(len(c) for c, _ in UnikReader(un2 + ".unik").iter_blocks())
+    assert n2 == 6_872_728
+    view_out = os.path.join(tmp, "u2.txt")
+    assert run_cli(["view", "-t", un2 + ".unik", "-o", view_out], tmp)[0] == 0
+    with open(view_out, "rb") as f:
+        assert hashlib.md5(f.read()).hexdigest() == UNION_MD5
+
+    dup = os.path.join(tmp, "dup.k23")
+    rc, _ = run_cli(["sort", "-d", iai + ".unik", mg + ".unik", "-o", dup], tmp)
+    assert rc == 0
+    nd = sum(len(c) for c, _ in UnikReader(dup + ".unik").iter_blocks())
+    assert nd == 2_576_170
+    # every repeated k-mer is shared by both strains -> LCA species 562
+    dview = os.path.join(tmp, "dup.txt")
+    assert run_cli(["view", "-t", dup + ".unik", "-o", dview], tmp)[0] == 0
+    with open(dview, "rb") as f:
+        out = f.read()
+    taxids = {int(l.rsplit(b"\t", 1)[1]) for l in out.splitlines()}
+    assert taxids == {562}
