@@ -241,10 +241,17 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     if jax.default_backend() == "cpu":
         out, n = count_step(bases, cfg)
         return np.asarray(out[: int(n)])
-    packed2, validmask = pack_bases_2bit(bases)
-    small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
-        packed2, validmask, cfg, len(bases)
-    )
+    import os
+
+    if os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0":
+        packed2, validmask = pack_bases_2bit(bases)
+        small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
+            packed2, validmask, cfg, len(bases)
+        )
+    else:
+        small, exc_idx, exc_val, n_exc, n = _count_step_packed_result(
+            bases, cfg
+        )
     if int(n_exc) > _MAX_EXC:  # pathological sparsity: raw fetch
         out, n = count_step(bases, cfg)
         return np.asarray(out[: int(n)])
