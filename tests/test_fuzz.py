@@ -240,3 +240,92 @@ def test_fuzz_map_regions(tmp_path, rng, gap, capsysbinary):
     assert covered(100, 220) and covered(400, 520)
     for s, e in regions:
         assert e - s >= 20
+
+
+def test_fuzz_tsplit_partition(tmp_path, rng):
+    """tsplit: output files exactly partition the input by taxid, each
+    with the taxid as global header taxid."""
+    import glob
+
+    from unikmer_tpu.io.unik import (
+        CANONICAL, INCLUDE_TAXID, SORTED, UnikReader, UnikWriter,
+    )
+
+    taxids_pool = np.array([1, 2, 562, 561, 511145, 585057, 83333], np.uint32)
+    codes = np.unique(rng.integers(0, 1 << 40, 3000, dtype=np.uint64))
+    taxes = rng.choice(taxids_pool, len(codes)).astype(np.uint32)
+    src = tmp_path / "in.unik"
+    with UnikWriter(str(src), 23, CANONICAL | SORTED | INCLUDE_TAXID,
+                    number=len(codes), max_taxid=int(taxes.max())) as w:
+        w.write_codes(codes, taxes)
+    outdir = tmp_path / "parts"
+    assert _cli(["tsplit", src, "-O", outdir, "-o", "part"]) == 0
+    seen = {}
+    for f in glob.glob(str(outdir / "*.unik")):
+        with UnikReader(f) as r:
+            cs, _ = r.read_all()
+            gt = r.header.global_taxid
+            assert gt > 0
+            seen[gt] = np.asarray(cs)
+    assert set(seen) == set(int(t) for t in np.unique(taxes))
+    for t, cs in seen.items():
+        np.testing.assert_array_equal(cs, codes[taxes == t])
+
+
+def test_fuzz_rfilter_vs_bruteforce(tmp_path, rng):
+    """rfilter -E/-L/-H vs a brute-force walk of the fixture taxonomy."""
+    import os
+
+    from unikmer_tpu.io.unik import (
+        CANONICAL, INCLUDE_TAXID, SORTED, UnikReader, UnikWriter,
+    )
+
+    nodes = {}
+    ranks = {}
+    for line in open(os.path.join(os.path.dirname(__file__), "data",
+                                  "taxdump", "nodes.dmp")):
+        parts = [p.strip() for p in line.split("|")]
+        nodes[int(parts[0])] = int(parts[1])
+        ranks[int(parts[0])] = parts[2]
+    pool = np.array(sorted(nodes), np.uint32)
+    codes = np.unique(rng.integers(0, 1 << 40, 2000, dtype=np.uint64))
+    taxes = rng.choice(pool, len(codes)).astype(np.uint32)
+    src = tmp_path / "in.unik"
+    with UnikWriter(str(src), 23, CANONICAL | SORTED | INCLUDE_TAXID,
+                    number=len(codes), max_taxid=int(taxes.max())) as w:
+        w.write_codes(codes, taxes)
+
+    def run_rfilter(extra):
+        out = tmp_path / "out"
+        assert _cli(["rfilter", src, "-o", out] + extra) == 0
+        with UnikReader(str(out) + ".unik") as r:
+            cs, _ = r.read_all()
+        return set(int(c) for c in cs)
+
+    # -E species: keep only rank == species
+    got = run_rfilter(["-E", "species"])
+    want = {int(c) for c, t in zip(codes, taxes) if ranks[int(t)] == "species"}
+    assert got == want
+
+    # -E species -E strain
+    got = run_rfilter(["-E", "species", "-E", "strain"])
+    want = {int(c) for c, t in zip(codes, taxes)
+            if ranks[int(t)] in ("species", "strain")}
+    assert got == want
+
+    # -L species (lower than or ... strictly lower): strain is lower
+    got = run_rfilter(["-L", "species"])
+    want_strain = {int(c) for c, t in zip(codes, taxes)
+                   if ranks[int(t)] == "strain"}
+    assert got.issuperset(want_strain)
+    assert not any(
+        int(c) in got for c, t in zip(codes, taxes)
+        if ranks[int(t)] in ("genus", "family", "order", "class", "phylum",
+                             "superkingdom", "species")
+    )
+
+    # -H genus: strictly higher than genus
+    got = run_rfilter(["-H", "genus"])
+    higher = ("family", "order", "class", "phylum", "superkingdom")
+    want_hi = {int(c) for c, t in zip(codes, taxes) if ranks[int(t)] in higher}
+    assert got == want_hi
