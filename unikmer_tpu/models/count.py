@@ -171,11 +171,12 @@ def _count_step_from_packed2(packed2, validmask, cfg: CountConfig, n: int):
     return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
 
 
-# Compressed result fetch: sorted codes come back as uint16 deltas plus
-# an exception list for deltas >= 2^16 (rare in dense sets) — ~4x fewer
-# bytes over PCIe, and ~4x wall-clock on this environment's slow
-# device->host tunnel.  Exact: overflowing exception counts fall back to
-# the raw fetch.
+# Compressed result fetch: sorted codes come back as uint32 deltas plus
+# an exception list for deltas >= 2^32 — 2x fewer bytes over PCIe (and
+# this environment's slow device->host tunnel).  u32 covers every
+# encoded set bigger than 2^(2k-32) codes; hashed sets (64-bit space,
+# huge deltas) overflow the exception buffer and fall back to the raw
+# fetch.  Exact either way.
 _MAX_EXC = 1 << 16
 
 
@@ -183,14 +184,14 @@ def _compress_result(out, n):
     idx = jnp.arange(out.shape[0], dtype=jnp.int64)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), out[:-1]])
     delta = jnp.where(idx < n, out - prev, jnp.uint64(0))
-    big = delta >= jnp.uint64(1 << 16)
+    big = delta >= jnp.uint64(1 << 32)
     n_exc = jnp.sum(big, dtype=jnp.int64)
     # compact exception (index, value) pairs into fixed-size buffers
     pos = jnp.cumsum(big.astype(jnp.int64)) - 1
     pos = jnp.where(big & (pos < _MAX_EXC), pos, _MAX_EXC)
     exc_idx = jnp.full((_MAX_EXC,), -1, jnp.int64).at[pos].set(idx, mode="drop")
     exc_val = jnp.zeros((_MAX_EXC,), jnp.uint64).at[pos].set(out, mode="drop")
-    small = jnp.where(big, jnp.uint64(0), delta).astype(jnp.uint16)
+    small = jnp.where(big, jnp.uint64(0), delta).astype(jnp.uint32)
     return small, exc_idx, exc_val, n_exc, n
 
 
@@ -230,6 +231,36 @@ def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
     return codes
 
 
+def _fetch_scalar_watchdog(x, every_s: int = 120):
+    """int(x) with a monitor thread: tunnel-attached devices can silently
+    drop an execution (observed wedges of 30-60 min); surface a periodic
+    diagnostic instead of hanging without explanation."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def warn():
+        waited = 0
+        while not done.wait(every_s):
+            waited += every_s
+            print(
+                f"[WARNING] device result still pending after {waited}s — "
+                "the TPU link may be wedged (transient on tunnel-attached "
+                "chips). Set UNIKMER_TPU_PLATFORM=cpu to run without the "
+                "device.",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    t = threading.Thread(target=warn, daemon=True)
+    t.start()
+    try:
+        return int(x)
+    finally:
+        done.set()
+
+
 def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
 
@@ -252,7 +283,7 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
         small, exc_idx, exc_val, n_exc, n = _count_step_packed_result(
             bases, cfg
         )
-    if int(n_exc) > _MAX_EXC:  # pathological sparsity: raw fetch
+    if _fetch_scalar_watchdog(n_exc) > _MAX_EXC:  # huge deltas: raw fetch
         out, n = count_step(bases, cfg)
         return np.asarray(out[: int(n)])
     return _decode_packed_result(small, exc_idx, exc_val, n_exc, n)
