@@ -156,3 +156,28 @@ def test_head_sample_filter(rng):
     assert len(f) + len(inv) == len(s)
     polyA = KmerSet.from_codes(np.array([0], np.uint64), k=23)
     assert len(polyA.filter_low_complexity()) == 0
+
+
+def test_sentinel_code_rejected():
+    with pytest.raises(ValueError, match="all-ones"):
+        KmerSet.from_codes(np.array([(1 << 64) - 1], np.uint64), k=32,
+                           hashed=True)
+
+
+def test_intersect_subtract_keep_taxids(taxdb):
+    a = KmerSet.from_codes([10, 20, 30], k=23, canonical=True,
+                           taxids=[511145, 511145, 511145], taxdb=taxdb)
+    b = KmerSet.from_codes([20, 30, 40], k=23, canonical=True,
+                           taxids=[585057, 585057, 585057], taxdb=taxdb)
+    i = a & b
+    np.testing.assert_array_equal(i.to_numpy(), [20, 30])
+    np.testing.assert_array_equal(i.taxids_to_numpy(), [562, 562])  # LCA
+    d = a - b
+    np.testing.assert_array_equal(d.to_numpy(), [10])
+    np.testing.assert_array_equal(d.taxids_to_numpy(), [511145])
+    # mix: only one side carries taxids -> passes through on matches
+    c = KmerSet.from_codes([20, 30, 40], k=23, canonical=True)
+    m = a & c
+    np.testing.assert_array_equal(m.taxids_to_numpy(), [511145, 511145])
+    m2 = c & a
+    np.testing.assert_array_equal(m2.taxids_to_numpy(), [511145, 511145])

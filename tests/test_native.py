@@ -167,3 +167,33 @@ def test_render_lines_matches_textout(lib, rng):
         np.testing.assert_array_equal(native.decode_codes_ascii(codes, k), arr)
     edge = np.array([0, 1, (1 << 64) - 1], np.uint64)
     assert native.render_lines(edge, None) == b"0\n1\n18446744073709551615\n"
+
+
+def test_fastx_load_size_cap_falls_back(lib, tmp_path):
+    fa = b">x\n" + b"ACGT" * 300 + b"\n"
+    p = tmp_path / "c.fa"
+    p.write_bytes(fa)
+    assert native.load_fastx_packed(str(p), 5, False, max_text=64) is None
+    # pack_files still works (python fallback path)
+    import unikmer_tpu.io.fastx as fx
+
+    old = fx.NATIVE_INGEST_MAX
+    fx.NATIVE_INGEST_MAX = 64
+    try:
+        got = fx.pack_files([str(p)], 5, False)
+    finally:
+        fx.NATIVE_INGEST_MAX = old
+    want = fx.pack_records(list(fx.read_fastx(str(p))), 5, False)
+    np.testing.assert_array_equal(got.bases, want.bases)
+
+
+def test_parse_code_lines_overflow_and_ws(lib):
+    # u64 overflow -> error offset (not silent wrap)
+    r = native.parse_code_lines(b"18446744073709551616\n", False, 23, False)
+    assert isinstance(r, int)
+    r = native.parse_code_lines(b"18446744073709551615\n", False, 23, False)
+    codes, _ = r
+    assert codes[0] == (1 << 64) - 1
+    # whitespace inside the token before a tab must NOT be trimmed
+    r = native.parse_code_lines(b"ACGTA \t12\n", True, 5, True)
+    assert isinstance(r, int)

@@ -68,6 +68,17 @@ class KmerSet:
         """Build from a host/device uint64 array (sorted+deduped on device
         unless ``assume_sorted_unique``)."""
         codes = np.asarray(codes, dtype=np.uint64)
+        if len(codes) and codes.max() == _SENT:
+            # the all-ones value pads capacity in the device layout and
+            # cannot be represented as a member (2^-64 chance for hashed
+            # sets; impossible for 2-bit codes).  Fail loudly instead of
+            # silently dropping it — the CLI pipelines (ops/sort) do the
+            # exact sentinel accounting where it matters.
+            raise ValueError(
+                "KmerSet cannot hold the reserved all-ones code "
+                "(0xFFFFFFFFFFFFFFFF); use the CLI/ops pipelines for "
+                "exact sentinel accounting"
+            )
         if taxids is not None:
             taxids = np.asarray(taxids, dtype=np.uint32)
             if len(taxids) != len(codes):
@@ -82,7 +93,8 @@ class KmerSet:
         cap = _padded_len(max(len(codes), 1))
         dev = _pad_codes_device(codes, cap)
         if not assume_sorted_unique:
-            dev, n = collapse_sorted(dev, dev != _SENT, mode="distinct")
+            valid = jnp.arange(cap) < len(codes)
+            dev, n = collapse_sorted(dev, valid, mode="distinct")
             n = int(n)
         else:
             n = len(codes)
@@ -185,14 +197,54 @@ class KmerSet:
         return KmerSet(c, n, self.k, taxdb=self._taxdb,
                        **self._flags_kw()).compact()
 
+    def _zero_taxids(self):
+        return jnp.zeros(self.capacity, jnp.uint32)
+
     def intersect(self, other: "KmerSet") -> "KmerSet":
+        """Intersection; matching codes LCA-merge their taxids when both
+        sides carry them (reference inter.go:228-249), pass the present
+        side through when only one does (--mix-taxid semantics)."""
         self._check_compatible(other)
+        if self.has_taxids and other.has_taxids:
+            taxdb = self._taxdb or other._taxdb
+            if taxdb is None:
+                raise ValueError(
+                    "taxid-carrying intersection needs an attached taxdb"
+                )
+            from .taxonomy.lca import device_tables
+
+            parent, depth, max_depth = device_tables(taxdb)
+            c, t, n = device_sets.intersect_with_taxids(
+                self._codes, self._taxids, other._codes, other._taxids,
+                parent, depth, int(max_depth),
+            )
+            return KmerSet(c, n, self.k, taxids=t, taxdb=taxdb,
+                           **self._flags_kw()).compact()
+        if self.has_taxids or other.has_taxids:
+            ta = self._taxids if self.has_taxids else self._zero_taxids()
+            tb = other._taxids if other.has_taxids else jnp.zeros(
+                other.capacity, jnp.uint32
+            )
+            c, t, n = device_sets.intersect_one_sided_taxids(
+                self._codes, ta, other._codes, tb
+            )
+            return KmerSet(c, n, self.k, taxids=t,
+                           taxdb=self._taxdb or other._taxdb,
+                           **self._flags_kw()).compact()
         c, n = device_sets.intersect(self._codes, other._codes)
         out = KmerSet(c, n, self.k, taxdb=self._taxdb, **self._flags_kw())
         return out.compact()
 
     def subtract(self, other: "KmerSet") -> "KmerSet":
+        """Difference; keeps this set's taxid column (the reference diff
+        keeps the query taxids, diff.go:379-454)."""
         self._check_compatible(other)
+        if self.has_taxids:
+            c, t, n = device_sets.subtract_with_taxids(
+                self._codes, self._taxids, other._codes
+            )
+            return KmerSet(c, n, self.k, taxids=t, taxdb=self._taxdb,
+                           **self._flags_kw()).compact()
         c, n = device_sets.subtract(self._codes, other._codes)
         out = KmerSet(c, n, self.k, taxdb=self._taxdb, **self._flags_kw())
         return out.compact()

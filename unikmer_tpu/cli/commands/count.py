@@ -188,14 +188,34 @@ def run(args) -> int:
         log_saved(opt, len(codes), out_file)
         return 0
 
-    from ...models.count import count_stream, count_stream_packed
+    from ...models.count import (
+        _stream_chunk_bases, count_stream, count_stream_packed,
+    )
 
     if use_packed_ingest:
+        from ...io.fastx import PackedSeqs, _try_native_load
+
         def packed_iter():
+            chunk = _stream_chunk_bases()
             for f in files:
                 if opt.verbose:
                     log.info(f"reading sequence file: {f}")
-                yield pack_files([f], k, args.circular)
+                part = _try_native_load(f, k, args.circular)
+                if part is not None:
+                    b, s, ln, _ = part
+                    yield PackedSeqs(b, s, ln)
+                    continue
+                # over the native size cap (or non-gzip codec): stream
+                # records in bounded chunks instead of materializing
+                buf, size = [], 0
+                for rec in read_fastx(f):
+                    buf.append(rec)
+                    size += len(rec.seq)
+                    if size >= chunk:
+                        yield pack_records(buf, k, args.circular)
+                        buf, size = [], 0
+                if buf:
+                    yield pack_records(buf, k, args.circular)
 
         codes = count_stream_packed(packed_iter(), cfg)
     else:
@@ -207,19 +227,11 @@ def run(args) -> int:
     return 0
 
 
-# Whole-file native ingest holds one decompressed file in host RAM;
-# beyond this compressed size, stream records instead (bounded memory).
-_NATIVE_INGEST_MAX = int(
-    os.environ.get("UNIKMER_TPU_NATIVE_INGEST_MAX", 1 << 30)
-)
-
-
 def _native_ingest_ok(path: str) -> bool:
-    return (
-        path != "-"
-        and os.path.isfile(path)
-        and os.path.getsize(path) <= _NATIVE_INGEST_MAX
-    )
+    """Regular files go through pack_files, whose native fast path
+    enforces the io.fastx.NATIVE_INGEST_MAX decompressed-size cap and
+    falls back to the streaming reader beyond it."""
+    return path != "-" and os.path.isfile(path)
 
 
 def _linear_one(rec, cfg, re_taxid):

@@ -55,7 +55,8 @@ def run(args) -> int:
         stream = sys.stdin.buffer if file == "-" else open(file, "rb")
         with stream:
             blobs.append(stream.read())
-    data = b"".join(blobs)
+    data = blobs[0] if len(blobs) == 1 else b"".join(blobs)
+    del blobs
 
     fast = _parse_fast(data, args, hashed, canonical)
     if fast is not None:
@@ -70,12 +71,10 @@ def run(args) -> int:
     taxids_out: list[int] = []
     seen = set() if args.unique else None
 
-    if True:
-        import io as _io
+    import io as _io
 
-        stream = _io.BytesIO(data)
-        with stream:
-            for raw in stream:
+    with _io.BytesIO(data) as stream:
+        for raw in stream:
                 line = raw.strip()
                 if not line:
                     continue
@@ -102,6 +101,8 @@ def run(args) -> int:
                 if hashed_already:
                     try:
                         code = int(line)
+                        if not 0 <= code < (1 << 64):
+                            raise ValueError
                     except ValueError:
                         die(f"invalid hash value: {line.decode()}")
                 else:
@@ -162,24 +163,26 @@ def _parse_fast(data: bytes, args, hashed: bool, canonical: bool):
         return np.zeros(0, np.uint64), None, args.kmer_len, False, hashed
     first = stripped.split(b"\n", 1)[0].strip()
     include_taxid = b"\t" in first
+    warnings = []
     if include_taxid and args.taxid > 0:
-        log.warning("since input has more than one column, global taxid is ignored")
+        warnings.append("since input has more than one column, global taxid is ignored")
     hashed_already = args.hashed
     if hashed_already:
         k = args.kmer_len
         kmer_mode = False
     else:
-        token = first.split(b"\t", 1)[0].strip()
+        token = first.split(b"\t", 1)[0]
         k = len(token)
         kmer_mode = True
-        if k > codec.MAX_K_ENCODED and not hashed:
-            hashed = True
-            log.warning("flag -H/--hash is switched on for k > 32")
-        if hashed and k > codec.MAX_K_HASHED:
-            die(f"k-mer size ({k}) should be <=64")
+        if k > codec.MAX_K_ENCODED:
+            # the bulk parser packs a k-mer token into one u64 (k <= 32);
+            # longer tokens (auto -H) take the per-line path
+            return None
     res = native.parse_code_lines(data, kmer_mode, k, include_taxid)
     if res is None or isinstance(res, int):
         return None  # unavailable or malformed: per-line loop reports
+    for w in warnings:
+        log.warning(w)
     codes, taxids = res
     if kmer_mode:
         if hashed:

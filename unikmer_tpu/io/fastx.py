@@ -233,6 +233,14 @@ def pack_files(paths: Iterable[str], k: int, circular: bool = False) -> PackedSe
     return pack_records(gen(), k, circular)
 
 
+# Whole-file native ingest holds one decompressed file in host RAM; the
+# loader enforces this cap on the DECOMPRESSED size and falls back to
+# the streaming Python reader beyond it.
+NATIVE_INGEST_MAX = int(
+    os.environ.get("UNIKMER_TPU_NATIVE_INGEST_MAX", 4 << 30)
+)
+
+
 def _try_native_load(path: str, k: int, circular: bool):
     """Native fused load when applicable; None to fall back."""
     if path == "-" or not os.path.isfile(path):
@@ -247,7 +255,8 @@ def _try_native_load(path: str, k: int, circular: bool):
     try:
         from .. import native
 
-        return native.load_fastx_packed(path, k, circular)
+        return native.load_fastx_packed(path, k, circular,
+                                        max_text=NATIVE_INGEST_MAX)
     except ValueError:
         raise
     except Exception:

@@ -166,11 +166,6 @@ def unpack_bases_2bit(packed2: jnp.ndarray, validmask: jnp.ndarray, n: int):
     return jnp.where(v, b, jnp.uint8(codec.INVALID_BASE))
 
 
-@partial(jax.jit, static_argnames=("cfg", "n"))
-def _count_step_from_packed2(packed2, validmask, cfg: CountConfig, n: int):
-    return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
-
-
 # Compressed result fetch: sorted codes come back as uint32 deltas plus
 # an exception list for deltas >= 2^32 — 2x fewer bytes over PCIe (and
 # this environment's slow device->host tunnel).  u32 covers every
@@ -265,7 +260,8 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
 
     Non-CPU backends ship bases 2-bit packed (3.8x less host->device
-    traffic) and fetch results as u16 deltas (~4x less device->host)."""
+    traffic) and fetch results as u32 deltas (2x less device->host;
+    hashed sets overflow the exception list and fetch raw)."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64)
     bases = pad_bases(packed.bases)

@@ -64,7 +64,9 @@ def get_lib():
     lib.map_bases_skip_ws.restype = ctypes.c_size_t
     lib.map_bases_skip_ws.argtypes = [u8p, ctypes.c_size_t, u8p]
     lib.fastx_load.restype = ctypes.POINTER(FastxPackStruct)
-    lib.fastx_load.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
+    lib.fastx_load.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+    ]
     lib.fastx_pack_free.restype = None
     lib.fastx_pack_free.argtypes = [ctypes.POINTER(FastxPackStruct)]
     i64 = ctypes.c_int64
@@ -221,20 +223,24 @@ def parse_code_lines(text: bytes, kmer_mode: bool, k: int, has_taxid: bool):
     return codes[:n].copy(), (taxids[:n].copy() if has_taxid else None)
 
 
-def load_fastx_packed(path: str, k: int, circular: bool = False):
+def load_fastx_packed(path: str, k: int, circular: bool = False,
+                      max_text: int = 0):
     """Fused native ingest: file -> inflate -> parse -> packed base codes.
 
     Returns (bases u8, starts i64, lengths i64, ids list[bytes]) in the
     exact io/fastx.pack_records layout, or None when the native library
-    is unavailable (caller falls back to the Python reader).  Raises
+    is unavailable OR the decompressed text exceeds ``max_text`` bytes
+    (>0; caller falls back to the streaming Python reader).  Raises
     ValueError on malformed input (matching the Python reader's errors).
     """
     lib = get_lib()
     if lib is None:
         return None
-    p = lib.fastx_load(path.encode(), k, 1 if circular else 0)
+    p = lib.fastx_load(path.encode(), k, 1 if circular else 0, max_text)
     try:
         s = p.contents
+        if s.err == b"TOO_LARGE":
+            return None
         if s.err and s.err != b"":
             raise ValueError(f"{path}: {s.err.decode()}")
         n = int(s.n_records)

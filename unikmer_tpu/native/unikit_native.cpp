@@ -286,12 +286,12 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
         i = e + 1;
         if (a == b) continue;  // blank line
         if (n >= cap) return -(1 + line_start);
-        // token = [a, t)
+        // token = [a, t); no inner trimming — the Python/Go parsers see
+        // 'ACGTA \t..' as a 6-char token and reject it, so must we
         int64_t t = a;
         while (t < b && text[t] != '\t') t++;
         if (!has_taxid && t < b) return -(1 + line_start);  // unexpected column
         int64_t tok_end = t;
-        while (tok_end > a && is_ws(text[tok_end - 1])) tok_end--;
         uint64_t code = 0;
         if (mode == 0) {
             if (tok_end - a != k) return -(1 + line_start);
@@ -304,7 +304,9 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
             if (tok_end == a) return -(1 + line_start);
             for (int64_t j = a; j < tok_end; j++) {
                 if (text[j] < '0' || text[j] > '9') return -(1 + line_start);
-                code = code * 10 + (uint64_t)(text[j] - '0');
+                uint64_t d = (uint64_t)(text[j] - '0');
+                if (code > (~0ULL - d) / 10) return -(1 + line_start);  // u64 overflow
+                code = code * 10 + d;
             }
         }
         codes[n] = code;
@@ -389,9 +391,10 @@ bool read_whole_file(const char* path, std::vector<uint8_t>& out, char* err) {
     return true;
 }
 
-// Inflate a (possibly multi-member) gzip buffer.
+// Inflate a (possibly multi-member) gzip buffer; fails cleanly when the
+// inflated size exceeds max_out (caller falls back to streaming ingest).
 bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
-                char* err) {
+                int64_t max_out, char* err) {
     out.clear();
     out.reserve(in.size() * 4 + (1 << 20));
     z_stream zs;
@@ -408,6 +411,11 @@ bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
         zs.avail_out = (uInt)buf.size();
         int rc = inflate(&zs, Z_NO_FLUSH);
         size_t produced = buf.size() - zs.avail_out;
+        if (max_out > 0 && (int64_t)(out.size() + produced) > max_out) {
+            std::snprintf(err, 256, "TOO_LARGE");
+            inflateEnd(&zs);
+            return false;
+        }
         out.insert(out.end(), buf.data(), buf.data() + produced);
         if (rc == Z_STREAM_END) {
             if (zs.avail_in == 0) break;      // done
@@ -461,13 +469,18 @@ void fastx_pack_free(FastxPack* p) {
 
 // Load + parse + pack one FASTA/FASTQ file (gzip sniffed by magic).
 // Returns a FastxPack; on failure the pack has err[0] != 0.
-FastxPack* fastx_load(const char* path, int64_t k, int32_t circular) {
+FastxPack* fastx_load(const char* path, int64_t k, int32_t circular,
+                      int64_t max_text) {
     FastxPack* p = (FastxPack*)std::calloc(1, sizeof(FastxPack));
     std::vector<uint8_t> raw;
     if (!read_whole_file(path, raw, p->err)) return p;
+    if (max_text > 0 && (int64_t)raw.size() > max_text) {
+        std::snprintf(p->err, 256, "TOO_LARGE");
+        return p;
+    }
     std::vector<uint8_t> text;
     if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-        if (!gunzip_all(raw, text, p->err)) return p;
+        if (!gunzip_all(raw, text, max_text, p->err)) return p;
         raw.clear();
         raw.shrink_to_fit();
     } else {

@@ -78,6 +78,53 @@ def common(sets: jnp.ndarray, threshold: int):
     return _compact_mask(merged, keep)
 
 
+def _compact_mask_with(values, aux, keep, aux_fill):
+    """Compact (values, aux) rows where keep; returns (vals, aux, n)."""
+    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
+    pos = jnp.where(keep, pos, values.shape[0])
+    out_v = jnp.full(values.shape, SENT, dtype=values.dtype)
+    out_v = out_v.at[pos].set(values, mode="drop")
+    out_a = jnp.full(aux.shape, aux_fill, dtype=aux.dtype)
+    out_a = out_a.at[pos].set(aux, mode="drop")
+    return out_v, out_a, jnp.sum(keep, dtype=jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def intersect_with_taxids(a, ta, b, tb, parent, depth, max_depth: int):
+    """Intersection with LCA-merged taxids (reference inter.go:228-249:
+    matching codes merge the two taxids by LCA; 0 acts as identity, so a
+    taxid-less side passes the other side's taxid through)."""
+    from ..taxonomy.lca import lca_pairs_device
+
+    idx = jnp.clip(jnp.searchsorted(b, a), 0, b.shape[0] - 1)
+    hit = (b[idx] == a) & (a != SENT)
+    t_other = jnp.where(hit, tb[idx], 0).astype(jnp.uint32)
+    merged = lca_pairs_device(ta.astype(jnp.uint32), t_other, parent, depth,
+                              max_depth)
+    return _compact_mask_with(a, merged, hit, jnp.uint32(0))
+
+
+@jax.jit
+def intersect_one_sided_taxids(a, ta, b, tb):
+    """Intersection when only one input carries taxids (the reference's
+    --mix-taxid semantics, inter.go:158-169): exactly one of ta/tb is a
+    zero column, so merged = ta | tb needs no LCA tables."""
+    idx = jnp.clip(jnp.searchsorted(b, a), 0, b.shape[0] - 1)
+    hit = (b[idx] == a) & (a != SENT)
+    merged = (ta.astype(jnp.uint32)
+              | jnp.where(hit, tb[idx], 0).astype(jnp.uint32))
+    return _compact_mask_with(a, merged, hit, jnp.uint32(0))
+
+
+@jax.jit
+def subtract_with_taxids(a, ta, b):
+    """a - b keeping a's taxid column (reference diff keeps the query's
+    taxids, diff.go:379-454)."""
+    idx = jnp.clip(jnp.searchsorted(b, a), 0, b.shape[0] - 1)
+    keep = (b[idx] != a) & (a != SENT)
+    return _compact_mask_with(a, ta.astype(jnp.uint32), keep, jnp.uint32(0))
+
+
 @partial(jax.jit, static_argnames=("max_depth", "rounds"))
 def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
     """Union with LCA-merged taxid column, fully on device
