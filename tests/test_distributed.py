@@ -1,5 +1,7 @@
 """Distributed orchestration: host partitioning + end-to-end sharded count."""
 
+import os
+
 import numpy as np
 
 from unikmer_tpu.models.count import CountConfig, count_packed
@@ -43,3 +45,55 @@ def test_sharded_count_distinct_end_to_end(tmp_path, rng):
     )
     want = count_packed(pack_files([str(p)], 13), cfg)
     np.testing.assert_array_equal(got, want)
+
+
+def test_two_process_distributed_count(tmp_path, rng):
+    """Real 2-process jax.distributed run (CPU, localhost coordinator):
+    host-sharded ingest + cross-process all_to_all + psum; the merged
+    shards must equal the single-host brute-force distinct set."""
+    import json
+    import subprocess
+    import sys
+
+    from tests.conftest import random_dna
+    from tests.test_count import brute_kmers
+    from unikmer_tpu.ops import codec
+
+    seqs = []
+    paths = []
+    for i in range(2):
+        seq = random_dna(rng, 2500).decode()
+        p = tmp_path / f"g{i}.fa"
+        p.write_text(f">g{i}\n{seq}\n")
+        seqs.append(seq)
+        paths.append(str(p))
+
+    port = 20000 + int(rng.integers(0, 20000))
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)] + paths,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    shards = {}
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("RESULT ")]
+        assert lines, o[-2000:]
+        r = json.loads(lines[0][len("RESULT "):])
+        assert r["dropped"] == 0
+        shards.update({int(k): v for k, v in r["shards"].items()})
+    assert set(shards) == {0, 1, 2, 3}
+    got = []
+    for i in range(4):
+        got.extend(shards[i])
+    want = sorted({codec.encode_kmer(s)
+                   for s in brute_kmers(seqs, 11, canonical=True)})
+    assert got == want

@@ -80,24 +80,54 @@ def partition_bases(bases: np.ndarray, num_hosts: int, host_id: int, k: int):
 
 
 def sharded_count_distinct(files: list[str], cfg, mesh, capacity: int,
-                           circular: bool = False):
-    """End-to-end sharded count over this host's slice of ``files``.
+                           circular: bool = False, row_len: int | None = None):
+    """End-to-end sharded count over ``files`` on a (possibly multi-host)
+    mesh.
 
-    Returns (codes_per_shard (D, C) sentinel-padded sorted, counts (D,),
-    dropped).  With a multi-host mesh each host feeds its local rows and
-    the all_to_all redistributes globally.
+    Single-process: this host packs rows for every shard.  Multi-process:
+    each host reads its slice of the file list, packs rows for ITS mesh
+    shards only, and the global input array is assembled with
+    jax.make_array_from_process_local_data — the jitted all_to_all then
+    redistributes by code range exactly as on one host.  ``row_len``
+    fixes the (static, globally agreed) row length in the multi-process
+    case, where hosts cannot infer each other's input sizes.
+
+    Returns (codes_per_shard (D, C*D) sentinel-padded sorted, counts (D,),
+    dropped); with multiple processes each host addresses only its own
+    shards of the result.
     """
     import jax
 
     from ..io.fastx import pack_files
+    from ..ops.codec import INVALID_BASE
     from ..parallel.mesh import SHARD_AXIS
     from ..parallel.sharded import build_sharded_distinct, pack_host_shards
 
-    n_local = mesh.shape[SHARD_AXIS]
+    n_shards = mesh.shape[SHARD_AXIS]
     num_hosts = jax.process_count()
     host_id = jax.process_index()
     my_files = partition_files(files, num_hosts, host_id)
     packed = pack_files(my_files, cfg.k, circular)
-    rows = pack_host_shards(packed.bases, n_local, cfg.k)
     step = build_sharded_distinct(mesh, cfg, capacity)
-    return step(rows)
+    if num_hosts == 1:
+        return step(pack_host_shards(packed.bases, n_shards, cfg.k))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if row_len is None:
+        raise ValueError("multi-process sharded count needs an agreed row_len")
+    if n_shards % num_hosts:
+        raise ValueError("mesh size must be a multiple of the host count")
+    n_local = n_shards // num_hosts
+    local = pack_host_shards(packed.bases, n_local, cfg.k)
+    if local.shape[1] > row_len:
+        raise ValueError(
+            f"host {host_id} rows need {local.shape[1]} > row_len {row_len}"
+        )
+    rows = np.full((n_local, row_len), INVALID_BASE, np.uint8)
+    rows[:, : local.shape[1]] = local
+    sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
+    global_rows = jax.make_array_from_process_local_data(
+        sharding, rows, (n_shards, row_len)
+    )
+    return step(global_rows)
