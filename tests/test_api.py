@@ -181,3 +181,21 @@ def test_intersect_subtract_keep_taxids(taxdb):
     np.testing.assert_array_equal(m.taxids_to_numpy(), [511145, 511145])
     m2 = c & a
     np.testing.assert_array_equal(m2.taxids_to_numpy(), [511145, 511145])
+
+
+def test_union_all(rng, taxdb):
+    xs_np = [rng.integers(0, 4000, 800, dtype=np.uint64) for _ in range(5)]
+    xs = [_mk(x) for x in xs_np]
+    got = KmerSet.union_all(xs).to_numpy()
+    want = sorted(set().union(*[set(x.tolist()) for x in xs_np]))
+    np.testing.assert_array_equal(got, want)
+    # taxid path chains pairwise LCA unions
+    a = KmerSet.from_codes([1, 2], k=23, canonical=True,
+                           taxids=[511145, 511145], taxdb=taxdb)
+    b = KmerSet.from_codes([2, 3], k=23, canonical=True,
+                           taxids=[585057, 585057], taxdb=taxdb)
+    c = KmerSet.from_codes([3, 4], k=23, canonical=True,
+                           taxids=[562, 562], taxdb=taxdb)
+    u = KmerSet.union_all([a, b, c])
+    np.testing.assert_array_equal(u.to_numpy(), [1, 2, 3, 4])
+    np.testing.assert_array_equal(u.taxids_to_numpy(), [511145, 562, 562, 562])

@@ -254,6 +254,28 @@ class KmerSet:
     __sub__ = subtract
 
     @staticmethod
+    def union_all(sets) -> "KmerSet":
+        """N-way union in one device pass (concat + sort-collapse),
+        cheaper than a chain of pairwise unions for many inputs."""
+        sets = list(sets)
+        if not sets:
+            raise ValueError("union_all() needs at least one set")
+        first = sets[0]
+        for s in sets[1:]:
+            first._check_compatible(s)
+        if any(s.has_taxids for s in sets):
+            # LCA reduction over >2 duplicates needs the log-rounds
+            # collapse; chain pairwise unions (each LCA-exact)
+            out = sets[0]
+            for s in sets[1:]:
+                out = out.union(s)
+            return out
+        merged = jnp.concatenate([s._codes for s in sets])
+        c, n = collapse_sorted(merged, merged != _SENT, mode="distinct")
+        return KmerSet(c, n, first.k, taxdb=first._taxdb,
+                       **first._flags_kw()).compact()
+
+    @staticmethod
     def common(sets, threshold: int) -> "KmerSet":
         """Codes present in >= threshold of the given sets
         (`unikmer common`; reference cmd/common.go)."""
