@@ -256,6 +256,24 @@ def _fetch_scalar_watchdog(x, every_s: int = 120):
         done.set()
 
 
+_session_warm = False
+
+
+def _warm_device_session() -> None:
+    """One tiny round-trip before the first big dispatch of the process.
+
+    On tunnel-attached chips a process's first large dispatch is
+    occasionally dropped (the fetch then hangs forever); a small
+    device_put + readback first establishes the session the way
+    bench.py does, which has never exhibited the hang."""
+    global _session_warm
+    if _session_warm:
+        return
+    x = jax.device_put(np.zeros(8, np.float32))
+    _ = np.asarray(x[:1])
+    _session_warm = True
+
+
 def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
 
@@ -270,6 +288,7 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
         return np.asarray(out[: int(n)])
     import os
 
+    _warm_device_session()
     if os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0":
         packed2, validmask = pack_bases_2bit(bases)
         small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
