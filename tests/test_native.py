@@ -197,3 +197,119 @@ def test_parse_code_lines_overflow_and_ws(lib):
     # whitespace inside the token before a tab must NOT be trimmed
     r = native.parse_code_lines(b"ACGTA \t12\n", True, 5, True)
     assert isinstance(r, int)
+
+
+# ---------------------------------------------------------------------
+# Member-parallel gzip (UK-indexed members; io/pgzip.py writer,
+# pgz_inflate_parallel reader)
+# ---------------------------------------------------------------------
+
+
+def test_pgz_indexed_roundtrip_and_interop(lib, rng):
+    import gzip
+    import io
+
+    from unikmer_tpu.io.pgzip import ParallelGzipWriter
+
+    data = rng.integers(0, 256, size=3_456_789, dtype=np.uint8).tobytes()
+    buf = io.BytesIO()
+    w = ParallelGzipWriter(buf, compresslevel=5, threads=3, chunk_size=1 << 19)
+    for i in range(0, len(data), 100_003):
+        w.write(data[i : i + 100_003])
+    w.close()
+    raw = buf.getvalue()
+    # stock gzip readers see an ordinary multi-member stream
+    assert gzip.decompress(raw) == data
+    # the native reader splits on the FEXTRA index and inflates in parallel
+    assert native.pgz_inflate_all(raw) == data
+    assert native.pgz_inflate_all(raw, threads=1) == data
+    # plain (un-indexed) gzip falls back to None
+    assert native.pgz_inflate_all(gzip.compress(data[:100_000])) is None
+    # truncated indexed stream: not silently accepted
+    assert native.pgz_inflate_all(raw[:-3]) is None
+
+
+def test_pgz_small_and_empty_members(lib):
+    import gzip
+    import io
+
+    from unikmer_tpu.io.pgzip import ParallelGzipWriter
+
+    buf = io.BytesIO()
+    w = ParallelGzipWriter(buf, compresslevel=9, threads=2)
+    w.write(b"x")
+    w.close()
+    raw = buf.getvalue()
+    assert gzip.decompress(raw) == b"x"
+    assert native.pgz_inflate_all(raw) == b"x"
+    # empty writer emits nothing (header-less empty file, as before)
+    bufe = io.BytesIO()
+    ParallelGzipWriter(bufe).close()
+    assert bufe.getvalue() == b""
+
+
+# ---------------------------------------------------------------------
+# Parallel sorted-block decode (.unik minor version 1)
+# ---------------------------------------------------------------------
+
+
+def test_unik_parallel_block_decode_roundtrip(lib, rng, tmp_path):
+    from unikmer_tpu.io.unik import (
+        CANONICAL,
+        INCLUDE_TAXID,
+        SORTED,
+        UnikReader,
+        UnikWriter,
+    )
+
+    codes = np.unique(rng.integers(0, 1 << 46, size=300_000, dtype=np.uint64))
+    tax = rng.integers(1, 60_000, size=len(codes), dtype=np.uint32)
+    p = tmp_path / "blk.unik"
+    # small blocks force many independently-decoded segments
+    with UnikWriter(
+        str(p),
+        k=23,
+        flag=SORTED | CANONICAL | INCLUDE_TAXID,
+        number=len(codes),
+        max_taxid=60_000,
+        block_size=1 << 12,
+    ) as w:
+        w.write_codes(codes, tax)
+    r = UnikReader(str(p))
+    assert r.header.minor_version >= 1
+    c2, t2 = r.read_all()
+    np.testing.assert_array_equal(c2, codes)
+    np.testing.assert_array_equal(t2, tax)
+    # iter_blocks (streaming path) agrees with the bulk path
+    r2 = UnikReader(str(p))
+    got = np.concatenate([c for c, _ in r2.iter_blocks()])
+    np.testing.assert_array_equal(got, codes)
+
+
+def test_unik_minor0_chained_deltas_still_read(lib, rng, tmp_path):
+    """Files written before the minor-1 bump chain deltas across blocks."""
+    import struct
+
+    from unikmer_tpu.io import unik as U
+
+    codes = np.unique(rng.integers(0, 1 << 40, size=50_000, dtype=np.uint64))
+    p = tmp_path / "old.unik"
+    with open(p, "wb") as f:
+        f.write(
+            struct.pack(
+                U._HEADER_FMT, U.MAGIC, U.MAIN_VERSION, 0, 23, 0,
+                U.SORTED | U.CANONICAL, 0, 1, len(codes),
+            )
+        )
+        f.write(struct.pack("<H", 0))
+        prev = 0
+        for off in range(0, len(codes), 7_000):
+            blk = codes[off : off + 7_000]
+            payload = native.encode_deltas_gb64(blk, prev)
+            prev = int(blk[-1])
+            f.write(struct.pack("<II", len(blk), len(payload)))
+            f.write(payload)
+    r = U.UnikReader(str(p))
+    assert r.header.minor_version == 0
+    c2, _ = r.read_all()
+    np.testing.assert_array_equal(c2, codes)

@@ -4,21 +4,40 @@ unikmer/cmd/util-io.go:31,59,90).
 Chunks are compressed concurrently (zlib releases the GIL) and written
 in order as independent gzip MEMBERS — concatenated members are valid
 gzip per RFC 1952, and every gzip reader (including Python's) handles
-them transparently.  Reads of our own multi-member files could be
-parallelized the same way later.
+them transparently.
+
+Each member additionally carries a BGZF-style FEXTRA subfield
+('U','K', u32 = total compressed byte length of the member), so
+readers that know the tag (native/unikit_native.cpp
+pgz_inflate_parallel) can split the stream without inflating and
+decompress members concurrently.  Stock gzip readers skip FEXTRA per
+RFC 1952 and see an ordinary gzip file.
 """
 
 from __future__ import annotations
 
-import gzip
 import io
+import struct
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 DEFAULT_CHUNK = 1 << 20
 
 
 def _compress_member(data: bytes, level: int) -> bytes:
-    return gzip.compress(data, compresslevel=level)
+    # raw deflate body; header/trailer built by hand to add the FEXTRA
+    # member-length subfield (header 20B incl. subfield, trailer 8B)
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    xfl = 2 if level >= 9 else (4 if level == 1 else 0)
+    header = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00"  # magic, deflate, FEXTRA, mtime 0
+        + bytes((xfl, 255))                  # XFL, OS=unknown
+        + struct.pack("<H", 8)               # XLEN
+        + b"UK" + struct.pack("<HI", 4, 28 + len(body))
+    )
+    trailer = struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    return header + body + trailer
 
 
 class ParallelGzipWriter(io.RawIOBase):

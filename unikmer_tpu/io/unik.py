@@ -49,7 +49,10 @@ from .varint import decode_gb64, delta_decode, delta_encode, encode_gb64
 
 MAGIC = b".unikmer"
 MAIN_VERSION = 5
-MINOR_VERSION = 0
+# minor 1: each sorted block's delta chain restarts at 0, so blocks are
+# independently (and concurrently) decodable; minor-0 files chain deltas
+# across blocks and are still read correctly.
+MINOR_VERSION = 1
 
 # Flag bits (names follow the reference's unik.Unik* constants).
 COMPACT = 1
@@ -183,7 +186,6 @@ class UnikWriter:
             taxid_bytes=tw,
         )
         self._block = block_size
-        self._prev_code = 0  # delta base for sorted payload
         self._n_written = 0
         self._compress = compress
         self._wrote_header = False
@@ -246,10 +248,11 @@ class UnikWriter:
         if h.is_sorted:
             from .. import native
 
-            payload = native.encode_deltas_gb64(codes, self._prev_code)
+            # delta base 0 per block (minor version 1): blocks decode
+            # independently, enabling the parallel bulk reader
+            payload = native.encode_deltas_gb64(codes, 0)
             if payload is None:  # no native toolchain: numpy path
-                payload = encode_gb64(delta_encode(codes, self._prev_code))
-            self._prev_code = int(codes[-1])
+                payload = encode_gb64(delta_encode(codes, 0))
         else:
             w = code_width(h.k, h.flag)
             if w == 8:
@@ -292,6 +295,28 @@ class UnikReader:
     """Bulk-array reader.  read_all() returns (codes, taxids|None);
     iter_blocks() streams (codes, taxids|None) block arrays."""
 
+    @staticmethod
+    def _try_parallel_inflate(f) -> bytes | None:
+        """Member-parallel inflate for our UK-indexed gzip files
+        (io/pgzip.py) on seekable inputs above a size floor; None keeps
+        the sequential streaming path."""
+        try:
+            pos = f.tell()
+            f.seek(0, io.SEEK_END)
+            size = f.tell() - pos
+            f.seek(pos)
+        except (OSError, io.UnsupportedOperation):
+            return None
+        if size < (1 << 20):
+            return None  # not worth the whole-file read
+        from ..native import pgz_inflate_all
+
+        raw = f.read()
+        out = pgz_inflate_all(raw)
+        if out is None:
+            f.seek(pos)
+        return out
+
     def __init__(self, path_or_file):
         if isinstance(path_or_file, (str, bytes)):
             f = open(path_or_file, "rb")
@@ -306,7 +331,13 @@ class UnikReader:
             f = io.BufferedReader(_Concat(head, f))
             magic2 = head
         if magic2 == b"\x1f\x8b":
-            f = io.BufferedReader(gzip.GzipFile(fileobj=f), 1 << 20)
+            buf = self._try_parallel_inflate(f)
+            if buf is not None:
+                if self._owns:
+                    f.close()
+                f = io.BufferedReader(io.BytesIO(buf))
+            else:
+                f = io.BufferedReader(gzip.GzipFile(fileobj=f), 1 << 20)
             self.gzipped = True
         else:
             if not isinstance(f, io.BufferedReader):
@@ -370,10 +401,13 @@ class UnikReader:
         if h.is_sorted:
             from .. import native
 
-            res = native.decode_deltas_gb64(body, n, self._prev_code)
+            # minor 0 chained deltas across blocks; minor >= 1 restarts
+            # each block at 0 (see MINOR_VERSION note)
+            prev = self._prev_code if h.minor_version == 0 else 0
+            res = native.decode_deltas_gb64(body, n, prev)
             if res is None:  # no native toolchain: numpy path
                 deltas, consumed = decode_gb64(body, n)
-                codes = delta_decode(deltas, self._prev_code)
+                codes = delta_decode(deltas, prev)
             else:
                 codes, consumed = res
             self._prev_code = int(codes[-1])
@@ -401,6 +435,18 @@ class UnikReader:
         return codes, taxids
 
     def read_all(self):
+        h = self.header
+        if h.is_sorted and h.minor_version >= 1:
+            from .. import native
+
+            rest = self._file.read()
+            res = native.decode_sorted_blocks(
+                rest, h.taxid_bytes if h.is_include_taxid else 0
+            )
+            if res is not None:
+                return res
+            # no native toolchain: re-run the block loop over `rest`
+            self._file = io.BufferedReader(io.BytesIO(rest))
         codes_list, tax_list = [], []
         for codes, taxids in self.iter_blocks():
             codes_list.append(codes)

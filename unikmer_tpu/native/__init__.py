@@ -80,6 +80,17 @@ def get_lib():
     lib.render_u64_pair_lines.argtypes = [u64p, u64p, i64, u8p]
     lib.decode_codes_ascii.restype = None
     lib.decode_codes_ascii.argtypes = [u64p, i64, ctypes.c_int32, u8p]
+    lib.pgz_indexed_isize.restype = i64
+    lib.pgz_indexed_isize.argtypes = [u8p, i64]
+    lib.unik_scan_blocks.restype = i64
+    lib.unik_scan_blocks.argtypes = [u8p, i64]
+    lib.unik_decode_sorted_blocks.restype = i64
+    lib.unik_decode_sorted_blocks.argtypes = [
+        u8p, i64, ctypes.c_int32, u64p,
+        ctypes.POINTER(ctypes.c_uint32), i64, ctypes.c_int32,
+    ]
+    lib.pgz_inflate_parallel.restype = i64
+    lib.pgz_inflate_parallel.argtypes = [u8p, i64, u8p, i64, ctypes.c_int32]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.parse_code_lines.restype = i64
     lib.parse_code_lines.argtypes = [
@@ -221,6 +232,65 @@ def parse_code_lines(text: bytes, kmer_mode: bool, k: int, has_taxid: bool):
     if n < 0:
         return int(-n - 1)  # byte offset of the offending line
     return codes[:n].copy(), (taxids[:n].copy() if has_taxid else None)
+
+
+def pgz_inflate_all(raw, threads: int = 0) -> bytes | None:
+    """Inflate a UK-indexed multi-member gzip buffer with concurrent
+    per-member zlib streams (our ParallelGzipWriter tags every member
+    with its compressed length; see io/pgzip.py).
+
+    Returns the inflated bytes, or None when the native library is
+    unavailable or the buffer is not fully indexed (caller streams it
+    through the ordinary sequential gzip reader instead).
+    """
+    lib = get_lib()
+    if lib is None or len(raw) == 0:
+        return None
+    inp = np.frombuffer(raw, np.uint8)
+    total = lib.pgz_indexed_isize(_u8p(inp), len(raw))
+    if total < 0:
+        return None
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 8)
+    out = np.empty(int(total), np.uint8)
+    got = lib.pgz_inflate_parallel(
+        _u8p(inp), len(raw), _u8p(out), int(total), threads
+    )
+    if got != total:
+        return None
+    return out.tobytes()
+
+
+def decode_sorted_blocks(buf: bytes, taxid_w: int, threads: int = 0):
+    """Concurrent decode of a full sorted .unik block region (minor
+    version >= 1; see io/unik.py layout).
+
+    Returns (codes u64, taxids u32 | None), or None when the native
+    library is unavailable.  Raises ValueError on corrupt framing.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    inp = np.frombuffer(buf, np.uint8)
+    total = lib.unik_scan_blocks(_u8p(inp), len(buf))
+    if total < 0:
+        raise ValueError("truncated .unik block")
+    if total == 0:
+        return np.zeros(0, np.uint64), (
+            np.zeros(0, np.uint32) if taxid_w else None
+        )
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 8)
+    codes = np.empty(int(total), np.uint64)
+    taxids = np.empty(int(total) if taxid_w else 1, np.uint32)
+    got = lib.unik_decode_sorted_blocks(
+        _u8p(inp), len(buf), taxid_w, _u64p(codes),
+        taxids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(total), threads,
+    )
+    if got != total:
+        raise ValueError("truncated .unik block")
+    return codes, (taxids if taxid_w else None)
 
 
 def load_fastx_packed(path: str, k: int, circular: bool = False,

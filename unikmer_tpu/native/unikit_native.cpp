@@ -336,6 +336,214 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
 }  // extern "C"
 
 // ---------------------------------------------------------------------
+// Member-parallel gzip inflate.
+//
+// io/pgzip.ParallelGzipWriter emits independent gzip members, each
+// tagged with a BGZF-style FEXTRA subfield ('U','K', u32 = total
+// compressed byte length of that member).  Tagged streams can be split
+// without inflating, so members decompress concurrently; any stock
+// gzip reader still reads the file unchanged (RFC 1952 FEXTRA).
+// The reference gets the same effect from klauspost/pgzip
+// (unikmer/cmd/util-io.go:59).
+// ---------------------------------------------------------------------
+
+#include <thread>
+#include <atomic>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+// Member length from the 'UK' FEXTRA subfield at `off`; 0 when the
+// member has no such subfield; -1 on malformed/truncated header.
+int64_t uk_member_len(const uint8_t* in, size_t n, size_t off) {
+    if (off + 20 > n) return -1;
+    const uint8_t* p = in + off;
+    if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8) return -1;
+    if (!(p[3] & 4)) return 0;  // no FEXTRA
+    size_t e = off + 10;
+    uint16_t xlen = (uint16_t)in[e] | ((uint16_t)in[e + 1] << 8);
+    e += 2;
+    size_t end = e + xlen;
+    if (end > n) return -1;
+    while (e + 4 <= end) {
+        uint8_t si1 = in[e], si2 = in[e + 1];
+        uint16_t slen = (uint16_t)in[e + 2] | ((uint16_t)in[e + 3] << 8);
+        if (e + 4 + slen > end) return -1;
+        if (si1 == 'U' && si2 == 'K' && slen == 4) {
+            uint32_t v;
+            std::memcpy(&v, in + e + 4, 4);
+            return (int64_t)v;
+        }
+        e += 4 + slen;
+    }
+    return 0;
+}
+
+// Collect (offset, member_len, out_offset) for every member; returns
+// total inflated size, or -1 unless EVERY member carries the index.
+int64_t uk_scan(const uint8_t* in, int64_t n, std::vector<size_t>* offs,
+                std::vector<size_t>* mlens, std::vector<size_t>* oouts) {
+    size_t off = 0;
+    int64_t total = 0;
+    while ((int64_t)off < n) {
+        int64_t mlen = uk_member_len(in, (size_t)n, off);
+        if (mlen < 28 || (int64_t)(off + (size_t)mlen) > n) return -1;
+        uint32_t isize;
+        std::memcpy(&isize, in + off + (size_t)mlen - 4, 4);
+        if (offs) {
+            offs->push_back(off);
+            mlens->push_back((size_t)mlen);
+            oouts->push_back((size_t)total);
+        }
+        total += isize;
+        off += (size_t)mlen;
+    }
+    return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Total inflated size of a fully UK-indexed buffer, or -1 when any
+// member lacks the index (caller falls back to sequential inflate).
+int64_t pgz_indexed_isize(const uint8_t* in, int64_t n) {
+    return uk_scan(in, n, nullptr, nullptr, nullptr);
+}
+
+// Parallel inflate of a UK-indexed buffer. Returns bytes written or -1.
+int64_t pgz_inflate_parallel(const uint8_t* in, int64_t n, uint8_t* out,
+                             int64_t out_cap, int32_t threads) {
+    std::vector<size_t> offs, mlens, oouts;
+    int64_t total = uk_scan(in, n, &offs, &mlens, &oouts);
+    if (total < 0 || total > out_cap) return -1;
+    std::atomic<size_t> next(0);
+    std::atomic<bool> failed(false);
+    auto work = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= offs.size() || failed.load(std::memory_order_relaxed))
+                return;
+            z_stream zs;
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 15 + 16) != Z_OK) { failed = true; return; }
+            zs.next_in = const_cast<Bytef*>(in + offs[i]);
+            zs.avail_in = (uInt)mlens[i];
+            size_t want =
+                (i + 1 < oouts.size() ? oouts[i + 1] : (size_t)total) -
+                oouts[i];
+            zs.next_out = out + oouts[i];
+            zs.avail_out = (uInt)want;
+            int rc = inflate(&zs, Z_FINISH);
+            if (rc != Z_STREAM_END || zs.avail_out != 0) failed = true;
+            inflateEnd(&zs);
+        }
+    };
+    int nt = threads < 1 ? 1 : threads;
+    if ((size_t)nt > offs.size()) nt = (int)offs.size();
+    if (nt <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) pool.emplace_back(work);
+        for (auto& t : pool) t.join();
+    }
+    return failed.load() ? -1 : total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Bulk .unik sorted-payload decode (io/unik.py layout, minor version
+// >= 1: each "u32 n, u32 nbytes, payload" block's delta chain restarts
+// at 0, so blocks decode concurrently; the reference streams records
+// one at a time through unik.Reader.ReadCodeWithTaxid instead,
+// SURVEY.md §2.3).
+// ---------------------------------------------------------------------
+
+extern "C" {
+
+// Total records across all blocks, or -1 on bad framing.
+int64_t unik_scan_blocks(const uint8_t* buf, int64_t len) {
+    int64_t pos = 0, total = 0;
+    while (pos + 8 <= len) {
+        uint32_t n, nbytes;
+        std::memcpy(&n, buf + pos, 4);
+        std::memcpy(&nbytes, buf + pos + 4, 4);
+        if (n == 0) break;
+        if (pos + 8 + (int64_t)nbytes > len) return -1;
+        total += n;
+        pos += 8 + (int64_t)nbytes;
+    }
+    return total;
+}
+
+// Decode every block concurrently. taxid_w = 0..4 bytes per record.
+// Returns records decoded, or -1 on any framing/decode error.
+int64_t unik_decode_sorted_blocks(const uint8_t* buf, int64_t len,
+                                  int32_t taxid_w, uint64_t* codes,
+                                  uint32_t* taxids, int64_t cap,
+                                  int32_t threads) {
+    struct Blk { int64_t body; uint32_t n, nbytes; int64_t out; };
+    std::vector<Blk> blks;
+    int64_t pos = 0, total = 0;
+    while (pos + 8 <= len) {
+        uint32_t n, nbytes;
+        std::memcpy(&n, buf + pos, 4);
+        std::memcpy(&nbytes, buf + pos + 4, 4);
+        if (n == 0) break;
+        if (pos + 8 + (int64_t)nbytes > len) return -1;
+        blks.push_back({pos + 8, n, nbytes, total});
+        total += n;
+        pos += 8 + (int64_t)nbytes;
+    }
+    if (total > cap) return -1;
+    std::atomic<size_t> next(0);
+    std::atomic<bool> failed(false);
+    auto work = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= blks.size() || failed.load(std::memory_order_relaxed))
+                return;
+            const Blk& b = blks[i];
+            size_t consumed = gb64_decode_deltas(buf + b.body, b.nbytes, b.n,
+                                                 0, codes + b.out);
+            if (consumed == (size_t)-1 ||
+                consumed + (size_t)b.n * taxid_w != b.nbytes) {
+                failed = true;
+                return;
+            }
+            if (taxid_w) {
+                const uint8_t* t = buf + b.body + consumed;
+                uint32_t* out = taxids + b.out;
+                if (taxid_w == 4) {
+                    std::memcpy(out, t, (size_t)b.n * 4);
+                } else {
+                    for (uint32_t j = 0; j < b.n; j++) {
+                        uint32_t v = 0;
+                        std::memcpy(&v, t + (size_t)j * taxid_w, taxid_w);
+                        out[j] = v;
+                    }
+                }
+            }
+        }
+    };
+    int nt = threads < 1 ? 1 : threads;
+    if ((size_t)nt > blks.size()) nt = (int)blks.size();
+    if (nt <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) pool.emplace_back(work);
+        for (auto& t : pool) t.join();
+    }
+    return failed.load() ? -1 : total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
 // Fused FASTA/FASTQ loader: file -> (inflate) -> parse -> 2-bit pack.
 //
 // The reference reads through Go's pgzip + fastx readers
@@ -396,6 +604,22 @@ bool read_whole_file(const char* path, std::vector<uint8_t>& out, char* err) {
 bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
                 int64_t max_out, char* err) {
     out.clear();
+    // UK-indexed multi-member stream (our own writer): inflate members
+    // concurrently instead of streaming through one z_stream.
+    int64_t idx_total = pgz_indexed_isize(in.data(), (int64_t)in.size());
+    if (idx_total > 0) {
+        if (max_out > 0 && idx_total > max_out) {
+            std::snprintf(err, 256, "TOO_LARGE");
+            return false;
+        }
+        out.resize((size_t)idx_total);
+        unsigned hw = std::thread::hardware_concurrency();
+        int nt = hw ? (hw > 8 ? 8 : (int)hw) : 1;
+        if (pgz_inflate_parallel(in.data(), (int64_t)in.size(), out.data(),
+                                 idx_total, nt) == idx_total)
+            return true;
+        out.clear();  // corrupt index? fall back to sequential inflate
+    }
     out.reserve(in.size() * 4 + (1 << 20));
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
