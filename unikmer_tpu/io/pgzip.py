@@ -25,6 +25,11 @@ DEFAULT_CHUNK = 1 << 20
 
 
 def _compress_member(data: bytes, level: int) -> bytes:
+    from ..native import pgz_compress_member
+
+    member = pgz_compress_member(data, level)  # libdeflate, ~2-3x zlib
+    if member is not None:
+        return member
     # raw deflate body; header/trailer built by hand to add the FEXTRA
     # member-length subfield (header 20B incl. subfield, trailer 8B)
     co = zlib.compressobj(level, zlib.DEFLATED, -15)

@@ -233,6 +233,21 @@ class UnikWriter:
             taxids = np.ascontiguousarray(taxids, dtype=np.uint32)
             if len(taxids) != len(codes):
                 raise ValueError("codes/taxids length mismatch")
+        if h.is_sorted and len(codes) > self._block:
+            from .. import native
+
+            # all blocks encoded concurrently in one native call (delta
+            # chains restart per block, minor version 1)
+            region = native.encode_sorted_blocks(
+                codes,
+                taxids if h.is_include_taxid else None,
+                h.taxid_bytes if h.is_include_taxid else 0,
+                self._block,
+            )
+            if region is not None:
+                self._file.write(region)
+                self._n_written += len(codes)
+                return
         for off in range(0, len(codes), self._block):
             self._write_block(
                 codes[off : off + self._block],

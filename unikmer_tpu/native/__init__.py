@@ -84,6 +84,11 @@ def get_lib():
     lib.pgz_indexed_isize.argtypes = [u8p, i64]
     lib.unik_scan_blocks.restype = i64
     lib.unik_scan_blocks.argtypes = [u8p, i64]
+    lib.unik_encode_sorted_blocks.restype = i64
+    lib.unik_encode_sorted_blocks.argtypes = [
+        u64p, ctypes.POINTER(ctypes.c_uint32), i64, i64, ctypes.c_int32,
+        u8p, i64, ctypes.c_int32,
+    ]
     lib.unik_decode_sorted_blocks.restype = i64
     lib.unik_decode_sorted_blocks.argtypes = [
         u8p, i64, ctypes.c_int32, u64p,
@@ -91,6 +96,8 @@ def get_lib():
     ]
     lib.pgz_inflate_parallel.restype = i64
     lib.pgz_inflate_parallel.argtypes = [u8p, i64, u8p, i64, ctypes.c_int32]
+    lib.pgz_compress_member.restype = i64
+    lib.pgz_compress_member.argtypes = [u8p, i64, ctypes.c_int32, u8p, i64]
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.parse_code_lines.restype = i64
     lib.parse_code_lines.argtypes = [
@@ -234,6 +241,21 @@ def parse_code_lines(text: bytes, kmer_mode: bool, k: int, has_taxid: bool):
     return codes[:n].copy(), (taxids[:n].copy() if has_taxid else None)
 
 
+def pgz_compress_member(data, level: int) -> bytes | None:
+    """One UK-indexed gzip member via libdeflate (~2-3x zlib deflate);
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(28 + len(data) + (len(data) >> 3) + 256, np.uint8)
+    w = lib.pgz_compress_member(_u8p(inp), len(data), level, _u8p(out),
+                                len(out))
+    if w < 0:
+        return None
+    return out[:w].tobytes()
+
+
 def pgz_inflate_all(raw, threads: int = 0) -> bytes | None:
     """Inflate a UK-indexed multi-member gzip buffer with concurrent
     per-member zlib streams (our ParallelGzipWriter tags every member
@@ -259,6 +281,38 @@ def pgz_inflate_all(raw, threads: int = 0) -> bytes | None:
     if got != total:
         return None
     return out.tobytes()
+
+
+def encode_sorted_blocks(codes: np.ndarray, taxids: np.ndarray | None,
+                         taxid_w: int, block_elems: int,
+                         threads: int = 0) -> bytes | None:
+    """Concurrent encode of sorted codes (+ optional taxid column) into
+    the full framed block region (io/unik.py, minor version >= 1).
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint64)
+    n = len(codes)
+    if n == 0:
+        return b""
+    if taxid_w:
+        taxids = np.ascontiguousarray(taxids, np.uint32)
+    else:
+        taxids = np.zeros(1, np.uint32)
+    nblocks = (n + block_elems - 1) // block_elems
+    worst = 2 * ((block_elems + 3) // 4) + (8 + taxid_w) * block_elems
+    out = np.empty(nblocks * (8 + worst), np.uint8)
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 8)
+    w = lib.unik_encode_sorted_blocks(
+        _u64p(codes),
+        taxids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, block_elems, taxid_w, _u8p(out), len(out), threads,
+    )
+    if w < 0:
+        return None
+    return out[:w].tobytes()
 
 
 def decode_sorted_blocks(buf: bytes, taxid_w: int, threads: int = 0):

@@ -351,6 +351,7 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
 #include <atomic>
 #include <vector>
 #include <zlib.h>
+#include <libdeflate.h>
 
 namespace {
 
@@ -412,6 +413,36 @@ int64_t pgz_indexed_isize(const uint8_t* in, int64_t n) {
     return uk_scan(in, n, nullptr, nullptr, nullptr);
 }
 
+// Deflate `data` into one UK-indexed gzip member (libdeflate, ~2-3x
+// zlib). Returns member size, or -1 on failure / small out_cap.
+int64_t pgz_compress_member(const uint8_t* data, int64_t n, int32_t level,
+                            uint8_t* out, int64_t out_cap) {
+    if (level < 0) level = 0;
+    if (level > 12) level = 12;
+    struct libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) return -1;
+    size_t bound = libdeflate_deflate_compress_bound(c, (size_t)n);
+    if (out_cap < (int64_t)(28 + bound)) {
+        libdeflate_free_compressor(c);
+        return -1;
+    }
+    size_t body = libdeflate_deflate_compress(c, data, (size_t)n, out + 20,
+                                              bound);
+    libdeflate_free_compressor(c);
+    if (!body) return -1;
+    uint32_t mlen = (uint32_t)(28 + body);
+    const uint8_t hdr[10] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 255};
+    std::memcpy(out, hdr, 10);
+    out[10] = 8;  out[11] = 0;                    // XLEN
+    out[12] = 'U'; out[13] = 'K'; out[14] = 4; out[15] = 0;
+    std::memcpy(out + 16, &mlen, 4);
+    uint32_t crc = libdeflate_crc32(0, data, (size_t)n);
+    std::memcpy(out + 20 + body, &crc, 4);
+    uint32_t isz = (uint32_t)((uint64_t)n & 0xFFFFFFFFu);
+    std::memcpy(out + 24 + body, &isz, 4);
+    return (int64_t)mlen;
+}
+
 // Parallel inflate of a UK-indexed buffer. Returns bytes written or -1.
 int64_t pgz_inflate_parallel(const uint8_t* in, int64_t n, uint8_t* out,
                              int64_t out_cap, int32_t threads) {
@@ -421,24 +452,21 @@ int64_t pgz_inflate_parallel(const uint8_t* in, int64_t n, uint8_t* out,
     std::atomic<size_t> next(0);
     std::atomic<bool> failed(false);
     auto work = [&]() {
+        struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        if (!d) { failed = true; return; }
         for (;;) {
             size_t i = next.fetch_add(1);
             if (i >= offs.size() || failed.load(std::memory_order_relaxed))
-                return;
-            z_stream zs;
-            std::memset(&zs, 0, sizeof(zs));
-            if (inflateInit2(&zs, 15 + 16) != Z_OK) { failed = true; return; }
-            zs.next_in = const_cast<Bytef*>(in + offs[i]);
-            zs.avail_in = (uInt)mlens[i];
+                break;
             size_t want =
                 (i + 1 < oouts.size() ? oouts[i + 1] : (size_t)total) -
                 oouts[i];
-            zs.next_out = out + oouts[i];
-            zs.avail_out = (uInt)want;
-            int rc = inflate(&zs, Z_FINISH);
-            if (rc != Z_STREAM_END || zs.avail_out != 0) failed = true;
-            inflateEnd(&zs);
+            size_t got = 0;
+            enum libdeflate_result rc = libdeflate_gzip_decompress(
+                d, in + offs[i], mlens[i], out + oouts[i], want, &got);
+            if (rc != LIBDEFLATE_SUCCESS || got != want) failed = true;
         }
+        libdeflate_free_decompressor(d);
     };
     int nt = threads < 1 ? 1 : threads;
     if ((size_t)nt > offs.size()) nt = (int)offs.size();
@@ -539,6 +567,74 @@ int64_t unik_decode_sorted_blocks(const uint8_t* buf, int64_t len,
         for (auto& t : pool) t.join();
     }
     return failed.load() ? -1 : total;
+}
+
+// Encode a sorted code array (+ optional taxid column, taxid_w bytes
+// per record) into the full framed block region: blocks of
+// "u32 n, u32 nbytes, varint-GB deltas ++ taxids", delta chain
+// restarting at 0 per block (minor version 1).  Writes at most
+// per-block worst case; returns total bytes, or -1 if out_cap small.
+int64_t unik_encode_sorted_blocks(const uint64_t* codes,
+                                  const uint32_t* taxids, int64_t n,
+                                  int64_t block_elems, int32_t taxid_w,
+                                  uint8_t* out, int64_t out_cap,
+                                  int32_t threads) {
+    if (block_elems < 1) return -1;
+    int64_t nblocks = (n + block_elems - 1) / block_elems;
+    // fixed per-block output slots at worst case, compacted at the end
+    int64_t worst_payload =
+        2 * ((block_elems + 3) / 4) + 8 * block_elems +
+        (int64_t)taxid_w * block_elems;
+    int64_t slot = 8 + worst_payload;
+    if (out_cap < nblocks * slot) return -1;
+    std::vector<int64_t> sizes((size_t)nblocks, 0);
+    std::atomic<int64_t> next(0);
+    std::atomic<bool> failed(false);
+    auto work = [&]() {
+        for (;;) {
+            int64_t b = next.fetch_add(1);
+            if (b >= nblocks || failed.load(std::memory_order_relaxed))
+                return;
+            int64_t base = b * block_elems;
+            int64_t bn = (base + block_elems <= n) ? block_elems : (n - base);
+            uint8_t* dst = out + b * slot;
+            size_t payload = gb64_encode_deltas(codes + base, (size_t)bn, 0,
+                                                dst + 8, (size_t)worst_payload);
+            if (payload == (size_t)-1) { failed = true; return; }
+            if (taxid_w) {
+                uint8_t* t = dst + 8 + payload;
+                if (taxid_w == 4) {
+                    std::memcpy(t, taxids + base, (size_t)bn * 4);
+                } else {
+                    for (int64_t j = 0; j < bn; j++)
+                        std::memcpy(t + j * taxid_w, &taxids[base + j],
+                                    (size_t)taxid_w);
+                }
+                payload += (size_t)bn * taxid_w;
+            }
+            uint32_t n32 = (uint32_t)bn, p32 = (uint32_t)payload;
+            std::memcpy(dst, &n32, 4);
+            std::memcpy(dst + 4, &p32, 4);
+            sizes[(size_t)b] = 8 + (int64_t)payload;
+        }
+    };
+    int nt = threads < 1 ? 1 : threads;
+    if (nt > nblocks) nt = (int)nblocks;
+    if (nt <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; t++) pool.emplace_back(work);
+        for (auto& t : pool) t.join();
+    }
+    if (failed.load()) return -1;
+    // compact slots into a contiguous stream
+    int64_t w = sizes.empty() ? 0 : sizes[0];
+    for (int64_t b = 1; b < nblocks; b++) {
+        std::memmove(out + w, out + b * slot, (size_t)sizes[(size_t)b]);
+        w += sizes[(size_t)b];
+    }
+    return w;
 }
 
 }  // extern "C"
