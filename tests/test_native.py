@@ -313,3 +313,53 @@ def test_unik_minor0_chained_deltas_still_read(lib, rng, tmp_path):
     assert r.header.minor_version == 0
     c2, _ = r.read_all()
     np.testing.assert_array_equal(c2, codes)
+
+
+# ---------------------------------------------------------------------
+# Parallel sorted-set kernels
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("na,nb", [(0, 0), (0, 5), (5, 0), (1, 1),
+                                   (1000, 3), (200_000, 150_000)])
+def test_set2_kernels_match_numpy(lib, rng, na, nb):
+    a = np.sort(rng.integers(0, 300_000, size=na, dtype=np.uint64))
+    b = np.sort(rng.integers(0, 300_000, size=nb, dtype=np.uint64))
+    sa, sb = set(a.tolist()), set(b.tolist())
+    np.testing.assert_array_equal(
+        native.set2_sorted("union", a, b), np.fromiter(sorted(sa | sb), np.uint64)
+    )
+    np.testing.assert_array_equal(
+        native.set2_sorted("inter", a, b), np.fromiter(sorted(sa & sb), np.uint64)
+    )
+    np.testing.assert_array_equal(
+        native.set2_sorted("diff", a, b), np.fromiter(sorted(sa - sb), np.uint64)
+    )
+
+
+def test_member_mask_sorted_matches_numpy(lib, rng):
+    ref = np.unique(rng.integers(0, 1 << 40, size=500_000, dtype=np.uint64))
+    q = np.sort(
+        np.concatenate([
+            rng.choice(ref, 200_000),
+            rng.integers(0, 1 << 40, size=200_000, dtype=np.uint64),
+        ]).astype(np.uint64)
+    )
+    mask, idx = native.member_mask_sorted(ref, q)
+    want = np.minimum(np.searchsorted(ref, q), len(ref) - 1)
+    want_mask = ref[want] == q
+    np.testing.assert_array_equal(mask, want_mask)
+    np.testing.assert_array_equal(idx[mask], want[want_mask])
+
+
+def test_sets_union_native_tree(rng):
+    from unikmer_tpu.ops import sets
+
+    arrays = [
+        np.unique(rng.integers(0, 1 << 30, size=n, dtype=np.uint64))
+        for n in (100_000, 70_000, 30_000, 1, 0)
+    ]
+    got, t = sets.union(arrays)
+    assert t is None
+    want = np.unique(np.concatenate(arrays))
+    np.testing.assert_array_equal(got, want)

@@ -89,6 +89,15 @@ def get_lib():
         u64p, ctypes.POINTER(ctypes.c_uint32), i64, i64, ctypes.c_int32,
         u8p, i64, ctypes.c_int32,
     ]
+    i64p = ctypes.POINTER(i64)
+    for name in ("set2_union_u64", "set2_inter_u64", "set2_diff_u64"):
+        fn = getattr(lib, name)
+        fn.restype = i64
+        fn.argtypes = [u64p, i64, u64p, i64, u64p, ctypes.c_int32]
+    lib.member_mask_sorted_u64.restype = None
+    lib.member_mask_sorted_u64.argtypes = [
+        u64p, i64, u64p, i64, u8p, i64p, ctypes.c_int32,
+    ]
     lib.unik_decode_sorted_blocks.restype = i64
     lib.unik_decode_sorted_blocks.argtypes = [
         u8p, i64, ctypes.c_int32, u64p,
@@ -239,6 +248,44 @@ def parse_code_lines(text: bytes, kmer_mode: bool, k: int, has_taxid: bool):
     if n < 0:
         return int(-n - 1)  # byte offset of the offending line
     return codes[:n].copy(), (taxids[:n].copy() if has_taxid else None)
+
+
+def _threads() -> int:
+    return min(os.cpu_count() or 1, 8)
+
+
+def set2_sorted(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """union/inter/diff of two sorted u64 arrays (duplicates collapsed),
+    range-partitioned across threads; None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.uint64)
+    b = np.ascontiguousarray(b, np.uint64)
+    out = np.empty(len(a) + len(b), np.uint64)
+    fn = getattr(lib, f"set2_{op}_u64")
+    n = fn(_u64p(a), len(a), _u64p(b), len(b), _u64p(out), _threads())
+    return out[:n].copy()
+
+
+def member_mask_sorted(ref: np.ndarray, queries: np.ndarray,
+                       want_idx: bool = True):
+    """(mask bool, idx i64) of each sorted query in sorted ref; parallel
+    two-pointer join.  None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref = np.ascontiguousarray(ref, np.uint64)
+    queries = np.ascontiguousarray(queries, np.uint64)
+    mask = np.empty(len(queries), np.uint8)
+    idx = np.zeros(len(queries), np.int64) if want_idx else None
+    lib.member_mask_sorted_u64(
+        _u64p(ref), len(ref), _u64p(queries), len(queries), _u8p(mask),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if idx is not None else None,
+        _threads(),
+    )
+    return mask.view(bool), idx
 
 
 def pgz_compress_member(data, level: int) -> bytes | None:

@@ -350,6 +350,7 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
 #include <thread>
 #include <atomic>
 #include <vector>
+#include <algorithm>
 #include <zlib.h>
 #include <libdeflate.h>
 
@@ -635,6 +636,162 @@ int64_t unik_encode_sorted_blocks(const uint64_t* codes,
         w += sizes[(size_t)b];
     }
     return w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Sorted-set kernels over u64 codes: 2-way union / intersection /
+// difference and membership merge-join, range-partitioned across a
+// thread pool.  Host-side twins of ops/device_sets.py (the reference
+// runs per-record map loops and two-pointer joins in Go instead:
+// union.go:195-202, inter.go:205-296, diff.go:379-454).
+// ---------------------------------------------------------------------
+
+namespace {
+
+// Slice boundaries for p partitions of (a, b) aligned on code value:
+// partition i covers a[ai[i]..ai[i+1]) and b[bi[i]..bi[i+1]).
+void partition_pair(const uint64_t* a, int64_t na, const uint64_t* b,
+                    int64_t nb, int p, std::vector<int64_t>& ai,
+                    std::vector<int64_t>& bi) {
+    ai.resize(p + 1);
+    bi.resize(p + 1);
+    ai[0] = bi[0] = 0;
+    ai[p] = na;
+    bi[p] = nb;
+    for (int i = 1; i < p; i++) {
+        int64_t pos = na * i / p;
+        uint64_t pivot = a[pos < na ? pos : na - 1];
+        // split below the first occurrence of pivot in both arrays so
+        // equal runs never straddle a boundary
+        ai[i] = std::lower_bound(a, a + na, pivot) - a;
+        bi[i] = std::lower_bound(b, b + nb, pivot) - b;
+    }
+    for (int i = 1; i < p; i++) {  // monotonize (tiny/duplicate pivots)
+        if (ai[i] < ai[i - 1]) ai[i] = ai[i - 1];
+        if (bi[i] < bi[i - 1]) bi[i] = bi[i - 1];
+    }
+}
+
+enum SetOp { OP_UNION = 0, OP_INTER = 1, OP_DIFF = 2 };
+
+int64_t merge_slice(SetOp op, const uint64_t* a, int64_t na,
+                    const uint64_t* b, int64_t nb, uint64_t* out) {
+    int64_t i = 0, j = 0, w = 0;
+    while (i < na && j < nb) {
+        uint64_t x = a[i], y = b[j];
+        if (x < y) {
+            if (op != OP_INTER) out[w++] = x;
+            while (++i < na && a[i] == x) {}
+        } else if (y < x) {
+            if (op == OP_UNION) out[w++] = y;
+            while (++j < nb && b[j] == y) {}
+        } else {
+            if (op != OP_DIFF) out[w++] = x;
+            while (++i < na && a[i] == x) {}
+            while (++j < nb && b[j] == y) {}
+        }
+    }
+    if (op != OP_INTER) {
+        while (i < na) {
+            uint64_t x = a[i];
+            out[w++] = x;
+            while (++i < na && a[i] == x) {}
+        }
+    }
+    if (op == OP_UNION) {
+        while (j < nb) {
+            uint64_t y = b[j];
+            out[w++] = y;
+            while (++j < nb && b[j] == y) {}
+        }
+    }
+    return w;
+}
+
+int64_t set2_run(SetOp op, const uint64_t* a, int64_t na, const uint64_t* b,
+                 int64_t nb, uint64_t* out, int32_t threads) {
+    int p = threads < 1 ? 1 : threads;
+    if (na + nb < (1 << 16) || na == 0) p = 1;
+    std::vector<int64_t> ai, bi;
+    partition_pair(a, na, b, nb, p, ai, bi);
+    std::vector<int64_t> sizes(p, 0);
+    // per-partition scratch laid out at input-sum offsets (cannot
+    // overflow), compacted afterwards
+    std::vector<int64_t> cap_off(p + 1, 0);
+    for (int i = 0; i < p; i++)
+        cap_off[i + 1] =
+            cap_off[i] + (ai[i + 1] - ai[i]) + (bi[i + 1] - bi[i]);
+    auto work_part = [&](int i) {
+        sizes[i] = merge_slice(op, a + ai[i], ai[i + 1] - ai[i], b + bi[i],
+                               bi[i + 1] - bi[i], out + cap_off[i]);
+    };
+    if (p == 1) {
+        work_part(0);
+        return sizes[0];
+    }
+    std::vector<std::thread> pool;
+    for (int t = 0; t < p; t++) pool.emplace_back(work_part, t);
+    for (auto& t : pool) t.join();
+    int64_t w = sizes[0];
+    for (int i = 1; i < p; i++) {
+        std::memmove(out + w, out + cap_off[i],
+                     (size_t)sizes[i] * sizeof(uint64_t));
+        w += sizes[i];
+    }
+    return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+// out must hold na + nb (union/diff) or min(na, nb) + slack — pass
+// na + nb to be safe.  Inputs sorted (duplicates allowed; collapsed).
+int64_t set2_union_u64(const uint64_t* a, int64_t na, const uint64_t* b,
+                       int64_t nb, uint64_t* out, int32_t threads) {
+    return set2_run(OP_UNION, a, na, b, nb, out, threads);
+}
+
+int64_t set2_inter_u64(const uint64_t* a, int64_t na, const uint64_t* b,
+                       int64_t nb, uint64_t* out, int32_t threads) {
+    return set2_run(OP_INTER, a, na, b, nb, out, threads);
+}
+
+int64_t set2_diff_u64(const uint64_t* a, int64_t na, const uint64_t* b,
+                      int64_t nb, uint64_t* out, int32_t threads) {
+    return set2_run(OP_DIFF, a, na, b, nb, out, threads);
+}
+
+// Membership of each (sorted) query in sorted ref: mask[j] in {0,1},
+// idx[j] = matching ref index where mask (0 otherwise; idx may be
+// NULL).  Queries partitioned evenly; ref ranges via binary search.
+void member_mask_sorted_u64(const uint64_t* ref, int64_t nref,
+                            const uint64_t* q, int64_t nq, uint8_t* mask,
+                            int64_t* idx, int32_t threads) {
+    int p = threads < 1 ? 1 : threads;
+    if (nq < (1 << 16)) p = 1;
+    auto work = [&](int t) {
+        int64_t q0 = nq * t / p, q1 = nq * (t + 1) / p;
+        if (q0 >= q1) return;
+        const uint64_t* r =
+            std::lower_bound(ref, ref + nref, q[q0]);
+        for (int64_t j = q0; j < q1; j++) {
+            uint64_t v = q[j];
+            while (r < ref + nref && *r < v) r++;
+            bool hit = (r < ref + nref && *r == v);
+            mask[j] = hit ? 1 : 0;
+            if (idx) idx[j] = hit ? (r - ref) : 0;
+        }
+    };
+    if (p == 1) {
+        work(0);
+        return;
+    }
+    std::vector<std::thread> pool;
+    for (int t = 0; t < p; t++) pool.emplace_back(work, t);
+    for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

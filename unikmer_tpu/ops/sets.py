@@ -50,8 +50,40 @@ def dedup_sorted(codes: np.ndarray, taxids: np.ndarray | None, taxdb=None):
     return codes[first], merged
 
 
+def _is_sorted(c: np.ndarray) -> bool:
+    return len(c) < 2 or bool((c[1:] >= c[:-1]).all())
+
+
+def _native_union_tree(code_arrays):
+    """Pairwise-tree union of sorted arrays via the parallel native
+    merge kernel; None without the native library.  Every array passes
+    through at least one merge (which collapses duplicates within and
+    across inputs), so the result is strictly increasing."""
+    from .. import native
+
+    if native.get_lib() is None:
+        return None
+    level = [np.ascontiguousarray(c, np.uint64) for c in code_arrays]
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(native.set2_sorted("union", level[i], level[i + 1]))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0]
+
+
 def union(code_arrays, taxid_arrays=None, taxdb=None):
     """Union with LCA merge on collision (union.go:195-202)."""
+    if (
+        taxid_arrays is None
+        and len(code_arrays) > 1
+        and all(_is_sorted(c) for c in code_arrays)
+    ):
+        out = _native_union_tree(code_arrays)
+        if out is not None:
+            return out, None
     codes = np.concatenate(code_arrays) if code_arrays else np.zeros(0, np.uint64)
     if taxid_arrays is None:
         codes = np.sort(codes, kind="stable")
@@ -92,14 +124,23 @@ def _union_const_taxids(code_arrays, consts, taxdb):
         else:
             c, _ = dedup_sorted(c, None)
         deduped.append(c)
+    from .. import native
+
     out = deduped[0]
     for c in deduped[1:]:
-        # merge-of-sorted via membership + sort of the new tail
-        mask, _ = member_mask(out, c)
-        out = np.sort(np.concatenate([out, c[~mask]]), kind="stable")
+        merged = (
+            native.set2_sorted("union", out, c)
+            if native.get_lib() is not None
+            else None
+        )
+        if merged is None:
+            # merge-of-sorted via membership + sort of the new tail
+            mask, _ = member_mask(out, c, sorted_queries=True)
+            merged = np.sort(np.concatenate([out, c[~mask]]), kind="stable")
+        out = merged
     bits = np.zeros(len(out), np.uint64)
     for i, c in enumerate(deduped):
-        mask, _ = member_mask(c, out)
+        mask, _ = member_mask(c, out, sorted_queries=True)
         bits |= mask.astype(np.uint64) << np.uint64(i)
     patterns, inv = np.unique(bits, return_inverse=True)
     lca_per_pattern = np.empty(len(patterns), np.uint32)
@@ -114,11 +155,20 @@ def _union_const_taxids(code_arrays, consts, taxdb):
     return out, lca_per_pattern[inv]
 
 
-def member_mask(sorted_ref: np.ndarray, queries: np.ndarray):
+def member_mask(sorted_ref: np.ndarray, queries: np.ndarray,
+                sorted_queries: bool = False):
     """For each query, whether it occurs in sorted_ref; also the match
-    index (valid where mask).  Vectorized binary-search merge-join."""
+    index (valid where mask).  Vectorized binary-search merge-join;
+    when the caller knows `queries` is sorted too, a parallel native
+    two-pointer join is used instead."""
     if len(sorted_ref) == 0:
         return np.zeros(len(queries), bool), np.zeros(len(queries), np.int64)
+    if sorted_queries and len(queries) >= (1 << 14):
+        from .. import native
+
+        res = native.member_mask_sorted(sorted_ref, queries)
+        if res is not None:
+            return res
     idx = np.searchsorted(sorted_ref, queries)
     idx_c = np.minimum(idx, len(sorted_ref) - 1)
     mask = sorted_ref[idx_c] == queries
@@ -139,7 +189,7 @@ def intersect(code_arrays, taxid_arrays=None, taxdb=None):
             None if taxid_arrays is None else taxid_arrays[i],
             taxdb,
         )
-        mask, idx = member_mask(codes_i, survivors)
+        mask, idx = member_mask(codes_i, survivors, sorted_queries=True)
         survivors = survivors[mask]
         if s_tax is not None:
             s_tax = s_tax[mask]
@@ -172,7 +222,7 @@ def subtract(
             order = np.argsort(codes_i, kind="stable")
             codes_i, tax_i = codes_i[order], tax_i[order]
         codes_i, tax_i = dedup_sorted(codes_i, tax_i, taxdb)
-        mask, idx = member_mask(codes_i, q_codes)
+        mask, idx = member_mask(codes_i, q_codes, sorted_queries=True)
         if compare_taxid and q_tax is not None and tax_i is not None:
             t = tax_i[idx]
             keep_matched = (q_tax == t) | (
@@ -211,5 +261,5 @@ def common(code_arrays, taxid_arrays=None, threshold: int = 0, taxdb=None):
          for c, t in zip(deduped, dedup_tax)]
     )[order]
     m_codes, m_tax = dedup_sorted(all_codes, all_tax, taxdb)
-    mask, idx = member_mask(m_codes, keep_codes)
+    mask, idx = member_mask(m_codes, keep_codes, sorted_queries=True)
     return keep_codes, m_tax[idx]
