@@ -62,12 +62,26 @@ class ParallelGzipWriter(io.RawIOBase):
         return True
 
     def write(self, data) -> int:
-        self._buf += data
-        while len(self._buf) >= self._chunk:
-            chunk = bytes(self._buf[: self._chunk])
-            del self._buf[: self._chunk]
-            self._submit(chunk)
-        return len(data)
+        # slice the incoming buffer directly — appending everything to
+        # self._buf and repeatedly del-ing the front is quadratic for
+        # writes much larger than the chunk size
+        view = memoryview(data)
+        total = len(view)
+        off = 0
+        if self._buf:
+            need = self._chunk - len(self._buf)
+            take = min(need, total)
+            self._buf += view[:take]
+            off = take
+            if len(self._buf) == self._chunk:
+                self._submit(bytes(self._buf))
+                self._buf = bytearray()
+        while total - off >= self._chunk:
+            self._submit(bytes(view[off : off + self._chunk]))
+            off += self._chunk
+        if off < total:
+            self._buf += view[off:]
+        return total
 
     def _submit(self, chunk: bytes) -> None:
         self._pending.append(self._pool.submit(_compress_member, chunk, self._level))

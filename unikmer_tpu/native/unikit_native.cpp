@@ -873,48 +873,45 @@ bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out,
             return true;
         out.clear();  // corrupt index? fall back to sequential inflate
     }
-    out.reserve(in.size() * 4 + (1 << 20));
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, 15 + 16) != Z_OK) {
-        std::snprintf(err, 256, "inflateInit failed");
+    // whole-member decompress per gzip member (libdeflate, ~2x faster
+    // than streaming zlib), growing the output buffer as needed
+    struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) {
+        std::snprintf(err, 256, "libdeflate alloc failed");
         return false;
     }
-    zs.next_in = const_cast<Bytef*>(in.data());
-    zs.avail_in = (uInt)in.size();
-    std::vector<uint8_t> buf(1 << 20);
-    for (;;) {
-        zs.next_out = buf.data();
-        zs.avail_out = (uInt)buf.size();
-        int rc = inflate(&zs, Z_NO_FLUSH);
-        size_t produced = buf.size() - zs.avail_out;
-        if (max_out > 0 && (int64_t)(out.size() + produced) > max_out) {
-            std::snprintf(err, 256, "TOO_LARGE");
-            inflateEnd(&zs);
-            return false;
-        }
-        out.insert(out.end(), buf.data(), buf.data() + produced);
-        if (rc == Z_STREAM_END) {
-            if (zs.avail_in == 0) break;      // done
-            if (inflateReset2(&zs, 15 + 16) != Z_OK) {  // next member
-                std::snprintf(err, 256, "inflateReset failed");
-                inflateEnd(&zs);
+    out.resize(in.size() * 4 + (1 << 20));
+    size_t w = 0, pos = 0;
+    while (pos < in.size()) {
+        size_t in_used = 0, out_used = 0;
+        enum libdeflate_result rc = libdeflate_gzip_decompress_ex(
+            d, in.data() + pos, in.size() - pos, out.data() + w,
+            out.size() - w, &in_used, &out_used);
+        if (rc == LIBDEFLATE_SUCCESS) {
+            w += out_used;
+            pos += in_used;
+            if (max_out > 0 && (int64_t)w > max_out) {
+                std::snprintf(err, 256, "TOO_LARGE");
+                libdeflate_free_decompressor(d);
                 return false;
             }
             continue;
         }
-        if (rc != Z_OK) {
-            std::snprintf(err, 256, "inflate error %d", rc);
-            inflateEnd(&zs);
-            return false;
+        if (rc == LIBDEFLATE_INSUFFICIENT_SPACE) {
+            if (max_out > 0 && (int64_t)out.size() > max_out) {
+                std::snprintf(err, 256, "TOO_LARGE");
+                libdeflate_free_decompressor(d);
+                return false;
+            }
+            out.resize(out.size() * 2);
+            continue;
         }
-        if (produced == 0 && zs.avail_in == 0) {
-            std::snprintf(err, 256, "truncated gzip stream");
-            inflateEnd(&zs);
-            return false;
-        }
+        std::snprintf(err, 256, "gzip decompress error %d", (int)rc);
+        libdeflate_free_decompressor(d);
+        return false;
     }
-    inflateEnd(&zs);
+    libdeflate_free_decompressor(d);
+    out.resize(w);
     return true;
 }
 
