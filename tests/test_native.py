@@ -152,6 +152,39 @@ def test_count_stream_packed_equivalence(tmp_path, rng):
     assert all(pc.n_records >= 1 for pc in pieces)
 
 
+def test_count_stream_oversized_record(tmp_path, rng):
+    """A single record far larger than the chunk is overlap-segmented
+    (k-1 overlap = window-exact partition): distinct/unique/repeated all
+    match the unchunked brute force, linear and circular."""
+    from unikmer_tpu.models.count import (
+        CountConfig, count_packed, count_stream, count_stream_packed,
+        split_packed,
+    )
+
+    k = 13
+    big = "".join("ACGT"[j] for j in rng.integers(0, 4, 40_000))
+    small = "".join("ACGT"[j] for j in rng.integers(0, 4, 100))
+    p = tmp_path / "big.fa"
+    p.write_bytes(f">a\n{big}\n>b\n{small}\n".encode())
+    records = list(fastx.read_fastx(str(p)))
+    for circular in (False, True):
+        for mode in ("distinct", "unique", "repeated"):
+            cfg = CountConfig(k=k, canonical=True, mode=mode,
+                              circular=circular)
+            want = count_packed(
+                fastx.pack_records(records, k, circular), cfg)
+            got = count_stream(iter(records), cfg, chunk_bases=4096)
+            np.testing.assert_array_equal(got, want)
+            packed = fastx.pack_records(records, k, circular)
+            got2 = count_stream_packed([packed], cfg, chunk_bases=4096)
+            np.testing.assert_array_equal(got2, want)
+    # every piece is bounded even though one record exceeds the chunk
+    packed = fastx.pack_records(records, k, False)
+    pieces = list(split_packed(packed, 4096, k))
+    assert all(len(pc.bases) <= 4096 + k for pc in pieces)
+    assert len(pieces) > 2
+
+
 def test_render_lines_matches_textout(lib, rng):
     from unikmer_tpu.ops.codec import decode_codes
     from unikmer_tpu.utils import textout

@@ -356,9 +356,10 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
 
 
 def _stream_chunk_bases() -> int:
-    """Stream chunk sized so every chunk fits the standard cached device
-    bucket (2^23 on TPU, 2^20 on CPU) with room for separators."""
-    return (7 << 20) if jax.default_backend() == "tpu" else (7 << 16)
+    """Stream chunk sized so every chunk fits the fastest validated
+    device bucket (2^25 on TPU: 188M k-mers/s vs 139M at 2^23, see
+    docs/BENCH_NOTES.md; 2^20 on CPU) with room for separators."""
+    return (28 << 20) if jax.default_backend() == "tpu" else (7 << 16)
 
 
 def _capped_cfgs(cfg: CountConfig):
@@ -421,13 +422,16 @@ def count_stream(records, cfg: CountConfig,
         packed = pack_records(buf, cfg.k, cfg.circular)
         buf = []
         buffered = 0
-        u = count_packed(packed, distinct_cfg)
-        if len(u):
-            partial.append(u)
-        if repeated_cfg is not None:
-            r = count_packed(packed, repeated_cfg)
-            if len(r):
-                partial.append(r)  # second copy marks within-chunk dups
+        # split_packed bounds every piece even when one record alone
+        # exceeds the chunk (overlap-segmented, window-exact)
+        for piece in split_packed(packed, chunk_bases, cfg.k):
+            u = count_packed(piece, distinct_cfg)
+            if len(u):
+                partial.append(u)
+            if repeated_cfg is not None:
+                r = count_packed(piece, repeated_cfg)
+                if len(r):
+                    partial.append(r)  # second copy marks within-chunk dups
 
     for rec in records:
         buf.append(rec)
@@ -438,15 +442,38 @@ def count_stream(records, cfg: CountConfig,
     return _merge_partials(partial, cfg)
 
 
-def split_packed(packed: PackedSeqs, chunk_bases: int):
+def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
     """Split a PackedSeqs at record boundaries into pieces of at most
-    ~chunk_bases bases each (a piece always holds >= 1 record)."""
+    ~chunk_bases bases each (a piece always holds >= 1 record).
+
+    With ``k`` > 0, a single record whose base span exceeds chunk_bases
+    (e.g. a mammalian chromosome) is further cut into segments with
+    k-1 bases of overlap: windows starting in [off, off+chunk) belong
+    to exactly one segment, so distinct/unique/repeated multiplicities
+    are preserved exactly.  Without this, one oversized record would
+    force a device program far above the validated 2^25 bucket (2^26+
+    hangs on the tunnel backend — docs/BENCH_NOTES.md)."""
     n_rec = packed.n_records
     if n_rec == 0:
         return
     total = len(packed.bases)
     lo = 0
     while lo < n_rec:
+        rec_end = packed.starts[lo + 1] if lo + 1 < n_rec else total
+        span = int(rec_end - packed.starts[lo])
+        if k > 0 and span > chunk_bases + k:
+            # oversized single record: overlap-segmented exact cut
+            base0 = int(packed.starts[lo])
+            for off in range(0, span - (k - 1), chunk_bases):
+                seg = packed.bases[
+                    base0 + off : base0 + min(off + chunk_bases + k - 1, span)
+                ]
+                yield PackedSeqs(
+                    seg, np.zeros(1, np.int64),
+                    np.asarray([len(seg)], np.int64),
+                )
+            lo += 1
+            continue
         limit = packed.starts[lo] + chunk_bases
         hi = int(np.searchsorted(packed.starts, limit, side="right"))
         hi = max(hi, lo + 1)
@@ -469,7 +496,7 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
     partial: list[np.ndarray] = []
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
     for packed in packed_iter:
-        for piece in split_packed(packed, chunk_bases):
+        for piece in split_packed(packed, chunk_bases, cfg.k):
             u = count_packed(piece, distinct_cfg)
             if len(u):
                 partial.append(u)
