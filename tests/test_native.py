@@ -185,6 +185,29 @@ def test_count_stream_oversized_record(tmp_path, rng):
     assert len(pieces) > 2
 
 
+def test_linear_codes_all_chunked(tmp_path, rng):
+    """Chunked linear codes == single-shot, order and positions exact."""
+    from unikmer_tpu.models.count import CountConfig, linear_codes_all
+
+    k = 11
+    # embed invalid bases so validity masking crosses chunk boundaries
+    seq = list("ACGT"[j] for j in rng.integers(0, 4, 20_000))
+    for i in rng.integers(0, len(seq), 50):
+        seq[int(i)] = "N"
+    packed = fastx.pack_records(
+        [fastx.Record(b"a", b"a", "".join(seq).encode())], k, False)
+    for cfg in (
+        CountConfig(k=k, canonical=True),
+        CountConfig(k=k, canonical=True, hashed=True),
+    ):
+        want_c, want_p = linear_codes_all(packed.bases, cfg,
+                                          chunk_bases=1 << 30)
+        got_c, got_p = linear_codes_all(packed.bases, cfg,
+                                        chunk_bases=3000)
+        np.testing.assert_array_equal(got_c, want_c)
+        np.testing.assert_array_equal(got_p, want_p)
+
+
 def test_render_lines_matches_textout(lib, rng):
     from unikmer_tpu.ops.codec import decode_codes
     from unikmer_tpu.utils import textout

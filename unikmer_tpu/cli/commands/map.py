@@ -19,7 +19,7 @@ import sys
 
 import numpy as np
 
-from ...models.count import CountConfig, linear_codes_step, pad_bases
+from ...models.count import CountConfig, linear_codes_all
 from ...io.fastx import read_fastx
 from ...ops import codec
 from ...utils.log import die, log
@@ -140,11 +140,12 @@ def _seq_codes(seq: bytes, cfg, circular: bool) -> np.ndarray:
     if circular:
         seq = seq + seq  # doubled (map.go:338-340)
     bases = codec.BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
-    codes, valid = linear_codes_step(pad_bases(bases), cfg)
+    codes, pos = linear_codes_all(bases, cfg)
     n = len(seq) - cfg.k + 1
-    codes = np.asarray(codes[:n])
-    valid = np.asarray(valid[:n])
-    return np.where(valid, codes, np.uint64(codec.CODE_SENTINEL))
+    out = np.full(n, np.uint64(codec.CODE_SENTINEL), np.uint64)
+    keep = pos < n
+    out[pos[keep]] = codes[keep]
+    return out
 
 
 def _multi_mapped(codes: np.ndarray, query: np.ndarray) -> np.ndarray:

@@ -41,6 +41,14 @@ class CountConfig:
     circular: bool = False
     mode: str = "distinct"  # distinct | unique | repeated
 
+    @property
+    def segmentable(self) -> bool:
+        """Whether windows are a pure per-position function of k bases
+        (then k-1-overlap record segmentation partitions them exactly).
+        Minimizer/syncmer selection spans w neighboring windows, so
+        sketched records must stay whole."""
+        return self.minimizer_w == 0 and self.syncmer_s == 0
+
     def __post_init__(self):
         if self.k > codec.MAX_K_ENCODED and not self.hashed:
             object.__setattr__(self, "hashed", True)
@@ -339,12 +347,7 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     if packed.n_records != len(records):
         kept = [i for i, rec in enumerate(records) if len(rec.seq) >= cfg.k]
         rec_taxids = rec_taxids[kept]
-    bases = pad_bases(packed.bases)
-    dev_codes, dev_valid = linear_codes_step(bases, cfg)
-    codes = np.asarray(dev_codes)
-    valid = np.asarray(dev_valid)
-    pos = np.flatnonzero(valid)
-    codes = codes[pos]
+    codes, pos = linear_codes_all(packed.bases, cfg)
     rec_id = np.searchsorted(packed.starts, pos, side="right") - 1
     taxids = rec_taxids[rec_id]
     uniq, merged = taxdb.lca_reduce(codes, taxids)
@@ -424,7 +427,9 @@ def count_stream(records, cfg: CountConfig,
         buffered = 0
         # split_packed bounds every piece even when one record alone
         # exceeds the chunk (overlap-segmented, window-exact)
-        for piece in split_packed(packed, chunk_bases, cfg.k):
+        for piece in split_packed(
+            packed, chunk_bases, cfg.k if cfg.segmentable else 0
+        ):
             u = count_packed(piece, distinct_cfg)
             if len(u):
                 partial.append(u)
@@ -496,7 +501,9 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
     partial: list[np.ndarray] = []
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
     for packed in packed_iter:
-        for piece in split_packed(packed, chunk_bases, cfg.k):
+        for piece in split_packed(
+            packed, chunk_bases, cfg.k if cfg.segmentable else 0
+        ):
             u = count_packed(piece, distinct_cfg)
             if len(u):
                 partial.append(u)
@@ -507,12 +514,41 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
     return _merge_partials(partial, cfg)
 
 
+def linear_codes_all(bases: np.ndarray, cfg: CountConfig,
+                     chunk_bases: int | None = None):
+    """All valid window codes of a packed base buffer, in genome order:
+    (codes uint64[n_valid], positions int64[n_valid]).
+
+    Large buffers are processed in overlap-segmented device chunks
+    (k-1 overlap = exact window partition, order-preserving) so no
+    input builds a program above the validated bucket size; sketched
+    configs (minimizer/syncmer) are not segmentable and run whole."""
+    n = len(bases)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
+    k = cfg.k
+    if n <= chunk_bases + k or not cfg.segmentable:
+        dev_codes, dev_valid = linear_codes_step(pad_bases(bases), cfg)
+        pos = np.flatnonzero(np.asarray(dev_valid)[:n])
+        return np.asarray(dev_codes)[pos], pos
+    parts_c, parts_p = [], []
+    for off in range(0, n - (k - 1), chunk_bases):
+        seg = bases[off : min(off + chunk_bases + k - 1, n)]
+        dev_codes, dev_valid = linear_codes_step(pad_bases(seg), cfg)
+        valid = np.asarray(dev_valid)[: len(seg)]
+        # window starts in the k-1 overlap tail belong to the next piece
+        # (they are invalid here anyway: their windows cross into padding)
+        pos = np.flatnonzero(valid[:chunk_bases])
+        parts_c.append(np.asarray(dev_codes)[pos])
+        parts_p.append(pos + off)
+    return np.concatenate(parts_c), np.concatenate(parts_p)
+
+
 def count_linear(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     """Host entry for -l/--linear: codes in genome order, dups kept."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64)
-    bases = pad_bases(packed.bases)
-    codes, valid = linear_codes_step(bases, cfg)
-    codes = np.asarray(codes)
-    valid = np.asarray(valid)
-    return codes[valid]
+    codes, _ = linear_codes_all(packed.bases, cfg)
+    return codes

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..io.fastx import read_fastx
 from ..ops import codec
-from .count import CountConfig, linear_codes_step, pad_bases
+from .count import CountConfig, linear_codes_all
 
 
 @dataclass
@@ -89,9 +89,7 @@ def build_genome_index(
         lens = np.fromiter((len(s) for s in sequences), np.int64,
                            len(sequences))
         np.cumsum(lens[:-1] + 1, out=starts[1:])
-        dev_codes, dev_valid = linear_codes_step(pad_bases(bases), cfg)
-        flat = np.flatnonzero(np.asarray(dev_valid)[: len(bases)])
-        codes = np.asarray(dev_codes)[flat]
+        codes, flat = linear_codes_all(bases, cfg)
         seq_idx = (
             np.searchsorted(starts, flat, side="right") - 1
         ).astype(np.int32)
