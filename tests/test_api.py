@@ -199,3 +199,23 @@ def test_union_all(rng, taxdb):
     u = KmerSet.union_all([a, b, c])
     np.testing.assert_array_equal(u.to_numpy(), [1, 2, 3, 4])
     np.testing.assert_array_equal(u.taxids_to_numpy(), [511145, 562, 562, 562])
+
+
+def test_from_fasta_chunked_matches_single_shot(tmp_path, rng, monkeypatch):
+    """Oversized FASTA builds are chunked into bounded device programs;
+    the merged set is identical to the one-shot build for every mode."""
+    import unikmer_tpu.api as api
+
+    seq = "".join("ACGT"[j] for j in rng.integers(0, 4, 30_000))
+    # a duplicated block so unique/repeated modes have real collisions
+    seq = seq + seq[:5_000]
+    p = tmp_path / "g.fa"
+    p.write_bytes(f">g\n{seq}\n".encode())
+    for mode in ("distinct", "unique", "repeated"):
+        want = KmerSet.from_fasta(str(p), 15, canonical=True,
+                                  mode=mode).to_numpy()
+        monkeypatch.setattr(api, "_stream_chunk_bases", lambda: 4096)
+        got = KmerSet.from_fasta(str(p), 15, canonical=True,
+                                 mode=mode).to_numpy()
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want)

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from .ops import device_sets
 from .ops.codec import CODE_SENTINEL
 from .ops.sort import collapse_sorted
-from .models.count import CountConfig, _padded_len, count_step, pad_bases
+from .models.count import (
+    CountConfig, _padded_len, _stream_chunk_bases, count_step,
+    count_stream_packed, pad_bases, split_packed,
+)
 
 _SENT = np.uint64(CODE_SENTINEL)
 
@@ -127,6 +130,27 @@ class KmerSet:
             return cls.from_codes(np.zeros(0, np.uint64), k,
                                   canonical=cfg.canonical, hashed=cfg.hashed,
                                   scale=scale, taxdb=taxdb)
+        chunk = _stream_chunk_bases()
+        if len(packed.bases) > chunk + cfg.k and cfg.mode == "distinct":
+            # bound every device program to the validated bucket size
+            # (2^26+ hangs this backend, docs/BENCH_NOTES.md): per-piece
+            # device sets, merged by the one-pass device union
+            pieces = []
+            for piece in split_packed(
+                packed, chunk, cfg.k if cfg.segmentable else 0
+            ):
+                out, n = count_step(pad_bases(piece.bases), cfg)
+                pieces.append(cls(out, int(n), k, canonical=cfg.canonical,
+                                  hashed=cfg.hashed, scale=scale,
+                                  taxdb=taxdb).compact())
+            return cls.union_all(pieces)
+        if len(packed.bases) > chunk + cfg.k:
+            # unique/repeated need cross-chunk multiplicities: exact
+            # capped-multiplicity host merge, then re-upload
+            codes = count_stream_packed([packed], cfg)
+            return cls.from_codes(codes, k, canonical=cfg.canonical,
+                                  hashed=cfg.hashed, scale=scale,
+                                  taxdb=taxdb, assume_sorted_unique=True)
         out, n = count_step(pad_bases(packed.bases), cfg)
         s = cls(out, int(n), k, canonical=cfg.canonical, hashed=cfg.hashed,
                 scale=scale, taxdb=taxdb)
