@@ -283,6 +283,16 @@ def test_pgz_indexed_roundtrip_and_interop(lib, rng):
     assert native.pgz_inflate_all(gzip.compress(data[:100_000])) is None
     # truncated indexed stream: not silently accepted
     assert native.pgz_inflate_all(raw[:-3]) is None
+    # one write far larger than the chunk (direct-slice fast path),
+    # preceded by a partial buffer so the boundary-fill runs too
+    buf2 = io.BytesIO()
+    w2 = ParallelGzipWriter(buf2, compresslevel=1, threads=3,
+                            chunk_size=1 << 18)
+    w2.write(data[:1000])
+    w2.write(data[1000:])
+    w2.close()
+    assert gzip.decompress(buf2.getvalue()) == data
+    assert native.pgz_inflate_all(buf2.getvalue()) == data
 
 
 def test_pgz_small_and_empty_members(lib):
