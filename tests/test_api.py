@@ -219,3 +219,12 @@ def test_from_fasta_chunked_matches_single_shot(tmp_path, rng, monkeypatch):
                                  mode=mode).to_numpy()
         monkeypatch.undo()
         np.testing.assert_array_equal(got, want)
+    # when even the union concat exceeds the program-size cap, pieces
+    # are merged exactly on host and re-uploaded
+    want = KmerSet.from_fasta(str(p), 15, canonical=True).to_numpy()
+    monkeypatch.setattr(api, "_stream_chunk_bases", lambda: 4096)
+    monkeypatch.setattr(api, "_max_device_elems", lambda: 4096)
+    got = KmerSet.from_fasta(str(p), 15, canonical=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(got.to_numpy(), want)
+    assert len(got) == len(want)

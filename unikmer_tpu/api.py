@@ -36,6 +36,17 @@ from .models.count import (
     count_stream_packed, pad_bases, split_packed,
 )
 
+
+def _max_device_elems() -> int:
+    """Largest single-program element count validated on this backend
+    (2^25; 2^26 hangs — docs/BENCH_NOTES.md).  Unlimited on CPU."""
+    import os
+
+    env = os.environ.get("UNIKMER_TPU_MAX_ELEMS")
+    if env:
+        return int(env)
+    return (1 << 25) if jax.default_backend() == "tpu" else (1 << 62)
+
 _SENT = np.uint64(CODE_SENTINEL)
 
 
@@ -143,7 +154,17 @@ class KmerSet:
                 pieces.append(cls(out, int(n), k, canonical=cfg.canonical,
                                   hashed=cfg.hashed, scale=scale,
                                   taxdb=taxdb).compact())
-            return cls.union_all(pieces)
+            if sum(p.capacity for p in pieces) <= _max_device_elems():
+                return cls.union_all(pieces)
+            # the union concat itself would exceed the validated program
+            # size: exact host merge of the sorted piece sets, then one
+            # upload (beyond-2^25 DEVICE algebra belongs to the sharded
+            # engine, parallel/sharded.py — one bucket per chip)
+            merged = np.unique(np.concatenate(
+                [p.to_numpy() for p in pieces]))
+            return cls.from_codes(merged, k, canonical=cfg.canonical,
+                                  hashed=cfg.hashed, scale=scale,
+                                  taxdb=taxdb, assume_sorted_unique=True)
         if len(packed.bases) > chunk + cfg.k:
             # unique/repeated need cross-chunk multiplicities: exact
             # capped-multiplicity host merge, then re-upload
