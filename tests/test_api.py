@@ -228,3 +228,42 @@ def test_from_fasta_chunked_matches_single_shot(tmp_path, rng, monkeypatch):
     monkeypatch.undo()
     np.testing.assert_array_equal(got.to_numpy(), want)
     assert len(got) == len(want)
+
+
+def test_host_fallback_algebra_matches_device(rng, taxdb, monkeypatch):
+    """Past the program-size cap, algebra transparently runs on the host
+    engine with identical results (incl. taxid LCA / mix semantics)."""
+    import unikmer_tpu.api as api
+
+    a_np = rng.integers(0, 6000, 2500, dtype=np.uint64)
+    b_np = rng.integers(0, 6000, 2500, dtype=np.uint64)
+    a, b = _mk(a_np), _mk(b_np)
+    at = _mk(np.unique(a_np), taxids=[511145] * len(np.unique(a_np)),
+             taxdb=taxdb)
+    bt = _mk(np.unique(b_np), taxids=[585057] * len(np.unique(b_np)),
+             taxdb=taxdb)
+    dev = {
+        "u": (a | b).to_numpy(), "i": (a & b).to_numpy(),
+        "d": (a - b).to_numpy(),
+        "ut": (at | bt).to_numpy(), "utt": (at | bt).taxids_to_numpy(),
+        "it": (at & bt).to_numpy(), "itt": (at & bt).taxids_to_numpy(),
+        "mix": (at & b).taxids_to_numpy(), "mix2": (b & at).taxids_to_numpy(),
+        "dt": (at - b).taxids_to_numpy(),
+        "ua": KmerSet.union_all([a, b, a]).to_numpy(),
+        "c2": KmerSet.common([a, b], 2).to_numpy(),
+    }
+    monkeypatch.setattr(api, "_max_device_elems", lambda: 1)
+    np.testing.assert_array_equal((a | b).to_numpy(), dev["u"])
+    np.testing.assert_array_equal((a & b).to_numpy(), dev["i"])
+    np.testing.assert_array_equal((a - b).to_numpy(), dev["d"])
+    np.testing.assert_array_equal((at | bt).to_numpy(), dev["ut"])
+    np.testing.assert_array_equal((at | bt).taxids_to_numpy(), dev["utt"])
+    np.testing.assert_array_equal((at & bt).to_numpy(), dev["it"])
+    np.testing.assert_array_equal((at & bt).taxids_to_numpy(), dev["itt"])
+    np.testing.assert_array_equal((at & b).taxids_to_numpy(), dev["mix"])
+    np.testing.assert_array_equal((b & at).taxids_to_numpy(), dev["mix2"])
+    np.testing.assert_array_equal((at - b).taxids_to_numpy(), dev["dt"])
+    np.testing.assert_array_equal(
+        KmerSet.union_all([a, b, a]).to_numpy(), dev["ua"])
+    np.testing.assert_array_equal(
+        KmerSet.common([a, b], 2).to_numpy(), dev["c2"])

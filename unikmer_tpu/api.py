@@ -223,8 +223,70 @@ class KmerSet:
                     scale=self.scale)
 
     # -------------------------------------------------------- set algebra
+    def _np_taxids(self):
+        return self.taxids_to_numpy() if self.has_taxids else None
+
+    def _from_host(self, codes, taxids, taxdb=None) -> "KmerSet":
+        return KmerSet.from_codes(
+            codes, self.k, taxids=taxids, taxdb=taxdb or self._taxdb,
+            assume_sorted_unique=True, **self._flags_kw(),
+        )
+
+    def _host_union(self, other: "KmerSet") -> "KmerSet":
+        from .ops import sets as host_sets
+
+        if self.has_taxids and other.has_taxids:
+            taxdb = self._taxdb or other._taxdb
+            if taxdb is None:
+                raise ValueError("taxid-carrying union needs an attached taxdb")
+            c, t = host_sets.union(
+                [self.to_numpy(), other.to_numpy()],
+                [self._np_taxids(), other._np_taxids()], taxdb,
+            )
+            return self._from_host(c, t, taxdb)
+        c, _ = host_sets.union([self.to_numpy(), other.to_numpy()])
+        return self._from_host(c, None)
+
+    def _host_intersect(self, other: "KmerSet") -> "KmerSet":
+        from .ops import sets as host_sets
+
+        taxdb = self._taxdb or other._taxdb
+        if self.has_taxids and other.has_taxids:
+            if taxdb is None:
+                raise ValueError(
+                    "taxid-carrying intersection needs an attached taxdb"
+                )
+            c, t = host_sets.intersect(
+                [self.to_numpy(), other.to_numpy()],
+                [self._np_taxids(), other._np_taxids()], taxdb,
+            )
+            return self._from_host(c, t, taxdb)
+        if self.has_taxids or other.has_taxids:
+            # taxid-present side first: its values pass through on match
+            wt = self if self.has_taxids else other
+            wo = other if self.has_taxids else self
+            c, t = host_sets.intersect(
+                [wt.to_numpy(), wo.to_numpy()], [wt._np_taxids(), None],
+                taxdb,
+            )
+            return self._from_host(c, t, taxdb)
+        c, _ = host_sets.intersect([self.to_numpy(), other.to_numpy()])
+        return self._from_host(c, None)
+
+    def _host_subtract(self, other: "KmerSet") -> "KmerSet":
+        from .ops import sets as host_sets
+
+        c, t = host_sets.subtract(
+            self.to_numpy(), self._np_taxids(), [other.to_numpy()],
+        )
+        return self._from_host(c, t)
+
     def union(self, other: "KmerSet") -> "KmerSet":
         self._check_compatible(other)
+        if self.capacity + other.capacity > _max_device_elems():
+            # concat would exceed the validated program size (2^26+
+            # hangs this backend): exact host engine, then re-upload
+            return self._host_union(other)
         if self.has_taxids and other.has_taxids:
             taxdb = self._taxdb or other._taxdb
             if taxdb is None:
@@ -250,6 +312,8 @@ class KmerSet:
         sides carry them (reference inter.go:228-249), pass the present
         side through when only one does (--mix-taxid semantics)."""
         self._check_compatible(other)
+        if self.capacity + other.capacity > _max_device_elems():
+            return self._host_intersect(other)
         if self.has_taxids and other.has_taxids:
             taxdb = self._taxdb or other._taxdb
             if taxdb is None:
@@ -284,6 +348,8 @@ class KmerSet:
         """Difference; keeps this set's taxid column (the reference diff
         keeps the query taxids, diff.go:379-454)."""
         self._check_compatible(other)
+        if self.capacity + other.capacity > _max_device_elems():
+            return self._host_subtract(other)
         if self.has_taxids:
             c, t, n = device_sets.subtract_with_taxids(
                 self._codes, self._taxids, other._codes
@@ -310,11 +376,17 @@ class KmerSet:
             first._check_compatible(s)
         if any(s.has_taxids for s in sets):
             # LCA reduction over >2 duplicates needs the log-rounds
-            # collapse; chain pairwise unions (each LCA-exact)
+            # collapse; chain pairwise unions (each LCA-exact, each
+            # host-falling-back past the program-size cap)
             out = sets[0]
             for s in sets[1:]:
                 out = out.union(s)
             return out
+        if sum(s.capacity for s in sets) > _max_device_elems():
+            from .ops import sets as host_sets
+
+            c, _ = host_sets.union([s.to_numpy() for s in sets])
+            return first._from_host(c, None)
         merged = jnp.concatenate([s._codes for s in sets])
         c, n = collapse_sorted(merged, merged != _SENT, mode="distinct")
         return KmerSet(c, n, first.k, taxdb=first._taxdb,
@@ -331,6 +403,12 @@ class KmerSet:
         for s in sets[1:]:
             first._check_compatible(s)
         cap = max(s.capacity for s in sets)
+        if cap * len(sets) > _max_device_elems():
+            from .ops import sets as host_sets
+
+            c, _ = host_sets.common(
+                [s.to_numpy() for s in sets], None, threshold)
+            return first._from_host(c, None)
         stacked = jnp.stack([
             s._codes if s.capacity == cap
             else jnp.concatenate([
