@@ -210,6 +210,13 @@ def _count_step_packed2_result(packed2, validmask, cfg: CountConfig, n: int):
     return _compress_result(out, nn)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _count_step_packed2_raw(packed2, validmask, cfg: CountConfig, n: int):
+    """2-bit compressed transfer in, raw u64 codes out (for configs
+    whose code space makes u32-delta result compression hopeless)."""
+    return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
+
+
 def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
     n = int(n)
     n_exc = int(n_exc)
@@ -297,7 +304,27 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     import os
 
     _warm_device_session()
-    if os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0":
+    # u32-delta result compression only pays when deltas between sorted
+    # codes actually fit 32 bits: expected delta ~ code_space / n.  For
+    # large spaces (hashed 2^64, or encoded with 2k >> 32 + log2(n))
+    # every delta overflows and we would run BOTH the compressed and
+    # the raw program per chunk; skip straight to the raw-result
+    # program (still with 2-bit compressed ingress).
+    space_bits = 64 if cfg.hashed else 2 * cfg.k
+    compress_result = space_bits - (len(bases).bit_length() - 1) <= 30
+    packed_transfer = (
+        os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
+    )
+    if not compress_result:
+        if packed_transfer:
+            packed2, validmask = pack_bases_2bit(bases)
+            out, n = _count_step_packed2_raw(
+                packed2, validmask, cfg, len(bases)
+            )
+        else:
+            out, n = count_step(bases, cfg)
+        return np.asarray(out[: _fetch_scalar_watchdog(n)])
+    if packed_transfer:
         packed2, validmask = pack_bases_2bit(bases)
         small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
             packed2, validmask, cfg, len(bases)
