@@ -267,3 +267,53 @@ def test_host_fallback_algebra_matches_device(rng, taxdb, monkeypatch):
         KmerSet.union_all([a, b, a]).to_numpy(), dev["ua"])
     np.testing.assert_array_equal(
         KmerSet.common([a, b], 2).to_numpy(), dev["c2"])
+
+
+def test_oversized_sets_stay_host_resident(rng, tmp_path, monkeypatch):
+    """A result past the device program-size cap must never be uploaded
+    as an over-cap device buffer (contains/save would then dispatch the
+    exact program size documented to hang the backend)."""
+    import unikmer_tpu.api as api
+
+    monkeypatch.setattr(api, "_max_device_elems", lambda: 4096)
+    codes = np.unique(rng.integers(0, 1 << 40, 9000, dtype=np.uint64))
+    s = _mk(codes, assume_sorted_unique=True)
+    assert isinstance(s._codes, np.ndarray)
+    assert s.capacity == len(codes)  # unpadded, and compact() no-ops
+    assert s.compact() is s
+    np.testing.assert_array_equal(s.to_numpy(), codes)
+    # membership via numpy searchsorted
+    q = np.concatenate([codes[:5], np.array([1, 2, 3], np.uint64)])
+    want = np.isin(q, codes)
+    np.testing.assert_array_equal(s.contains(q), want)
+    # unsorted ingress dedups on host
+    s2 = _mk(np.concatenate([codes, codes[:100]]))
+    assert isinstance(s2._codes, np.ndarray)
+    np.testing.assert_array_equal(s2.to_numpy(), codes)
+    # algebra with a device-resident set routes through the host engine
+    d = _mk(codes[:10], assume_sorted_unique=True)
+    np.testing.assert_array_equal((s & d).to_numpy(), codes[:10])
+    np.testing.assert_array_equal((s - d).to_numpy(), codes[10:])
+    # save round-trips
+    p = tmp_path / "big.unik"
+    s.save(str(p))
+    np.testing.assert_array_equal(
+        KmerSet.from_unik(str(p)).to_numpy(), codes)
+
+
+def test_common_threshold_zero_means_all_files(rng, monkeypatch):
+    """threshold <= 0 means "present in ALL files" in the host engine;
+    the device path must agree, not degenerate to a union."""
+    import unikmer_tpu.api as api
+
+    a_np = np.unique(rng.integers(0, 3000, 1500, dtype=np.uint64))
+    b_np = np.unique(rng.integers(0, 3000, 1500, dtype=np.uint64))
+    a, b = _mk(a_np), _mk(b_np)
+    want = np.intersect1d(a_np, b_np)
+    for th in (0, -1):
+        np.testing.assert_array_equal(
+            KmerSet.common([a, b], th).to_numpy(), want)
+        monkeypatch.setattr(api, "_max_device_elems", lambda: 1)
+        np.testing.assert_array_equal(
+            KmerSet.common([a, b], th).to_numpy(), want)
+        monkeypatch.undo()

@@ -172,3 +172,13 @@ def test_pack2bit_roundtrip_and_count(rng):
     res = _count_step_packed2_result(p2, vm, cfg, len(padded))
     got = _decode_packed_result(*res)
     np.testing.assert_array_equal(got, np.asarray(want_out[: int(want_n)]))
+
+    # the raw-result packed-ingress program (device chunked-from_fasta
+    # path) must match the plain program exactly
+    from unikmer_tpu.models.count import _count_step_packed2_raw
+
+    raw_out, raw_n = _count_step_packed2_raw(p2, vm, cfg, len(padded))
+    assert int(raw_n) == int(want_n)
+    np.testing.assert_array_equal(
+        np.asarray(raw_out[: int(raw_n)]),
+        np.asarray(want_out[: int(want_n)]))

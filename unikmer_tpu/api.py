@@ -32,8 +32,8 @@ from .ops import device_sets
 from .ops.codec import CODE_SENTINEL
 from .ops.sort import collapse_sorted
 from .models.count import (
-    CountConfig, _padded_len, _stream_chunk_bases, count_step,
-    count_stream_packed, pad_bases, split_packed,
+    CountConfig, _fetch_scalar_watchdog, _padded_len, _stream_chunk_bases,
+    count_step_ingress, count_stream_packed, pad_bases, split_packed,
 )
 
 
@@ -105,6 +105,19 @@ class KmerSet:
                 codes, taxids = taxdb.lca_reduce(codes, taxids)
                 assume_sorted_unique = True
         cap = _padded_len(max(len(codes), 1))
+        if cap > _max_device_elems():
+            # a device buffer this large would make every later op on
+            # the set (contains' searchsorted, algebra concats) a
+            # program past the validated 2^25 cap — the exact hang
+            # class the host fallbacks exist to avoid.  Keep the set
+            # host-resident: binary ops already route to the host
+            # engine (capacity sums exceed the cap) and contains()
+            # runs numpy searchsorted.
+            if not assume_sorted_unique:
+                codes = np.unique(codes)  # taxid case lca_reduced above
+            return cls(codes, len(codes), k, canonical=canonical,
+                       hashed=hashed, scale=scale, taxids=taxids,
+                       taxdb=taxdb)
         dev = _pad_codes_device(codes, cap)
         if not assume_sorted_unique:
             valid = jnp.arange(cap) < len(codes)
@@ -150,21 +163,15 @@ class KmerSet:
             for piece in split_packed(
                 packed, chunk, cfg.k if cfg.segmentable else 0
             ):
-                out, n = count_step(pad_bases(piece.bases), cfg)
-                pieces.append(cls(out, int(n), k, canonical=cfg.canonical,
+                out, n = count_step_ingress(pad_bases(piece.bases), cfg)
+                pieces.append(cls(out, _fetch_scalar_watchdog(n), k,
+                                  canonical=cfg.canonical,
                                   hashed=cfg.hashed, scale=scale,
                                   taxdb=taxdb).compact())
-            if sum(p.capacity for p in pieces) <= _max_device_elems():
-                return cls.union_all(pieces)
-            # the union concat itself would exceed the validated program
-            # size: exact host merge of the sorted piece sets, then one
-            # upload (beyond-2^25 DEVICE algebra belongs to the sharded
-            # engine, parallel/sharded.py — one bucket per chip)
-            merged = np.unique(np.concatenate(
-                [p.to_numpy() for p in pieces]))
-            return cls.from_codes(merged, k, canonical=cfg.canonical,
-                                  hashed=cfg.hashed, scale=scale,
-                                  taxdb=taxdb, assume_sorted_unique=True)
+            # union_all host-falls-back (parallel native sorted-union
+            # tree) when the concat would exceed the validated program
+            # size; the result stays host-resident past the cap
+            return cls.union_all(pieces)
         if len(packed.bases) > chunk + cfg.k:
             # unique/repeated need cross-chunk multiplicities: exact
             # capped-multiplicity host merge, then re-upload
@@ -172,9 +179,9 @@ class KmerSet:
             return cls.from_codes(codes, k, canonical=cfg.canonical,
                                   hashed=cfg.hashed, scale=scale,
                                   taxdb=taxdb, assume_sorted_unique=True)
-        out, n = count_step(pad_bases(packed.bases), cfg)
-        s = cls(out, int(n), k, canonical=cfg.canonical, hashed=cfg.hashed,
-                scale=scale, taxdb=taxdb)
+        out, n = count_step_ingress(pad_bases(packed.bases), cfg)
+        s = cls(out, _fetch_scalar_watchdog(n), k, canonical=cfg.canonical,
+                hashed=cfg.hashed, scale=scale, taxdb=taxdb)
         return s.compact()
 
     @classmethod
@@ -402,6 +409,11 @@ class KmerSet:
         first = sets[0]
         for s in sets[1:]:
             first._check_compatible(s)
+        if threshold <= 0:
+            # host engine (ops/sets.common) reads <=0 as "all files";
+            # normalize here so the device path agrees instead of
+            # degenerating to a union (count >= 0)
+            threshold = len(sets)
         cap = max(s.capacity for s in sets)
         if cap * len(sets) > _max_device_elems():
             from .ops import sets as host_sets
@@ -422,7 +434,15 @@ class KmerSet:
 
     # ------------------------------------------------------------ queries
     def contains(self, queries) -> np.ndarray:
-        """Vectorized membership (merge-path binary search on device)."""
+        """Vectorized membership (merge-path binary search on device;
+        numpy searchsorted for host-resident oversized sets)."""
+        if isinstance(self._codes, np.ndarray):
+            q = np.asarray(queries, dtype=np.uint64)
+            codes = self._codes[: self._n]
+            if codes.size == 0:
+                return np.zeros(q.shape, bool)
+            idx = np.minimum(np.searchsorted(codes, q), codes.size - 1)
+            return (codes[idx] == q) & (q != _SENT)
         q = jnp.asarray(np.asarray(queries, dtype=np.uint64))
         idx = jnp.clip(jnp.searchsorted(self._codes, q), 0,
                        self._codes.shape[0] - 1)
@@ -479,6 +499,8 @@ class KmerSet:
     def compact(self) -> "KmerSet":
         """Re-bucket capacity to the smallest padded length holding n
         (keeps chained-op shapes inside the cached-program set)."""
+        if isinstance(self._codes, np.ndarray):
+            return self  # host-resident (oversized) sets stay unpadded
         want = _padded_len(max(self._n, 1))
         if want == self.capacity:
             return self

@@ -271,6 +271,21 @@ def _fetch_scalar_watchdog(x, every_s: int = 120):
         done.set()
 
 
+def count_step_ingress(bases: np.ndarray, cfg: CountConfig):
+    """count_step whose host->device transfer is 2-bit packed on real
+    devices (2.125 bits/base vs 8 over the ~35 MB/s tunnel); the result
+    stays on device.  ``bases`` must already be padded (pad_bases)."""
+    import os
+
+    if jax.default_backend() != "cpu" and (
+        os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
+    ):
+        _warm_device_session()
+        packed2, validmask = pack_bases_2bit(bases)
+        return _count_step_packed2_raw(packed2, validmask, cfg, len(bases))
+    return count_step(bases, cfg)
+
+
 _session_warm = False
 
 
@@ -285,7 +300,9 @@ def _warm_device_session() -> None:
     if _session_warm:
         return
     x = jax.device_put(np.zeros(8, np.float32))
-    _ = np.asarray(x[:1])
+    # the round-trip itself hangs when the link is already wedged —
+    # surface that through the watchdog instead of freezing silently
+    _fetch_scalar_watchdog(x.sum())
     _session_warm = True
 
 
@@ -316,13 +333,7 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
         os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
     )
     if not compress_result:
-        if packed_transfer:
-            packed2, validmask = pack_bases_2bit(bases)
-            out, n = _count_step_packed2_raw(
-                packed2, validmask, cfg, len(bases)
-            )
-        else:
-            out, n = count_step(bases, cfg)
+        out, n = count_step_ingress(bases, cfg)
         return np.asarray(out[: _fetch_scalar_watchdog(n)])
     if packed_transfer:
         packed2, validmask = pack_bases_2bit(bases)
@@ -506,8 +517,13 @@ def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
                 )
             lo += 1
             continue
+        # include whole records while the piece END stays within the
+        # chunk (bounding by record STARTS would let the last record
+        # overshoot arbitrarily — e.g. two 20 Mbp records would form a
+        # 40 Mb piece and pad to the hanging 2^26 bucket)
         limit = packed.starts[lo] + chunk_bases
-        hi = int(np.searchsorted(packed.starts, limit, side="right"))
+        ends = np.concatenate([packed.starts[lo + 1 :], [total]])
+        hi = lo + int(np.searchsorted(ends, limit, side="right"))
         hi = max(hi, lo + 1)
         end = packed.starts[hi] if hi < n_rec else total
         yield PackedSeqs(
