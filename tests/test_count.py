@@ -131,6 +131,39 @@ def test_count_stream_chunked_matches_oneshot(rng):
     np.testing.assert_array_equal(rep, want)
 
 
+def test_stream_pipeline_depth_equivalence(rng, monkeypatch):
+    """The double-buffered streaming loops (dispatch N, fetch N-depth)
+    must be exact at every depth, for every mode, incl. linear order."""
+    from unikmer_tpu.models.count import (
+        count_stream, count_stream_packed, linear_codes_all,
+    )
+
+    k = 11
+    seqs = [random_dna(rng, n).decode() for n in (800, 400, 1200, 700)]
+    seqs.append(seqs[0][:500])  # cross-chunk duplicates
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode())
+            for i, s in enumerate(seqs)]
+    packed = pack_records(recs, k)
+    base = {}
+    for mode in ("distinct", "unique", "repeated"):
+        cfg = CountConfig(k=k, canonical=True, mode=mode)
+        base[mode] = count_stream_packed([packed], cfg, chunk_bases=512)
+    lin_cfg = CountConfig(k=k, canonical=True)
+    base["lin"] = linear_codes_all(packed.bases, lin_cfg, chunk_bases=512)
+    for depth in ("1", "3"):
+        monkeypatch.setenv("UNIKMER_TPU_PIPELINE_DEPTH", depth)
+        for mode in ("distinct", "unique", "repeated"):
+            cfg = CountConfig(k=k, canonical=True, mode=mode)
+            np.testing.assert_array_equal(
+                count_stream_packed([packed], cfg, chunk_bases=512),
+                base[mode])
+            np.testing.assert_array_equal(
+                count_stream(iter(recs), cfg, chunk_bases=512), base[mode])
+        c, p = linear_codes_all(packed.bases, lin_cfg, chunk_bases=512)
+        np.testing.assert_array_equal(c, base["lin"][0])
+        np.testing.assert_array_equal(p, base["lin"][1])
+
+
 def test_compressed_result_fetch_roundtrip(rng):
     """u16-delta + exception packing must reconstruct codes exactly,
     including sparse sets with many >=2^16 deltas."""

@@ -159,15 +159,29 @@ class KmerSet:
             # bound every device program to the validated bucket size
             # (2^26+ hangs this backend, docs/BENCH_NOTES.md): per-piece
             # device sets, merged by the one-pass device union
+            from collections import deque
+
+            from .models.count import _pipeline_depth
+
             pieces = []
+            pending: deque = deque()
+            depth = _pipeline_depth()
+
+            def drain(limit: int):
+                while len(pending) > limit:
+                    out, n = pending.popleft()
+                    pieces.append(cls(out, _fetch_scalar_watchdog(n), k,
+                                      canonical=cfg.canonical,
+                                      hashed=cfg.hashed, scale=scale,
+                                      taxdb=taxdb).compact())
+
             for piece in split_packed(
                 packed, chunk, cfg.k if cfg.segmentable else 0
             ):
-                out, n = count_step_ingress(pad_bases(piece.bases), cfg)
-                pieces.append(cls(out, _fetch_scalar_watchdog(n), k,
-                                  canonical=cfg.canonical,
-                                  hashed=cfg.hashed, scale=scale,
-                                  taxdb=taxdb).compact())
+                pending.append(
+                    count_step_ingress(pad_bases(piece.bases), cfg))
+                drain(depth)
+            drain(0)
             # union_all host-falls-back (parallel native sorted-union
             # tree) when the concat would exceed the validated program
             # size; the result stays host-resident past the cap

@@ -306,20 +306,20 @@ def _warm_device_session() -> None:
     _session_warm = True
 
 
-def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
-    """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
+def count_packed_dispatch(packed: PackedSeqs, cfg: CountConfig):
+    """Enqueue the device count program for one packed piece and return
+    an opaque token for :func:`count_packed_fetch`.
 
-    Non-CPU backends ship bases 2-bit packed (3.8x less host->device
-    traffic) and fetch results as u32 deltas (2x less device->host;
-    hashed sets overflow the exception list and fetch raw)."""
+    Host-side work (padding, 2-bit ingress packing) and the async
+    device dispatch happen here; the heavy device->host result fetch
+    happens only at fetch time.  Streaming callers keep one extra token
+    in flight so piece i+1's ingress/compute overlaps piece i's result
+    fetch (double buffering over the ~6 MB/s egress tunnel)."""
     if packed.bases.size == 0:
-        return np.zeros(0, np.uint64)
+        return ("empty",)
     bases = pad_bases(packed.bases)
     if jax.default_backend() == "cpu":
-        out, n = count_step(bases, cfg)
-        return np.asarray(out[: int(n)])
-    import os
-
+        return ("raw",) + count_step(bases, cfg)
     _warm_device_session()
     # u32-delta result compression only pays when deltas between sorted
     # codes actually fit 32 bits: expected delta ~ code_space / n.  For
@@ -329,25 +329,55 @@ def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
     # program (still with 2-bit compressed ingress).
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     compress_result = space_bits - (len(bases).bit_length() - 1) <= 30
-    packed_transfer = (
-        os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
-    )
     if not compress_result:
-        out, n = count_step_ingress(bases, cfg)
-        return np.asarray(out[: _fetch_scalar_watchdog(n)])
-    if packed_transfer:
+        return ("raw",) + count_step_ingress(bases, cfg)
+    import os
+
+    if os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0":
         packed2, validmask = pack_bases_2bit(bases)
-        small, exc_idx, exc_val, n_exc, n = _count_step_packed2_result(
-            packed2, validmask, cfg, len(bases)
-        )
+        res = _count_step_packed2_result(packed2, validmask, cfg,
+                                         len(bases))
     else:
-        small, exc_idx, exc_val, n_exc, n = _count_step_packed_result(
-            bases, cfg
-        )
+        res = _count_step_packed_result(bases, cfg)
+    return ("compressed", res, bases, cfg)
+
+
+def count_packed_fetch(token) -> np.ndarray:
+    """Materialize the result of a count_packed_dispatch token."""
+    kind = token[0]
+    if kind == "empty":
+        return np.zeros(0, np.uint64)
+    if kind == "raw":
+        _, out, n = token
+        return np.asarray(out[: _fetch_scalar_watchdog(n)])
+    _, (small, exc_idx, exc_val, n_exc, n), bases, cfg = token
     if _fetch_scalar_watchdog(n_exc) > _MAX_EXC:  # huge deltas: raw fetch
-        out, n = count_step(bases, cfg)
-        return np.asarray(out[: int(n)])
+        out, nn = count_step(bases, cfg)
+        return np.asarray(out[: int(nn)])
     return _decode_packed_result(small, exc_idx, exc_val, n_exc, n)
+
+
+def count_packed(packed: PackedSeqs, cfg: CountConfig) -> np.ndarray:
+    """Host entry: packed sequences -> sorted numpy uint64 of kept codes.
+
+    Non-CPU backends ship bases 2-bit packed (3.8x less host->device
+    traffic) and fetch results as u32 deltas (2x less device->host;
+    hashed sets overflow the exception list and fetch raw)."""
+    return count_packed_fetch(count_packed_dispatch(packed, cfg))
+
+
+def _pipeline_depth() -> int:
+    """Extra dispatch tokens kept in flight by the streaming loops.
+
+    1 on real devices (bounds device memory to ~2 piece results while
+    overlapping fetch with compute); 0 on CPU where execution is
+    effectively synchronous and overlap buys nothing."""
+    import os
+
+    env = os.environ.get("UNIKMER_TPU_PIPELINE_DEPTH")
+    if env is not None:
+        return max(0, int(env))
+    return 1 if jax.default_backend() == "tpu" else 0
 
 
 def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
@@ -451,10 +481,20 @@ def count_stream(records, cfg: CountConfig,
 
     if chunk_bases is None:
         chunk_bases = _stream_chunk_bases()
+    from collections import deque
+
     partial: list[np.ndarray] = []
+    inflight: deque = deque()
+    depth = _pipeline_depth()
     buf: list = []
     buffered = 0
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
+
+    def drain(limit: int):
+        while len(inflight) > limit:
+            u = count_packed_fetch(inflight.popleft())
+            if len(u):
+                partial.append(u)
 
     def flush():
         nonlocal buf, buffered
@@ -468,13 +508,11 @@ def count_stream(records, cfg: CountConfig,
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            u = count_packed(piece, distinct_cfg)
-            if len(u):
-                partial.append(u)
+            inflight.append(count_packed_dispatch(piece, distinct_cfg))
             if repeated_cfg is not None:
-                r = count_packed(piece, repeated_cfg)
-                if len(r):
-                    partial.append(r)  # second copy marks within-chunk dups
+                # second copy marks within-chunk dups
+                inflight.append(count_packed_dispatch(piece, repeated_cfg))
+            drain(depth)
 
     for rec in records:
         buf.append(rec)
@@ -482,6 +520,7 @@ def count_stream(records, cfg: CountConfig,
         if buffered >= chunk_bases:
             flush()
     flush()
+    drain(0)
     return _merge_partials(partial, cfg)
 
 
@@ -541,19 +580,28 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
     bucket size; merge semantics identical to count_stream."""
     if chunk_bases is None:
         chunk_bases = _stream_chunk_bases()
+    from collections import deque
+
     partial: list[np.ndarray] = []
+    inflight: deque = deque()
+    depth = _pipeline_depth()
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
+
+    def drain(limit: int):
+        while len(inflight) > limit:
+            u = count_packed_fetch(inflight.popleft())
+            if len(u):
+                partial.append(u)
+
     for packed in packed_iter:
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            u = count_packed(piece, distinct_cfg)
-            if len(u):
-                partial.append(u)
+            inflight.append(count_packed_dispatch(piece, distinct_cfg))
             if repeated_cfg is not None:
-                r = count_packed(piece, repeated_cfg)
-                if len(r):
-                    partial.append(r)
+                inflight.append(count_packed_dispatch(piece, repeated_cfg))
+            drain(depth)
+    drain(0)
     return _merge_partials(partial, cfg)
 
 
@@ -576,16 +624,28 @@ def linear_codes_all(bases: np.ndarray, cfg: CountConfig,
         dev_codes, dev_valid = linear_codes_step(pad_bases(bases), cfg)
         pos = np.flatnonzero(np.asarray(dev_valid)[:n])
         return np.asarray(dev_codes)[pos], pos
+    from collections import deque
+
     parts_c, parts_p = [], []
+    inflight: deque = deque()
+    depth = _pipeline_depth()
+
+    def drain(limit: int):
+        while len(inflight) > limit:
+            dev_codes, dev_valid, off, seg_len = inflight.popleft()
+            valid = np.asarray(dev_valid)[:seg_len]
+            # window starts in the k-1 overlap tail belong to the next
+            # piece (invalid here anyway: windows cross into padding)
+            pos = np.flatnonzero(valid[:chunk_bases])
+            parts_c.append(np.asarray(dev_codes)[pos])
+            parts_p.append(pos + off)
+
     for off in range(0, n - (k - 1), chunk_bases):
         seg = bases[off : min(off + chunk_bases + k - 1, n)]
         dev_codes, dev_valid = linear_codes_step(pad_bases(seg), cfg)
-        valid = np.asarray(dev_valid)[: len(seg)]
-        # window starts in the k-1 overlap tail belong to the next piece
-        # (they are invalid here anyway: their windows cross into padding)
-        pos = np.flatnonzero(valid[:chunk_bases])
-        parts_c.append(np.asarray(dev_codes)[pos])
-        parts_p.append(pos + off)
+        inflight.append((dev_codes, dev_valid, off, len(seg)))
+        drain(depth)
+    drain(0)
     return np.concatenate(parts_c), np.concatenate(parts_p)
 
 
