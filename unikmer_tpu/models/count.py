@@ -450,6 +450,14 @@ def _capped_cfgs(cfg: CountConfig):
 def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
     if not partial:
         return np.zeros(0, np.uint64)
+    if cfg.mode not in ("unique", "repeated"):
+        # partials are sorted unique arrays: the parallel native
+        # sorted-union tree beats a full re-sort of the concatenation
+        # (falls back to concat+sort without the native lib)
+        from ..ops import sets as host_sets
+
+        codes, _ = host_sets.union(partial)
+        return codes
     merged = np.concatenate(partial)
     merged.sort(kind="stable")
     first = np.ones(len(merged), bool)
