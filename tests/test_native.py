@@ -429,3 +429,47 @@ def test_sets_union_native_tree(rng):
     assert t is None
     want = np.unique(np.concatenate(arrays))
     np.testing.assert_array_equal(got, want)
+
+
+def test_radix_sort_matches_numpy(lib, rng):
+    for n in (0, 1, 2, 1000, 300_000):
+        a = rng.integers(0, 1 << 63, size=n, dtype=np.uint64)
+        got = native.sort_u64(a)
+        np.testing.assert_array_equal(got, np.sort(a))
+        assert got is not a  # input untouched
+    # small code space exercises the skipped-pass fast path
+    a = rng.integers(0, 1 << 12, size=200_000, dtype=np.uint64)
+    np.testing.assert_array_equal(native.sort_u64(a), np.sort(a))
+    zeros = np.zeros(100_000, np.uint64)
+    np.testing.assert_array_equal(native.sort_u64(zeros), zeros)
+
+
+def test_radix_sort_kv_stable(lib, rng):
+    n = 200_000
+    keys = rng.integers(0, 1 << 10, size=n, dtype=np.uint64)  # many dups
+    order = np.argsort(keys, kind="stable")
+    for vals in (
+        np.arange(n, dtype=np.uint32),
+        rng.integers(0, 1 << 62, size=n, dtype=np.uint64),
+        np.arange(n, dtype=np.int64),
+    ):
+        ks, vs = native.sort_u64_kv(keys, vals)
+        np.testing.assert_array_equal(ks, keys[order])
+        np.testing.assert_array_equal(vs, vals[order])
+        assert vs.dtype == vals.dtype
+
+
+def test_host_sort_wrappers(rng):
+    # exercised with and without the native lib via the size threshold
+    for n in (100, 100_000):
+        keys = rng.integers(0, 1 << 40, size=n, dtype=np.uint64)
+        tax = rng.integers(0, 1 << 20, size=n, dtype=np.uint32)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(native.host_sort(keys), np.sort(keys))
+        ks, vs = native.host_sort_kv(keys, tax)
+        np.testing.assert_array_equal(ks, keys[order])
+        np.testing.assert_array_equal(vs, tax[order])
+        ks, perm = native.host_argsort(keys)
+        np.testing.assert_array_equal(ks, keys[order])
+        np.testing.assert_array_equal(keys[perm], ks)
+        np.testing.assert_array_equal(tax[np.asarray(perm)], tax[order])

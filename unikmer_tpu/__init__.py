@@ -68,6 +68,14 @@ try:
     _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
     _libc.mallopt(-3, 1 << 31)  # M_MMAP_THRESHOLD
     _libc.mallopt(-1, 1 << 31)  # M_TRIM_THRESHOLD
+    # The numpy madvise switch above only stops NEW MADV_HUGEPAGE calls;
+    # vmas marked before it ran (during numpy import) keep VM_HUGEPAGE,
+    # glibc recycles those arenas, and khugepaged (defrag=madvise here)
+    # keeps collapsing them — measured 3 s vs 300 s run-to-run variance
+    # on identical 800 MB numpy temps.  PR_SET_THP_DISABLE (=41) turns
+    # THP off for the whole process regardless of per-vma flags.
+    if _os.environ.get("UNIKMER_TPU_HUGEPAGE") != "1":
+        _libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
 except (OSError, AttributeError):  # non-glibc platforms: best-effort
     pass
 

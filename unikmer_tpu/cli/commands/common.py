@@ -46,14 +46,16 @@ def run(args) -> int:
     # inputs may be unsorted; sort before set algebra
     import numpy as np
 
+    from ... import native
+
     for i in range(len(code_arrays)):
         if not headers[i].is_sorted:
             if taxid_arrays is not None and taxid_arrays[i] is not None:
-                order = np.argsort(code_arrays[i], kind="stable")
-                code_arrays[i] = code_arrays[i][order]
-                taxid_arrays[i] = taxid_arrays[i][order]
+                code_arrays[i], taxid_arrays[i] = native.host_sort_kv(
+                    code_arrays[i], taxid_arrays[i]
+                )
             else:
-                code_arrays[i] = np.sort(code_arrays[i], kind="stable")
+                code_arrays[i] = native.host_sort(code_arrays[i])
     codes, taxids = sets.common(code_arrays, taxid_arrays, threshold, taxdb)
     out_file = write_result(
         args.out_prefix, opt, headers[0], codes, taxids, sort_flag=True

@@ -15,6 +15,7 @@ import sys
 
 import numpy as np
 
+from ... import native
 from ...io import unik
 from ...ops import codec
 from ...ops.nthash import nthash_kmer
@@ -249,10 +250,9 @@ def _write_result(path, opt, h, code_parts, tax_parts, has_taxid, args):
     mode = "unique" if args.unique else "repeated" if args.repeated else "none"
     if args.sort or mode != "none":
         if taxids is not None:
-            order = np.argsort(codes, kind="stable")
-            codes, taxids = codes[order], taxids[order]
+            codes, taxids = native.host_sort_kv(codes, taxids)
         else:
-            codes = np.sort(codes, kind="stable")
+            codes = native.host_sort(codes)
         codes, taxids = extsort.collapse_batch(
             codes, taxids, mode, None, final_round=True
         )

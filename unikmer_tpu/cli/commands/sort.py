@@ -11,6 +11,7 @@ import shutil
 
 import numpy as np
 
+from ... import native
 from ...io import unik
 from ...pipeline import extsort
 from ...utils.log import die, log
@@ -69,11 +70,10 @@ def _sort_in_memory(args, opt, files, mode, out_file):
             [t if t is not None else np.zeros(len(c), np.uint32)
              for c, t in zip(code_arrays, taxid_arrays)]
         )
-        order = np.argsort(codes, kind="stable")
-        codes, taxids = codes[order], taxids[order]
+        codes, taxids = native.host_sort_kv(codes, taxids)
     else:
         taxids = None
-        codes = np.sort(codes, kind="stable")
+        codes = native.host_sort(codes)
     if opt.verbose:
         log.info(f"sorting {len(codes)} k-mers")
     codes, taxids = extsort.collapse_batch(codes, taxids, mode, taxdb, final_round=True)

@@ -458,8 +458,9 @@ def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
 
         codes, _ = host_sets.union(partial)
         return codes
-    merged = np.concatenate(partial)
-    merged.sort(kind="stable")
+    from .. import native
+
+    merged = native.host_sort(np.concatenate(partial))
     first = np.ones(len(merged), bool)
     first[1:] = merged[1:] != merged[:-1]
     if cfg.mode not in ("unique", "repeated"):

@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import native
 from ..io.fastx import read_fastx
 from ..ops import codec
 from .count import CountConfig, linear_codes_all
@@ -94,8 +95,8 @@ def build_genome_index(
             np.searchsorted(starts, flat, side="right") - 1
         ).astype(np.int32)
         pos = flat - starts[seq_idx]
-        order = np.argsort(codes, kind="stable")
-        codes, seq_idx, pos = codes[order], seq_idx[order], pos[order]
+        codes, order = native.host_argsort(codes)
+        seq_idx, pos = seq_idx[order], pos[order]
     else:
         codes = np.zeros(0, np.uint64)
         seq_idx = np.zeros(0, np.int32)

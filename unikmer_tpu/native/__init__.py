@@ -98,6 +98,14 @@ def get_lib():
     lib.member_mask_sorted_u64.argtypes = [
         u64p, i64, u64p, i64, u8p, i64p, ctypes.c_int32,
     ]
+    lib.radix_sort_u64.restype = ctypes.c_int32
+    lib.radix_sort_u64.argtypes = [u64p, i64, ctypes.c_int32]
+    lib.radix_sort_u64_u32.restype = ctypes.c_int32
+    lib.radix_sort_u64_u32.argtypes = [
+        u64p, ctypes.POINTER(ctypes.c_uint32), i64, ctypes.c_int32,
+    ]
+    lib.radix_sort_u64_u64.restype = ctypes.c_int32
+    lib.radix_sort_u64_u64.argtypes = [u64p, u64p, i64, ctypes.c_int32]
     lib.unik_decode_sorted_blocks.restype = i64
     lib.unik_decode_sorted_blocks.argtypes = [
         u8p, i64, ctypes.c_int32, u64p,
@@ -266,6 +274,81 @@ def set2_sorted(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     fn = getattr(lib, f"set2_{op}_u64")
     n = fn(_u64p(a), len(a), _u64p(b), len(b), _u64p(out), _threads())
     return out[:n].copy()
+
+
+def sort_u64(arr: np.ndarray) -> np.ndarray | None:
+    """New sorted array of uint64 via the parallel LSD radix kernel
+    (numpy's comparison sort is single-threaded and ~5-7 M u64/s on
+    this class of host); None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.array(arr, dtype=np.uint64, copy=True, order="C")
+    if lib.radix_sort_u64(_u64p(out), len(out), _threads()) != 0:
+        return None  # scratch alloc failed: caller falls back to numpy
+    return out
+
+
+def sort_u64_kv(keys: np.ndarray, vals: np.ndarray):
+    """(sorted_keys, co-sorted_vals) by stable parallel radix on keys
+    (replaces argsort+gather; vals may be uint32 or uint64 — other
+    dtypes round-trip through uint64).  None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if len(keys) != len(vals):
+        raise ValueError("keys and vals must have equal length")
+    ks = np.array(keys, dtype=np.uint64, copy=True, order="C")
+    if vals.dtype == np.uint32:
+        vs = np.array(vals, dtype=np.uint32, copy=True, order="C")
+        rc = lib.radix_sort_u64_u32(
+            _u64p(ks), vs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(ks), _threads())
+        return (ks, vs) if rc == 0 else None
+    orig = vals.dtype
+    vs = np.array(vals, dtype=np.uint64, copy=True, order="C")
+    if lib.radix_sort_u64_u64(_u64p(ks), _u64p(vs), len(ks),
+                              _threads()) != 0:
+        return None
+    return ks, (vs if orig == np.uint64 else vs.astype(orig))
+
+
+# Below this element count the ctypes round-trip + copies don't pay for
+# themselves and numpy's sort is effectively instant anyway.
+_HOST_SORT_MIN = 1 << 15
+
+
+def host_sort(codes: np.ndarray) -> np.ndarray:
+    """Sorted copy of a uint64 array — parallel native radix when
+    available and worthwhile, numpy otherwise.  Never returns None."""
+    if codes.dtype == np.uint64 and len(codes) >= _HOST_SORT_MIN:
+        out = sort_u64(codes)
+        if out is not None:
+            return out
+    return np.sort(codes, kind="stable")
+
+
+def host_sort_kv(keys: np.ndarray, vals: np.ndarray):
+    """(sorted_keys, co-sorted_vals), stable in keys — native radix when
+    available, argsort+gather otherwise.  Never returns None."""
+    if keys.dtype == np.uint64 and len(keys) >= _HOST_SORT_MIN:
+        res = sort_u64_kv(keys, vals)
+        if res is not None:
+            return res
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
+def host_argsort(keys: np.ndarray):
+    """(sorted_keys, perm) with keys[perm] == sorted_keys, stable — for
+    callers gathering several companion columns.  perm dtype varies
+    (uint64 native / int64 numpy); both index numpy arrays fine."""
+    if keys.dtype == np.uint64 and len(keys) >= _HOST_SORT_MIN:
+        res = sort_u64_kv(keys, np.arange(len(keys), dtype=np.uint64))
+        if res is not None:
+            return res
+    order = np.argsort(keys, kind="stable")
+    return keys[order], order
 
 
 def member_mask_sorted(ref: np.ndarray, queries: np.ndarray,

@@ -797,6 +797,178 @@ void member_mask_sorted_u64(const uint64_t* ref, int64_t nref,
 }  // extern "C"
 
 // ---------------------------------------------------------------------
+#include <sys/mman.h>
+#include <type_traits>
+#include <mutex>
+
+// Parallel LSD radix sort over u64 keys (8-bit digits), optionally
+// carrying a value column.  Stable; skips passes whose digit is
+// constant, and runs only ceil(significant_bits/8) passes (2-bit codes
+// for k=23 use 46 bits -> 6 passes instead of 8).  Host-side twin of
+// the reference's twotwotwo/sorts parallel radix (sortutil.Uint64s,
+// unikmer/cmd/util.go:91, sort.go:268-274) — numpy's single-threaded
+// comparison sort runs at only ~5-7M u64/s on virtualized hosts.
+// ---------------------------------------------------------------------
+
+namespace {
+
+struct NoVal {};
+
+// Persistent grow-only scratch: on this class of virtualized host,
+// first-touch of FRESH pages is backed lazily by the hypervisor at
+// wildly variable cost (measured 3 s vs 300 s run-to-run variance on
+// identical 100M-element sorts whose only fresh allocations were the
+// scratch + numpy copies) — so pages are faulted once per process and
+// reused, never returned.  MADV_NOHUGEPAGE additionally opts out of
+// the 2 MB huge-fault pathology (unikmer_tpu/__init__.py).
+struct ScratchArena {
+    void* p = nullptr;
+    size_t bytes = 0;
+    std::mutex mu;
+    // Returns a buffer of >= b bytes, or nullptr; hold until release().
+    void* acquire(size_t b) {
+        mu.lock();
+        if (b <= bytes) return p;
+        if (p) munmap(p, bytes);
+        p = mmap(nullptr, b, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+        if (p == MAP_FAILED) {
+            p = nullptr;
+            bytes = 0;
+            mu.unlock();
+            return nullptr;
+        }
+#ifdef MADV_NOHUGEPAGE
+        madvise(p, b, MADV_NOHUGEPAGE);
+#endif
+        bytes = b;
+        return p;
+    }
+    void release() { mu.unlock(); }
+};
+
+ScratchArena g_radix_scratch;
+
+template <typename V>
+int32_t radix_sort_kv(uint64_t* keys, V* vals, int64_t n, int threads) {
+    constexpr bool HasVals = !std::is_same<V, NoVal>::value;
+    if (n < 2) return 0;
+    int p = threads < 1 ? 1 : threads;
+    if (n < (1 << 16)) p = 1;
+    uint64_t mx = 0;
+    {
+        std::vector<uint64_t> mxs(p, 0);
+        auto work = [&](int t) {
+            int64_t i0 = n * t / p, i1 = n * (t + 1) / p;
+            uint64_t m = 0;
+            for (int64_t i = i0; i < i1; i++) m = std::max(m, keys[i]);
+            mxs[t] = m;
+        };
+        if (p == 1) {
+            work(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < p; t++) pool.emplace_back(work, t);
+            for (auto& t : pool) t.join();
+        }
+        for (int t = 0; t < p; t++) mx = std::max(mx, mxs[t]);
+    }
+    int bits = 0;
+    while (mx >> bits) bits++;
+    int passes = (bits + 7) / 8;
+    if (passes == 0) return 0;  // all keys zero
+
+    size_t k_bytes = (size_t)n * sizeof(uint64_t);
+    size_t v_bytes = HasVals ? (size_t)n * sizeof(V) : 0;
+    void* scratch = g_radix_scratch.acquire(k_bytes + v_bytes);
+    if (!scratch) return -1;  // OOM
+    uint64_t* ka = keys;
+    uint64_t* kb = static_cast<uint64_t*>(scratch);
+    V* va = vals;
+    V* vb = reinterpret_cast<V*>(static_cast<uint8_t*>(scratch) + k_bytes);
+    std::vector<int64_t> hist((size_t)p * 256);
+    for (int pass = 0; pass < passes; pass++) {
+        int shift = 8 * pass;
+        std::fill(hist.begin(), hist.end(), 0);
+        auto count = [&](int t) {
+            int64_t i0 = n * t / p, i1 = n * (t + 1) / p;
+            int64_t* h = hist.data() + (size_t)t * 256;
+            for (int64_t i = i0; i < i1; i++)
+                h[(ka[i] >> shift) & 0xff]++;
+        };
+        if (p == 1) {
+            count(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < p; t++) pool.emplace_back(count, t);
+            for (auto& t : pool) t.join();
+        }
+        // column-major exclusive prefix over (digit, thread): thread t's
+        // run of digit d lands after all smaller digits and all earlier
+        // threads' runs of d — that ordering is what makes LSD stable.
+        int64_t run = 0;
+        bool constant_digit = false;
+        for (int d = 0; d < 256 && !constant_digit; d++) {
+            int64_t total_d = 0;
+            for (int t = 0; t < p; t++) total_d += hist[(size_t)t * 256 + d];
+            if (total_d == n) constant_digit = true;
+            for (int t = 0; t < p; t++) {
+                int64_t c = hist[(size_t)t * 256 + d];
+                hist[(size_t)t * 256 + d] = run;
+                run += c;
+            }
+        }
+        if (constant_digit) continue;  // nothing moves this pass
+        auto scatter = [&](int t) {
+            int64_t i0 = n * t / p, i1 = n * (t + 1) / p;
+            int64_t* off = hist.data() + (size_t)t * 256;
+            for (int64_t i = i0; i < i1; i++) {
+                int64_t w = off[(ka[i] >> shift) & 0xff]++;
+                kb[w] = ka[i];
+                if constexpr (HasVals) vb[w] = va[i];
+            }
+        };
+        if (p == 1) {
+            scatter(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int t = 0; t < p; t++) pool.emplace_back(scatter, t);
+            for (auto& t : pool) t.join();
+        }
+        std::swap(ka, kb);
+        if constexpr (HasVals) std::swap(va, vb);
+    }
+    if (ka != keys) {
+        std::memcpy(keys, ka, (size_t)n * sizeof(uint64_t));
+        if constexpr (HasVals) std::memcpy(vals, va, (size_t)n * sizeof(V));
+    }
+    g_radix_scratch.release();
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Return 0 on success, -1 on scratch allocation failure (input is then
+// left in its original order — callers must check).
+int32_t radix_sort_u64(uint64_t* keys, int64_t n, int32_t threads) {
+    return radix_sort_kv<NoVal>(keys, nullptr, n, threads);
+}
+
+int32_t radix_sort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n,
+                           int32_t threads) {
+    return radix_sort_kv<uint32_t>(keys, vals, n, threads);
+}
+
+int32_t radix_sort_u64_u64(uint64_t* keys, uint64_t* vals, int64_t n,
+                           int32_t threads) {
+    return radix_sort_kv<uint64_t>(keys, vals, n, threads);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
 // Fused FASTA/FASTQ loader: file -> (inflate) -> parse -> 2-bit pack.
 //
 // The reference reads through Go's pgzip + fastx readers

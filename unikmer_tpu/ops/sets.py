@@ -86,14 +86,17 @@ def union(code_arrays, taxid_arrays=None, taxdb=None):
             return out, None
     codes = np.concatenate(code_arrays) if code_arrays else np.zeros(0, np.uint64)
     if taxid_arrays is None:
-        codes = np.sort(codes, kind="stable")
-        return dedup_sorted(codes, None)
+        from .. import native
+
+        return dedup_sorted(native.host_sort(codes), None)
     consts = _constant_taxids(taxid_arrays)
     if consts is not None and len(code_arrays) <= 64:
         return _union_const_taxids(code_arrays, consts, taxdb)
     taxids = np.concatenate(taxid_arrays)
-    order = np.argsort(codes, kind="stable")
-    return dedup_sorted(codes[order], taxids[order], taxdb)
+    from .. import native
+
+    codes, taxids = native.host_sort_kv(codes, taxids)
+    return dedup_sorted(codes, taxids, taxdb)
 
 
 def _constant_taxids(taxid_arrays):
@@ -216,11 +219,12 @@ def subtract(
             break
         tax_i = None if other_tax_arrays is None else other_tax_arrays[i]
         # targets may be unsorted (diff.go:341-377 handles both)
+        from .. import native
+
         if tax_i is None:
-            codes_i = np.sort(codes_i, kind="stable")
+            codes_i = native.host_sort(codes_i)
         else:
-            order = np.argsort(codes_i, kind="stable")
-            codes_i, tax_i = codes_i[order], tax_i[order]
+            codes_i, tax_i = native.host_sort_kv(codes_i, tax_i)
         codes_i, tax_i = dedup_sorted(codes_i, tax_i, taxdb)
         mask, idx = member_mask(codes_i, q_codes, sorted_queries=True)
         if compare_taxid and q_tax is not None and tax_i is not None:
@@ -250,8 +254,9 @@ def common(code_arrays, taxid_arrays=None, threshold: int = 0, taxdb=None):
         deduped.append(c)
         dedup_tax.append(t)
     all_codes = np.concatenate(deduped)
-    order = np.argsort(all_codes, kind="stable")
-    all_codes = all_codes[order]
+    from .. import native
+
+    all_codes, order = native.host_argsort(all_codes)
     uniq, counts = np.unique(all_codes, return_counts=True)
     keep_codes = uniq[counts >= threshold]
     if taxid_arrays is None:

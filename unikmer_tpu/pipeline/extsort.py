@@ -26,6 +26,7 @@ import os
 
 import numpy as np
 
+from .. import native
 from ..io import unik
 from ..utils.log import log
 
@@ -118,10 +119,9 @@ def dump_chunk(
     """Sort + within-chunk collapse + write one chunk file
     (reference dumpCodes2File / dumpCodesTaxids2File)."""
     if taxids is None:
-        codes = np.sort(codes, kind="stable")
+        codes = native.host_sort(codes)
     else:
-        order = np.argsort(codes, kind="stable")
-        codes, taxids = codes[order], taxids[order]
+        codes, taxids = native.host_sort_kv(codes, taxids)
     codes, taxids = collapse_batch(codes, taxids, mode, taxdb, final_round=False)
     flag |= unik.SORTED
     if taxids is not None:
@@ -237,11 +237,10 @@ def merge_sorted_files(
         codes = np.concatenate(parts_c)
         if has_tax:
             taxids = np.concatenate(parts_t)
-            order = np.argsort(codes, kind="stable")
-            codes, taxids = codes[order], taxids[order]
+            codes, taxids = native.host_sort_kv(codes, taxids)
         else:
             taxids = None
-            codes = np.sort(codes, kind="stable")
+            codes = native.host_sort(codes)
         streams = [s for s in streams if len(s.codes) > 0]
         flush(codes, taxids, last=not streams)
     # final flush if everything was exhausted before any data
