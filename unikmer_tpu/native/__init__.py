@@ -277,9 +277,11 @@ def set2_sorted(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
 
 
 def sort_u64(arr: np.ndarray) -> np.ndarray | None:
-    """New sorted array of uint64 via the parallel LSD radix kernel
-    (numpy's comparison sort is single-threaded and ~5-7 M u64/s on
-    this class of host); None without the native library."""
+    """New sorted array of uint64 via the parallel LSD radix kernel;
+    None without the native library.  NOTE: for keys-only sorts prefer
+    host_sort — numpy's default simd quicksort measures ~2x faster than
+    this 4-thread radix; the radix wins only when co-sorting a value
+    column (5x over argsort+gather)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -319,13 +321,12 @@ _HOST_SORT_MIN = 1 << 15
 
 
 def host_sort(codes: np.ndarray) -> np.ndarray:
-    """Sorted copy of a uint64 array — parallel native radix when
-    available and worthwhile, numpy otherwise.  Never returns None."""
-    if codes.dtype == np.uint64 and len(codes) >= _HOST_SORT_MIN:
-        out = sort_u64(codes)
-        if out is not None:
-            return out
-    return np.sort(codes, kind="stable")
+    """Sorted copy of a uint64 array.  Keys-only sorting needs no
+    stability, and numpy's default kind dispatches to the vectorized
+    x86-simd-sort (~70 M u64/s here — 2x the 4-thread native radix and
+    10x kind="stable").  The native radix only pays when a value column
+    must ride along (host_sort_kv)."""
+    return np.sort(codes)
 
 
 def host_sort_kv(keys: np.ndarray, vals: np.ndarray):
