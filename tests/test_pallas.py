@@ -4,6 +4,8 @@
 identical checksums; CI here runs the interpreter.)
 """
 
+from functools import partial
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -38,3 +40,64 @@ def test_pallas_encode_row_boundaries(rng):
     for i in range(480, 540):
         assert bool(np.asarray(v1)[i])
         assert int(np.asarray(c1)[i]) == int(np.asarray(c2)[i]), i
+
+
+# ---------------------------------------------------------------------
+# VMEM-blocked bitonic sort (ops/pallas_sort.py), interpret mode
+# ---------------------------------------------------------------------
+
+from unikmer_tpu.ops.pallas_sort import sort_codes_pallas
+
+
+@pytest.mark.parametrize(
+    "n,blk",
+    [
+        (1024, 1024),      # single block
+        (2048, 1024),      # one merge round
+        (16384, 1024),     # 16 blocks, 4 rounds
+        (8192, 2048),      # bigger rows
+        (5000, 1024),      # non-pow2 -> sentinel padding
+        (1, 1024),         # degenerate
+    ],
+)
+def test_pallas_sort_matches_numpy(rng, n, blk):
+    a = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    if n >= 16:
+        a[:8] = [0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000,
+                 0x7FFFFFFFFFFFFFFF, 5, 5, 1 << 32]
+    got = np.asarray(sort_codes_pallas(jnp.asarray(a), block_elems=blk,
+                                       interpret=True))
+    np.testing.assert_array_equal(got, np.sort(a))
+
+
+def test_pallas_sort_dup_heavy(rng):
+    # low-cardinality keys stress equal-pair exchanges
+    a = rng.integers(0, 7, size=4096, dtype=np.uint64) * np.uint64(1 << 45)
+    got = np.asarray(sort_codes_pallas(jnp.asarray(a), block_elems=1024,
+                                       interpret=True))
+    np.testing.assert_array_equal(got, np.sort(a))
+
+
+def test_pallas_sort_in_collapse_pipeline(rng, monkeypatch):
+    # collapse_sorted routed through the pallas sort == the lax.sort path
+    import unikmer_tpu.ops.pallas_sort as ps
+    from unikmer_tpu.ops import sort as sort_mod
+
+    n = 4096
+    codes = rng.integers(0, 1 << 46, size=n, dtype=np.uint64)
+    codes[100:200] = codes[0]  # force repeats
+    valid = rng.random(n) < 0.9
+    want_out, want_n = sort_mod.collapse_sorted(
+        jnp.asarray(codes), jnp.asarray(valid), "distinct"
+    )
+    monkeypatch.setenv("UNIKMER_TPU_PALLAS_SORT", "1")
+    monkeypatch.setenv("UNIKMER_TPU_PALLAS_SORT_BLOCK", "1024")
+    monkeypatch.setattr(
+        ps, "sort_codes_pallas",
+        partial(ps.sort_codes_pallas.__wrapped__, interpret=True),
+    )
+    got_out, got_n = sort_mod.collapse_sorted.__wrapped__(
+        jnp.asarray(codes), jnp.asarray(valid), "distinct"
+    )
+    assert int(got_n) == int(want_n)
+    np.testing.assert_array_equal(np.asarray(got_out), np.asarray(want_out))

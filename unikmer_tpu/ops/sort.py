@@ -18,6 +18,7 @@ dynamic sizes).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,9 +28,21 @@ import numpy as np
 from .codec import CODE_SENTINEL
 
 
+def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
+    """The device u64 sort primitive.  UNIKMER_TPU_PALLAS_SORT=1 routes
+    through the VMEM-blocked bitonic kernel (ops/pallas_sort.py) instead
+    of XLA's sort; read at trace time, so set it before first compile."""
+    if os.environ.get("UNIKMER_TPU_PALLAS_SORT") == "1" and codes.ndim == 1:
+        from .pallas_sort import sort_codes_pallas
+
+        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
+        return sort_codes_pallas(codes, block_elems=blk)
+    return jax.lax.sort(codes)
+
+
 def sort_codes(codes: jnp.ndarray) -> jnp.ndarray:
     """Plain ascending sort of uint64 codes."""
-    return jax.lax.sort(codes)
+    return _sort_u64(codes)
 
 
 def _run_bounds(s_codes: jnp.ndarray):
@@ -77,7 +90,7 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
     n_tail = jnp.sum(~valid, dtype=jnp.int64) + n_sent_real
     n_head = codes.shape[0] - n_tail  # non-sentinel real codes
 
-    s = jax.lax.sort(keyed)
+    s = _sort_u64(keyed)
     idx = jnp.arange(codes.shape[0], dtype=jnp.int64)
     in_head = idx < n_head
 
