@@ -44,9 +44,17 @@ class Watchdog:
 
 
 def fetch_checksum(x):
-    """Force full execution by fetching a scalar that depends on all
-    elements (block_until_ready is unreliable on this backend)."""
-    return int(np.asarray(jnp.bitwise_xor.reduce(x) ^ x[-1]))
+    """Force full execution by fetching a scalar that depends on every
+    element AND its position (a permutation-blind xor would pass on a
+    broken merge); block_until_ready is unreliable on this backend."""
+    w = jnp.arange(1, x.shape[0] + 1, dtype=jnp.uint64)
+    return int(np.asarray(jnp.sum(x * w)))  # mod 2^64
+
+
+def np_checksum(x):
+    w = np.arange(1, len(x) + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return int(np.sum(x * w, dtype=np.uint64))
 
 
 def main():
@@ -77,7 +85,10 @@ def main():
         cs = fetch_checksum(f(d))
         print(f"n=2^18 cold: {time.time()-t0:.1f}s", flush=True)
         want = np.sort(a)
-        assert cs == int(np.bitwise_xor.reduce(want) ^ want[-1]), "checksum!"
+        assert cs == np_checksum(want), "checksum!"
+        # full fetch once: position-exact validation of the merge path
+        np.testing.assert_array_equal(np.asarray(f(d)), want)
+        print("n=2^18 EXACT (full fetch)", flush=True)
         for i in range(3):
             t0 = time.time()
             fetch_checksum(f(d))
@@ -93,7 +104,7 @@ def main():
         cs = fetch_checksum(f(d))
         print(f"n=2^23 pallas cold: {time.time()-t0:.1f}s", flush=True)
         want = np.sort(a)
-        assert cs == int(np.bitwise_xor.reduce(want) ^ want[-1]), "checksum!"
+        assert cs == np_checksum(want), "checksum!"
         best = 1e9
         for i in range(5):
             t0 = time.time()

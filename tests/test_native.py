@@ -442,6 +442,13 @@ def test_radix_sort_matches_numpy(lib, rng):
     np.testing.assert_array_equal(native.sort_u64(a), np.sort(a))
     zeros = np.zeros(100_000, np.uint64)
     np.testing.assert_array_equal(native.sort_u64(zeros), zeros)
+    # FULL-range keys (bit 63 set — hashed codes): regression for the
+    # `mx >> 64` UB infinite loop in the bit-count
+    a = rng.integers(0, 1 << 64, size=200_000, dtype=np.uint64)
+    a[:3] = [0xFFFFFFFFFFFFFFFF, 1 << 63, 0]
+    np.testing.assert_array_equal(native.sort_u64(a), np.sort(a))
+    ks, vs = native.sort_u64_kv(a, np.arange(len(a), dtype=np.uint32))
+    np.testing.assert_array_equal(ks, np.sort(a))
 
 
 def test_radix_sort_kv_stable(lib, rng):

@@ -458,9 +458,10 @@ def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
 
         codes, _ = host_sets.union(partial)
         return codes
-    from .. import native
-
-    merged = native.host_sort(np.concatenate(partial))
+    # in-place sort: the concatenation is the peak-memory buffer here,
+    # and numpy's default kind is the same simd sort host_sort uses
+    merged = np.concatenate(partial)
+    merged.sort()
     first = np.ones(len(merged), bool)
     first[1:] = merged[1:] != merged[:-1]
     if cfg.mode not in ("unique", "repeated"):

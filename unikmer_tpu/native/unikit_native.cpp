@@ -873,20 +873,25 @@ int32_t radix_sort_kv(uint64_t* keys, V* vals, int64_t n, int threads) {
         }
         for (int t = 0; t < p; t++) mx = std::max(mx, mxs[t]);
     }
-    int bits = 0;
-    while (mx >> bits) bits++;
+    if (mx == 0) return 0;  // all keys zero
+    // NOT `while (mx >> bits)`: for keys with bit 63 set (hashed codes
+    // are full-range u64) that reaches a shift of 64 — UB that x86
+    // masks to 0, i.e. an infinite loop.
+    int bits = 64 - __builtin_clzll(mx);
     int passes = (bits + 7) / 8;
-    if (passes == 0) return 0;  // all keys zero
 
     size_t k_bytes = (size_t)n * sizeof(uint64_t);
     size_t v_bytes = HasVals ? (size_t)n * sizeof(V) : 0;
+    // hist is allocated before taking the scratch lock so a bad_alloc
+    // cannot leave the arena mutex held.
+    std::vector<int64_t> hist((size_t)p * 256);
     void* scratch = g_radix_scratch.acquire(k_bytes + v_bytes);
     if (!scratch) return -1;  // OOM
     uint64_t* ka = keys;
     uint64_t* kb = static_cast<uint64_t*>(scratch);
     V* va = vals;
     V* vb = reinterpret_cast<V*>(static_cast<uint8_t*>(scratch) + k_bytes);
-    std::vector<int64_t> hist((size_t)p * 256);
+    try {
     for (int pass = 0; pass < passes; pass++) {
         int shift = 8 * pass;
         std::fill(hist.begin(), hist.end(), 0);
@@ -942,6 +947,13 @@ int32_t radix_sort_kv(uint64_t* keys, V* vals, int64_t n, int threads) {
         std::memcpy(keys, ka, (size_t)n * sizeof(uint64_t));
         if constexpr (HasVals) std::memcpy(vals, va, (size_t)n * sizeof(V));
     }
+    } catch (...) {
+        // thread creation can throw under resource pressure; the arena
+        // mutex must not stay locked, and the rc tells callers to fall
+        // back (they sort a copy, so partial permutation is discarded)
+        g_radix_scratch.release();
+        return -1;
+    }
     g_radix_scratch.release();
     return 0;
 }
@@ -953,17 +965,29 @@ extern "C" {
 // Return 0 on success, -1 on scratch allocation failure (input is then
 // left in its original order — callers must check).
 int32_t radix_sort_u64(uint64_t* keys, int64_t n, int32_t threads) {
-    return radix_sort_kv<NoVal>(keys, nullptr, n, threads);
+    try {
+        return radix_sort_kv<NoVal>(keys, nullptr, n, threads);
+    } catch (...) {
+        return -1;  // pre-lock allocations (max-scan pool) threw
+    }
 }
 
 int32_t radix_sort_u64_u32(uint64_t* keys, uint32_t* vals, int64_t n,
                            int32_t threads) {
-    return radix_sort_kv<uint32_t>(keys, vals, n, threads);
+    try {
+        return radix_sort_kv<uint32_t>(keys, vals, n, threads);
+    } catch (...) {
+        return -1;
+    }
 }
 
 int32_t radix_sort_u64_u64(uint64_t* keys, uint64_t* vals, int64_t n,
                            int32_t threads) {
-    return radix_sort_kv<uint64_t>(keys, vals, n, threads);
+    try {
+        return radix_sort_kv<uint64_t>(keys, vals, n, threads);
+    } catch (...) {
+        return -1;
+    }
 }
 
 }  // extern "C"

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
+
 
 def _lca_merge(taxdb, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elementwise LCA with 0 as identity (no-taxid)."""
@@ -59,8 +61,6 @@ def _native_union_tree(code_arrays):
     merge kernel; None without the native library.  Every array passes
     through at least one merge (which collapses duplicates within and
     across inputs), so the result is strictly increasing."""
-    from .. import native
-
     if native.get_lib() is None:
         return None
     level = [np.ascontiguousarray(c, np.uint64) for c in code_arrays]
@@ -86,15 +86,11 @@ def union(code_arrays, taxid_arrays=None, taxdb=None):
             return out, None
     codes = np.concatenate(code_arrays) if code_arrays else np.zeros(0, np.uint64)
     if taxid_arrays is None:
-        from .. import native
-
         return dedup_sorted(native.host_sort(codes), None)
     consts = _constant_taxids(taxid_arrays)
     if consts is not None and len(code_arrays) <= 64:
         return _union_const_taxids(code_arrays, consts, taxdb)
     taxids = np.concatenate(taxid_arrays)
-    from .. import native
-
     codes, taxids = native.host_sort_kv(codes, taxids)
     return dedup_sorted(codes, taxids, taxdb)
 
@@ -127,8 +123,6 @@ def _union_const_taxids(code_arrays, consts, taxdb):
         else:
             c, _ = dedup_sorted(c, None)
         deduped.append(c)
-    from .. import native
-
     out = deduped[0]
     for c in deduped[1:]:
         merged = (
@@ -167,8 +161,6 @@ def member_mask(sorted_ref: np.ndarray, queries: np.ndarray,
     if len(sorted_ref) == 0:
         return np.zeros(len(queries), bool), np.zeros(len(queries), np.int64)
     if sorted_queries and len(queries) >= (1 << 14):
-        from .. import native
-
         res = native.member_mask_sorted(sorted_ref, queries)
         if res is not None:
             return res
@@ -219,8 +211,6 @@ def subtract(
             break
         tax_i = None if other_tax_arrays is None else other_tax_arrays[i]
         # targets may be unsorted (diff.go:341-377 handles both)
-        from .. import native
-
         if tax_i is None:
             codes_i = native.host_sort(codes_i)
         else:
@@ -254,8 +244,6 @@ def common(code_arrays, taxid_arrays=None, threshold: int = 0, taxdb=None):
         deduped.append(c)
         dedup_tax.append(t)
     all_codes = np.concatenate(deduped)
-    from .. import native
-
     all_codes, order = native.host_argsort(all_codes)
     uniq, counts = np.unique(all_codes, return_counts=True)
     keep_codes = uniq[counts >= threshold]
