@@ -244,9 +244,17 @@ def common(code_arrays, taxid_arrays=None, threshold: int = 0, taxdb=None):
         deduped.append(c)
         dedup_tax.append(t)
     all_codes = np.concatenate(deduped)
-    all_codes, order = native.host_argsort(all_codes)
-    uniq, counts = np.unique(all_codes, return_counts=True)
-    keep_codes = uniq[counts >= threshold]
+    if taxid_arrays is None:
+        all_codes = native.host_sort(all_codes)
+        order = None
+    else:
+        all_codes, order = native.host_argsort(all_codes)
+    # run-length count on the sorted array (np.unique would re-sort)
+    starts = np.flatnonzero(
+        np.concatenate([[True], all_codes[1:] != all_codes[:-1]])
+    ) if len(all_codes) else np.zeros(0, np.int64)
+    counts = np.diff(np.append(starts, len(all_codes)))
+    keep_codes = all_codes[starts[counts >= threshold]]
     if taxid_arrays is None:
         return keep_codes, None
     all_tax = np.concatenate(
