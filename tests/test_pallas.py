@@ -101,3 +101,25 @@ def test_pallas_sort_in_collapse_pipeline(rng, monkeypatch):
     )
     assert int(got_n) == int(want_n)
     np.testing.assert_array_equal(np.asarray(got_out), np.asarray(want_out))
+
+
+def test_pallas_sort_kv_taxids(rng):
+    from unikmer_tpu.ops.pallas_sort import sort_codes_taxids_pallas
+
+    for n, blk in [(1024, 1024), (4096, 1024), (3000, 1024)]:
+        codes = rng.integers(0, 1 << 46, size=n, dtype=np.uint64)
+        codes[: n // 4] = codes[0]  # heavy ties: values may permute
+        tax = rng.integers(1, 1 << 20, size=n, dtype=np.uint32)
+        c, t = sort_codes_taxids_pallas(
+            jnp.asarray(codes), jnp.asarray(tax), block_elems=blk,
+            interpret=True,
+        )
+        c, t = np.asarray(c), np.asarray(t)
+        np.testing.assert_array_equal(c, np.sort(codes))
+        # the (code, taxid) multiset must be exactly preserved
+        got = np.stack([c, t.astype(np.uint64)], 1)
+        order = np.argsort(codes, kind="stable")
+        want = np.stack([codes[order], tax[order].astype(np.uint64)], 1)
+        got = got[np.lexsort((got[:, 1], got[:, 0]))]
+        want = want[np.lexsort((want[:, 1], want[:, 0]))]
+        np.testing.assert_array_equal(got, want)

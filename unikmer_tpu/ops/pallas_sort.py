@@ -10,7 +10,8 @@ Formulation (flip-merge bitonic, all compare-exchanges ascending):
   * Keys are (hi, lo) u32 pairs, sign-biased to int32 planes so every
     comparison is a plain signed vector compare (this Mosaic target has
     no unsigned vector compares); lexicographic (hi, lo) order equals
-    u64 order.
+    u64 order.  An optional value plane (uint32 taxids) rides along
+    through the same selects (key+value sort for the taxid pipelines).
   * The array is split into VMEM blocks of B = ROWS*128 elements laid
     out row-major as (ROWS, 128): element i = (i // 128, i % 128), so a
     compare-exchange at distance j < 128 is a lane-axis roll and at
@@ -35,7 +36,11 @@ Formulation (flip-merge bitonic, all compare-exchanges ascending):
 
 Cost model and on-chip measurements live in docs/design/pallas_sort.md;
 interpret-mode tests (tests/test_pallas.py) pin bit-exactness against
-jax.lax.sort at every block/array-size combination.
+jax.lax.sort at every block/array-size combination.  On-chip status:
+the 1024-element block compiled and ran EXACTLY on the v5e; the
+2^18-element block (171 unrolled stages at 2048x128) exceeded the AOT
+compiler's 900 s budget — block size is a compile-time/HBM-pass
+trade-off probed by scripts/exp_pallas_sort_chip.py.
 """
 
 from __future__ import annotations
@@ -72,62 +77,69 @@ def _bit_clear_mask(rows: int, j: int):
     return (r & (j // LANES)) == 0
 
 
-def _exchange(hi, lo, j: int, keep_min):
-    """One compare-exchange stage at distance j on (ROWS, LANES) planes.
-    ``keep_min`` is the per-element 'this position keeps the smaller of
-    the pair' mask (already accounting for network direction)."""
+def _exchange(planes, j: int, keep_min):
+    """One compare-exchange stage at distance j.  ``planes`` is a tuple
+    of (rows, LANES) arrays: planes[0:2] are the (hi, lo) key planes,
+    the rest are value planes moved by the same selects.  ``keep_min``
+    is the per-element 'this position keeps the smaller of the pair'
+    mask (already accounting for network direction)."""
     axis = 1 if j < LANES else 0
     s = j if j < LANES else j // LANES
-    bc = _bit_clear_mask(hi.shape[0], j)
+    bc = _bit_clear_mask(planes[0].shape[0], j)
     # partner value: i+j where bit j clear (roll left), i-j where set
-    phi = jnp.where(bc, _roll(hi, -s, axis), _roll(hi, s, axis))
-    plo = jnp.where(bc, _roll(lo, -s, axis), _roll(lo, s, axis))
-    p_lt = (phi < hi) | ((phi == hi) & (plo < lo))
+    partners = tuple(
+        jnp.where(bc, _roll(x, -s, axis), _roll(x, s, axis)) for x in planes
+    )
+    # strict lexicographic compare over ALL planes (values included):
+    # with key-only ties both sides of a pair would otherwise take the
+    # same element and drop the other's value — the tie-broken total
+    # order keeps the two decisions complementary.
+    p_lt = jnp.zeros_like(keep_min)
+    for x, p in zip(reversed(planes), reversed(partners)):
+        p_lt = (p < x) | ((p == x) & p_lt)
     take_p = keep_min == p_lt
-    return jnp.where(take_p, phi, hi), jnp.where(take_p, plo, lo)
+    return tuple(jnp.where(take_p, p, x) for p, x in zip(partners, planes))
 
 
-def _asc_mask(rows: int, kk: int):
-    """(rows, LANES) bool: ascending-direction mask (element & kk) == 0
-    for the in-block full-sort network."""
-    return _bit_clear_mask(rows, kk)
-
-
-def _sort_block_kernel(rows: int, hi_in, lo_in, hi_out, lo_out):
+def _sort_block_kernel(rows: int, nplanes: int, *refs):
     """Full ascending bitonic sort of one (rows, LANES) block."""
-    hi, lo = hi_in[:], lo_in[:]
+    planes = tuple(r[:] for r in refs[:nplanes])
+    outs = refs[nplanes:]
     n = rows * LANES
     kk = 2
     while kk <= n:
-        asc = _asc_mask(rows, kk) if kk < n else jnp.ones((rows, LANES), bool)
+        asc = _bit_clear_mask(rows, kk) if kk < n else jnp.ones(
+            (rows, LANES), bool
+        )
         j = kk // 2
         while j >= 1:
             keep_min = asc == _bit_clear_mask(rows, j)
-            hi, lo = _exchange(hi, lo, j, keep_min)
+            planes = _exchange(planes, j, keep_min)
             j //= 2
         kk *= 2
-    hi_out[:] = hi
-    lo_out[:] = lo
+    for o, x in zip(outs, planes):
+        o[:] = x
 
 
-def _merge_block_kernel(rows: int, hi_in, lo_in, hi_out, lo_out):
+def _merge_block_kernel(rows: int, nplanes: int, *refs):
     """Ascending bitonic merge (stages j = n/2 .. 1) of one block whose
     contents are already bitonic."""
-    hi, lo = hi_in[:], lo_in[:]
+    planes = tuple(r[:] for r in refs[:nplanes])
+    outs = refs[nplanes:]
     j = rows * LANES // 2
     while j >= 1:
-        hi, lo = _exchange(hi, lo, j, _bit_clear_mask(rows, j))
+        planes = _exchange(planes, j, _bit_clear_mask(rows, j))
         j //= 2
-    hi_out[:] = hi
-    lo_out[:] = lo
+    for o, x in zip(outs, planes):
+        o[:] = x
 
 
-def _block_call(kernel, rows: int, interpret: bool):
+def _block_call(kernel, rows: int, nplanes: int, interpret: bool):
     return pl.pallas_call(
-        partial(kernel, rows),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        partial(kernel, rows, nplanes),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+            for _ in range(nplanes)
         ),
         interpret=interpret,
     )
@@ -144,22 +156,70 @@ def _rev_second_halves(x, m: int):
     return jnp.stack([v[:, 0], second], axis=1).reshape(nb, r, c)
 
 
-def _cross_block_stage(hi, lo, jb: int):
+def _cross_block_stage(planes, jb: int):
     """Exchange stage at block distance jb (element distance jb*B),
     ascending keep-min order, as XLA elementwise ops on block pairs."""
-    nb, r, c = hi.shape
-    vhi = hi.reshape(nb // (2 * jb), 2, jb, r, c)
-    vlo = lo.reshape(nb // (2 * jb), 2, jb, r, c)
-    ahi, bhi = vhi[:, 0], vhi[:, 1]
-    alo, blo = vlo[:, 0], vlo[:, 1]
-    b_lt = (bhi < ahi) | ((bhi == ahi) & (blo < alo))
-    nahi = jnp.where(b_lt, bhi, ahi)
-    nalo = jnp.where(b_lt, blo, alo)
-    nbhi = jnp.where(b_lt, ahi, bhi)
-    nblo = jnp.where(b_lt, alo, blo)
-    hi = jnp.stack([nahi, nbhi], axis=1).reshape(nb, r, c)
-    lo = jnp.stack([nalo, nblo], axis=1).reshape(nb, r, c)
-    return hi, lo
+    nb, r, c = planes[0].shape
+    views = [x.reshape(nb // (2 * jb), 2, jb, r, c) for x in planes]
+    a_side = [v[:, 0] for v in views]
+    b_side = [v[:, 1] for v in views]
+    b_lt = (b_side[0] < a_side[0]) | (
+        (b_side[0] == a_side[0]) & (b_side[1] < a_side[1])
+    )
+    out = []
+    for a, b in zip(a_side, b_side):
+        na = jnp.where(b_lt, b, a)
+        nb_ = jnp.where(b_lt, a, b)
+        out.append(jnp.stack([na, nb_], axis=1).reshape(nb, r, c))
+    return tuple(out)
+
+
+def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool):
+    """Run the full blocked network over same-shape int32 planes (first
+    two = key planes).  Returns planes flattened back to 1D."""
+    rows = b // LANES
+    nb = nn // b
+    nplanes = len(planes)
+    planes = tuple(x.reshape(nb, rows, LANES) for x in planes)
+
+    sort_call = _block_call(_sort_block_kernel, rows, nplanes, interpret)
+    planes = jax.lax.map(lambda t: sort_call(*t), planes)
+
+    merge_call = _block_call(_merge_block_kernel, rows, nplanes, interpret)
+    m = 1
+    while (1 << m) <= nb:
+        planes = tuple(_rev_second_halves(x, m) for x in planes)
+        jb = 1 << (m - 1)
+        while jb >= 1:
+            planes = _cross_block_stage(planes, jb)
+            jb //= 2
+        planes = jax.lax.map(lambda t: merge_call(*t), planes)
+        m += 1
+    return tuple(x.reshape(-1) for x in planes)
+
+
+def _key_planes(codes):
+    hi = (codes >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (codes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    # sign-bias to int32 so all vector compares are signed
+    return (
+        jax.lax.bitcast_convert_type(hi, jnp.int32) ^ _BIAS,
+        jax.lax.bitcast_convert_type(lo, jnp.int32) ^ _BIAS,
+    )
+
+
+def _codes_from_planes(hi, lo):
+    hi = jax.lax.bitcast_convert_type(hi ^ _BIAS, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(lo ^ _BIAS, jnp.uint32)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def _padded_size(n: int, block_elems: int):
+    nn = 1 << max((n - 1).bit_length(), 10)  # >= 8 rows of 128
+    b = min(block_elems, nn)
+    if b & (b - 1) or b < 8 * LANES:
+        raise ValueError("block_elems must be a power of two >= 1024")
+    return nn, b
 
 
 @partial(jax.jit, static_argnames=("block_elems", "interpret"))
@@ -172,39 +232,38 @@ def sort_codes_pallas(
     n = int(codes.shape[0])
     if n <= 1:
         return codes
-    nn = 1 << max((n - 1).bit_length(), 10)  # >= 8 rows of 128
-    b = min(block_elems, nn)
-    if b & (b - 1) or b < 8 * LANES:
-        raise ValueError("block_elems must be a power of two >= 1024")
+    nn, b = _padded_size(n, block_elems)
     if nn != n:
         pad = jnp.full((nn - n,), jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
         codes = jnp.concatenate([codes, pad])
-    hi = (codes >> jnp.uint64(32)).astype(jnp.uint32)
-    lo = (codes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    # sign-bias to int32 so all vector compares are signed
-    hi = jax.lax.bitcast_convert_type(hi, jnp.int32) ^ _BIAS
-    lo = jax.lax.bitcast_convert_type(lo, jnp.int32) ^ _BIAS
-    rows = b // LANES
-    nb = nn // b
-    hi = hi.reshape(nb, rows, LANES)
-    lo = lo.reshape(nb, rows, LANES)
+    planes = _bitonic_sort_planes(_key_planes(codes), nn, b, interpret)
+    return _codes_from_planes(planes[0], planes[1])[:n]
 
-    sort_call = _block_call(_sort_block_kernel, rows, interpret)
-    hi, lo = jax.lax.map(lambda t: sort_call(t[0], t[1]), (hi, lo))
 
-    merge_call = _block_call(_merge_block_kernel, rows, interpret)
-    m = 1
-    while (1 << m) <= nb:
-        hi = _rev_second_halves(hi, m)
-        lo = _rev_second_halves(lo, m)
-        jb = 1 << (m - 1)
-        while jb >= 1:
-            hi, lo = _cross_block_stage(hi, lo, jb)
-            jb //= 2
-        hi, lo = jax.lax.map(lambda t: merge_call(t[0], t[1]), (hi, lo))
-        m += 1
-
-    hi = jax.lax.bitcast_convert_type((hi ^ _BIAS).reshape(-1), jnp.uint32)
-    lo = jax.lax.bitcast_convert_type((lo ^ _BIAS).reshape(-1), jnp.uint32)
-    out = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
-    return out[:n]
+@partial(jax.jit, static_argnames=("block_elems", "interpret"))
+def sort_codes_taxids_pallas(
+    codes: jnp.ndarray,
+    taxids: jnp.ndarray,
+    block_elems: int = 1 << 18,
+    interpret: bool = False,
+):
+    """Key+value sort: (sorted codes, co-sorted uint32 taxids) — the
+    pallas twin of ops.sort.sort_codes_taxids.  NOT stable in ties
+    (bitonic networks aren't); the taxid pipelines LCA-reduce equal-code
+    runs afterwards, so tie order never matters there."""
+    n = int(codes.shape[0])
+    if n <= 1:
+        return codes, taxids
+    nn, b = _padded_size(n, block_elems)
+    if nn != n:
+        pad = jnp.full((nn - n,), jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
+        codes = jnp.concatenate([codes, pad])
+        taxids = jnp.concatenate(
+            [taxids, jnp.zeros((nn - n,), taxids.dtype)]
+        )
+    v = jax.lax.bitcast_convert_type(taxids.astype(jnp.uint32), jnp.int32)
+    planes = _bitonic_sort_planes(
+        _key_planes(codes) + (v,), nn, b, interpret
+    )
+    out_tax = jax.lax.bitcast_convert_type(planes[2], jnp.uint32)
+    return _codes_from_planes(planes[0], planes[1])[:n], out_tax[:n]
