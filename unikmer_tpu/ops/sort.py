@@ -121,5 +121,17 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
 @jax.jit
 def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
     """Co-sort (codes, taxids) by code.  One 2-operand sort; used by the
-    taxid-carrying pipelines (LCA collapse happens on the result)."""
+    taxid-carrying pipelines (LCA collapse happens on the result).
+    UNIKMER_TPU_PALLAS_SORT=1 routes through the key+value bitonic
+    kernel (tie order differs from lax.sort's, which is fine: every
+    consumer LCA-reduces equal-code runs)."""
+    if (
+        os.environ.get("UNIKMER_TPU_PALLAS_SORT") == "1"
+        and codes.ndim == 1
+        and taxids.dtype == jnp.uint32
+    ):
+        from .pallas_sort import sort_codes_taxids_pallas
+
+        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
+        return sort_codes_taxids_pallas(codes, taxids, block_elems=blk)
     return jax.lax.sort((codes, taxids), num_keys=1)
