@@ -121,6 +121,7 @@ def _sort_external(args, opt, files, mode, out_file):
         extsort.dump_chunk(
             codes, taxids, path, h0.k, _out_flag(h0, has_taxid) & ~unik.SORTED,
             mode, taxdb, opt,
+            compression_level=min(opt.compression_level, 1),  # temp files
         )
         chunk_files.append(path)
 

@@ -115,9 +115,15 @@ def dump_chunk(
     mode: str,
     taxdb,
     opt,
+    compression_level: int | None = None,
 ) -> None:
     """Sort + within-chunk collapse + write one chunk file
-    (reference dumpCodes2File / dumpCodesTaxids2File)."""
+    (reference dumpCodes2File / dumpCodesTaxids2File).
+
+    ``compression_level`` overrides opt's for TEMP chunks (sort's
+    spill files are write-once-read-once: level 1 compresses ~3x
+    faster for ~15% more temp bytes); split's user-visible chunks
+    keep the configured level."""
     if taxids is None:
         codes = native.host_sort(codes)
     else:
@@ -133,7 +139,11 @@ def dump_chunk(
         number=len(codes),
         max_taxid=opt.max_taxid,
         compress=opt.compress,
-        compression_level=opt.compression_level,
+        compression_level=(
+            opt.compression_level
+            if compression_level is None
+            else compression_level
+        ),
         threads=opt.threads,
     ) as w:
         w.write_codes(codes, taxids)
@@ -286,7 +296,8 @@ def cascade_merge(
                 flag=out_flag,
                 max_taxid=opt.max_taxid,
                 compress=opt.compress,
-                compression_level=opt.compression_level,
+                # cascade intermediates are temp files: cheapest level
+                compression_level=min(opt.compression_level, 1),
                 threads=opt.threads,
             )
             merge_sorted_files(
