@@ -329,3 +329,27 @@ def test_fuzz_rfilter_vs_bruteforce(tmp_path, rng):
     higher = ("family", "order", "class", "phylum", "superkingdom")
     want_hi = {int(c) for c, t in zip(codes, taxes) if ranks[int(t)] in higher}
     assert got == want_hi
+
+
+def test_union_const_taxids_unsorted_input(rng):
+    # regression: the unsorted-input check used np.diff on uint64,
+    # which wraps on descending steps and never fired — unsorted
+    # global-taxid inputs then hit sorted-only native kernels
+    a = rng.integers(0, 1 << 40, size=500, dtype=np.uint64)[::-1].copy()
+    b = np.unique(rng.integers(0, 1 << 40, size=300, dtype=np.uint64))
+    ta = np.full(len(a), 11, np.uint32)
+    tb = np.full(len(b), 11, np.uint32)
+    u, t = sets.union([a, b], [ta, tb])
+    want = sorted(set(a.tolist()) | set(b.tolist()))
+    assert u.tolist() == want
+    assert t is not None and (t == 11).all()
+
+
+def test_dedup_sorted_zero_taxid_identity():
+    # {0, t} must merge to t (0 = no-taxid identity), matching
+    # _lca_merge; {t1, t2} distinct nonzero -> 0; all-zero -> 0
+    codes = np.array([5, 5, 7, 7, 9, 9, 10], np.uint64)
+    tax = np.array([0, 4, 3, 8, 0, 0, 6], np.uint32)
+    c, t = sets.dedup_sorted(codes, tax, None)
+    assert c.tolist() == [5, 7, 9, 10]
+    assert t.tolist() == [4, 0, 0, 6]

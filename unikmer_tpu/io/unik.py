@@ -324,6 +324,14 @@ class UnikReader:
             return None
         if size < (1 << 20):
             return None  # not worth the whole-file read
+        # sniff the first member header before slurping: foreign gzip
+        # (no FEXTRA "UK" subfield at offset 12) streams sequentially
+        # without paying a wasted whole-file read
+        head = f.peek(14)[:14] if hasattr(f, "peek") else b""
+        if len(head) >= 14 and not (
+            head[3] & 0x04 and head[12:14] == b"UK"
+        ):
+            return None
         from ..native import pgz_inflate_all
 
         raw = f.read()
@@ -332,7 +340,11 @@ class UnikReader:
             f.seek(pos)
         return out
 
-    def __init__(self, path_or_file):
+    def __init__(self, path_or_file, stream: bool = False):
+        """``stream=True`` forbids the whole-file parallel inflate so
+        memory stays bounded at one block — the external-merge paths
+        hold up to 400 chunk readers open at once and would otherwise
+        resident the entire spilled dataset."""
         if isinstance(path_or_file, (str, bytes)):
             f = open(path_or_file, "rb")
             self._owns = True
@@ -346,7 +358,7 @@ class UnikReader:
             f = io.BufferedReader(_Concat(head, f))
             magic2 = head
         if magic2 == b"\x1f\x8b":
-            buf = self._try_parallel_inflate(f)
+            buf = None if stream else self._try_parallel_inflate(f)
             if buf is not None:
                 if self._owns:
                     f.close()

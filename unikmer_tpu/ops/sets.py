@@ -39,16 +39,20 @@ def dedup_sorted(codes: np.ndarray, taxids: np.ndarray | None, taxdb=None):
         return codes[first], None
     if taxdb is not None:
         return taxdb.lca_reduce(codes, taxids)
-    # no taxonomy: runs with a single distinct taxid keep it, else 0
+    # no taxonomy: runs with a single distinct NONZERO taxid keep it,
+    # else 0 (0 is the no-taxid identity, matching _lca_merge: {0, t}
+    # must merge to t, not 0)
     first = np.ones(len(codes), bool)
     first[1:] = codes[1:] != codes[:-1]
     run_id = np.cumsum(first) - 1
     n_runs = int(run_id[-1]) + 1
     t_min = np.full(n_runs, np.iinfo(np.uint32).max, np.uint32)
     t_max = np.zeros(n_runs, np.uint32)
-    np.minimum.at(t_min, run_id, taxids)
+    nz = np.where(taxids == 0, np.iinfo(np.uint32).max, taxids)
+    np.minimum.at(t_min, run_id, nz)
     np.maximum.at(t_max, run_id, taxids)
-    merged = np.where(t_min == t_max, t_min, 0).astype(np.uint32)
+    # all-zero runs: t_min stays at the sentinel != t_max=0 -> 0
+    merged = np.where(t_min == t_max, t_max, 0).astype(np.uint32)
     return codes[first], merged
 
 
@@ -118,23 +122,21 @@ def _union_const_taxids(code_arrays, consts, taxdb):
     temps; first-touch page faults dominate on this VM)."""
     deduped = []
     for c in code_arrays:
-        if len(c) and (np.diff(c.astype(np.uint64)) <= 0).any():
+        # NOT np.diff()<=0: uint64 subtraction wraps, so a descending
+        # step looks like a huge positive delta and unsortedness would
+        # never be detected
+        if len(c) and (c[1:] <= c[:-1]).any():
             c = np.unique(c)
         else:
             c, _ = dedup_sorted(c, None)
         deduped.append(c)
-    out = deduped[0]
-    for c in deduped[1:]:
-        merged = (
-            native.set2_sorted("union", out, c)
-            if native.get_lib() is not None
-            else None
-        )
-        if merged is None:
+    out = _native_union_tree(deduped)  # O(N logF) pairwise tree
+    if out is None:
+        out = deduped[0]
+        for c in deduped[1:]:
             # merge-of-sorted via membership + sort of the new tail
             mask, _ = member_mask(out, c, sorted_queries=True)
-            merged = np.sort(np.concatenate([out, c[~mask]]), kind="stable")
-        out = merged
+            out = np.sort(np.concatenate([out, c[~mask]]))
     bits = np.zeros(len(out), np.uint64)
     for i, c in enumerate(deduped):
         mask, _ = member_mask(c, out, sorted_queries=True)

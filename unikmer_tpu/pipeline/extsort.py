@@ -84,14 +84,18 @@ def collapse_batch(codes, taxids, mode, taxdb, final_round: bool):
     """Vectorized collapse of a sorted batch."""
     if mode == "none" or len(codes) == 0:
         return codes, taxids
-    first = np.ones(len(codes), bool)
-    first[1:] = codes[1:] != codes[:-1]
     if taxids is not None:
         from ..ops.sets import dedup_sorted
 
         u_codes, u_tax = dedup_sorted(codes, taxids, taxdb)
+        if mode == "unique":
+            return u_codes, u_tax
     else:
-        u_codes, u_tax = codes[first], None
+        u_codes, u_tax = None, None
+    first = np.ones(len(codes), bool)
+    first[1:] = codes[1:] != codes[:-1]
+    if u_codes is None:
+        u_codes = codes[first]
     if mode == "unique":
         return u_codes, u_tax
     # repeated
@@ -156,7 +160,9 @@ class _ChunkStream:
         self.reader = (
             path_or_reader
             if isinstance(path_or_reader, unik.UnikReader)
-            else unik.UnikReader(path_or_reader)
+            # stream=True: up to 400 of these are open at once — the
+            # whole-file parallel inflate would resident the dataset
+            else unik.UnikReader(path_or_reader, stream=True)
         )
         self._blocks = self.reader.iter_blocks()
         self.codes = np.zeros(0, np.uint64)
@@ -285,9 +291,15 @@ def cascade_merge(
             group = files[gi : gi + max_open_files]
             path = os.path.join(tmp_dir, f"cascade_{round_idx:02d}_{gi:06d}{unik.EXT}")
             out_flag = flag | unik.SORTED
+            # ANY member with taxids makes the intermediate carry them
+            # (deciding from group[0] alone would silently drop the
+            # rest of the group's taxid columns)
             tmp_has_tax = False
-            with unik.UnikReader(group[0]) as r0:
-                tmp_has_tax = r0.header.is_include_taxid
+            for g in group:
+                with unik.UnikReader(g, stream=True) as r0:
+                    if r0.header.is_include_taxid:
+                        tmp_has_tax = True
+                        break
             if tmp_has_tax:
                 out_flag |= unik.INCLUDE_TAXID
             w = unik.UnikWriter(
