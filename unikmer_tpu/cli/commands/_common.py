@@ -44,8 +44,15 @@ def unik_inputs(args, check_suffix: bool = True):
     return opt, files
 
 
-def open_reader(file: str) -> UnikReader:
-    return UnikReader(sys.stdin.buffer if file == "-" else file)
+def open_reader(file: str, stream: bool = False) -> UnikReader:
+    """``stream=True`` for commands that consume blocks incrementally
+    (head/sample/concat/num/info and the external sort/split inputs):
+    it skips the whole-file parallel inflate so memory stays bounded
+    regardless of input size.  Whole-set commands keep the default —
+    the parallel inflate is a 2x+ read-throughput win when everything
+    is consumed anyway."""
+    return UnikReader(sys.stdin.buffer if file == "-" else file,
+                      stream=stream)
 
 
 def effective_taxids(reader: UnikReader, n: int, taxids, ignore_taxid: bool):
