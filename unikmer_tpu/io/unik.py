@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import struct
 from dataclasses import dataclass
 
@@ -324,6 +325,8 @@ class UnikReader:
             return None
         if size < (1 << 20):
             return None  # not worth the whole-file read
+        if size > int(os.environ.get("UNIKMER_TPU_INFLATE_CAP", 4 << 30)):
+            return None  # beyond-RAM guard: stream instead of slurping
         # sniff the first member header before slurping: foreign gzip
         # (no FEXTRA "UK" subfield at offset 12) streams sequentially
         # without paying a wasted whole-file read
