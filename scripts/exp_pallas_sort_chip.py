@@ -58,6 +58,44 @@ def np_checksum(x):
         return int(np.sum(x * w, dtype=np.uint64))
 
 
+def xla_bitonic_sort_u64(codes):
+    """Pure-XLA flip-merge bitonic sort (no Pallas): every stage is a
+    reshape-view + select pass; measures how well XLA fuses the network
+    (third arm of the sort race, zero Mosaic risk)."""
+    from unikmer_tpu.ops.pallas_sort import _key_planes, _codes_from_planes
+
+    n = codes.shape[0]
+    hi, lo = _key_planes(codes)
+
+    def stage(hi, lo, j):
+        vhi = hi.reshape(n // (2 * j), 2, j)
+        vlo = lo.reshape(n // (2 * j), 2, j)
+        ahi, bhi, alo, blo = vhi[:, 0], vhi[:, 1], vlo[:, 0], vlo[:, 1]
+        b_lt = (bhi < ahi) | ((bhi == ahi) & (blo < alo))
+        hi = jnp.stack(
+            [jnp.where(b_lt, bhi, ahi), jnp.where(b_lt, ahi, bhi)], 1
+        ).reshape(-1)
+        lo = jnp.stack(
+            [jnp.where(b_lt, blo, alo), jnp.where(b_lt, alo, blo)], 1
+        ).reshape(-1)
+        return hi, lo
+
+    def flip_second_halves(x, kk):
+        v = x.reshape(n // kk, 2, kk // 2)
+        return jnp.stack([v[:, 0], jax.lax.rev(v[:, 1], (1,))], 1).reshape(-1)
+
+    kk = 2
+    while kk <= n:
+        hi = flip_second_halves(hi, kk)
+        lo = flip_second_halves(lo, kk)
+        j = kk // 2
+        while j >= 1:
+            hi, lo = stage(hi, lo, j)
+            j //= 2
+        kk *= 2
+    return _codes_from_planes(hi, lo)
+
+
 def main():
     budget = int(sys.argv[1]) if len(sys.argv) > 1 else 600  # s per compile
     with Watchdog(1200, "backend init"):
@@ -123,8 +161,25 @@ def main():
             dt = time.time() - t0
             bestx = min(bestx, dt)
             print(f"n=2^23 lax.sort warm {i}: {dt*1e3:.1f} ms", flush=True)
+    bestb = float("nan")
+    try:
+        with Watchdog(900, "n=2^23 xla-bitonic"):
+            h = jax.jit(xla_bitonic_sort_u64)
+            cs = fetch_checksum(h(d))
+            assert cs == np_checksum(want), "xla-bitonic checksum!"
+            bestb = 1e9
+            for i in range(5):
+                t0 = time.time()
+                fetch_checksum(h(d))
+                dt = time.time() - t0
+                bestb = min(bestb, dt)
+                print(f"n=2^23 xla-bitonic warm {i}: {dt*1e3:.1f} ms",
+                      flush=True)
+    except (TimeoutError, Exception) as e:  # noqa: BLE001
+        print(f"xla-bitonic arm failed: {e}", flush=True)
     print(f"RESULT blk={best_blk} pallas {best*1e3:.1f} ms vs lax.sort "
-          f"{bestx*1e3:.1f} ms ({bestx/best:.2f}x)", flush=True)
+          f"{bestx*1e3:.1f} ms ({bestx/best:.2f}x) vs xla-bitonic "
+          f"{bestb*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
