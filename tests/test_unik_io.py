@@ -162,3 +162,22 @@ def test_multi_block_stream(rng):
     r = unik.UnikReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
     out, _ = r.read_all()
     np.testing.assert_array_equal(out, codes)
+
+
+def test_reader_stream_mode_equivalent(tmp_path, rng):
+    # stream=True must bypass the whole-file parallel inflate (memory-
+    # bounded k-way merge) yet read identical content on UK-indexed
+    # multi-member gzip files above the 1 MB inflate floor
+    path = str(tmp_path / "big.unik")
+    codes = np.sort(rng.integers(0, 1 << 46, size=400_000, dtype=np.uint64))
+    with unik.UnikWriter(path, k=23, flag=unik.SORTED, number=len(codes),
+                         threads=4) as w:
+        w.write_codes(codes)
+    import os
+    assert os.path.getsize(path) >= (1 << 20)
+    with unik.UnikReader(path) as r1:
+        c1, _ = r1.read_all()
+    with unik.UnikReader(path, stream=True) as r2:
+        blocks = [c for c, _ in r2.iter_blocks()]
+    np.testing.assert_array_equal(c1, codes)
+    np.testing.assert_array_equal(np.concatenate(blocks), codes)
