@@ -480,3 +480,20 @@ def test_host_sort_wrappers(rng):
         np.testing.assert_array_equal(ks, keys[order])
         np.testing.assert_array_equal(keys[perm], ks)
         np.testing.assert_array_equal(tax[np.asarray(perm)], tax[order])
+
+
+def test_partitioned_host_sort(lib, rng):
+    # exercises the MSD-partition + per-bucket simd path (>= 2^23)
+    from unikmer_tpu.native import _partitioned_sort
+
+    for hibits in (12, 46, 64):
+        top = (1 << hibits) - 1 if hibits < 64 else (1 << 64) - 1
+        a = rng.integers(0, top, size=(1 << 23) + 17, dtype=np.uint64)
+        if hibits == 64:
+            a[:4] = [0, 0xFFFFFFFFFFFFFFFF, 1 << 63, (1 << 63) - 1]
+        got = _partitioned_sort(a)
+        assert got is not None
+        np.testing.assert_array_equal(got, np.sort(a))
+        assert got is not a
+    zeros = np.zeros((1 << 23), np.uint64)
+    np.testing.assert_array_equal(native.host_sort(zeros), zeros)

@@ -958,9 +958,75 @@ int32_t radix_sort_kv(uint64_t* keys, V* vals, int64_t n, int threads) {
     return 0;
 }
 
+// One parallel MSD pass on the byte at ``shift``: partitions keys into
+// 256 value-range buckets (stable within buckets) and writes the 257
+// exclusive bucket offsets.  The caller finishes each bucket with
+// numpy's simd quicksort on its slice — 4 buckets at a time with the
+// GIL released, that beats both single-thread np.sort (~70 M/s) and
+// the full 6-pass LSD radix (~35 M/s) for large keys-only sorts.
+int32_t msd_partition_impl(uint64_t* keys, int64_t n, int shift,
+                           int64_t* offsets, int threads) {
+    if (shift < 0 || shift > 56 || (shift & 7)) return -2;
+    int p = threads < 1 ? 1 : threads;
+    if (n < (1 << 16)) p = 1;
+    std::vector<int64_t> hist((size_t)p * 256);
+    size_t k_bytes = (size_t)n * sizeof(uint64_t);
+    void* scratch = g_radix_scratch.acquire(k_bytes);
+    if (!scratch) return -1;
+    uint64_t* kb = static_cast<uint64_t*>(scratch);
+    try {
+        std::fill(hist.begin(), hist.end(), 0);
+        auto count = [&](int t) {
+            int64_t i0 = n * t / p, i1 = n * (t + 1) / p;
+            int64_t* h = hist.data() + (size_t)t * 256;
+            for (int64_t i = i0; i < i1; i++)
+                h[(keys[i] >> shift) & 0xff]++;
+        };
+        auto run = [&](auto fn) {
+            if (p == 1) { fn(0); return; }
+            std::vector<std::thread> pool;
+            for (int t = 0; t < p; t++) pool.emplace_back(fn, t);
+            for (auto& t : pool) t.join();
+        };
+        run(count);
+        int64_t runoff = 0;
+        for (int d = 0; d < 256; d++) {
+            offsets[d] = runoff;
+            for (int t = 0; t < p; t++) {
+                int64_t c = hist[(size_t)t * 256 + d];
+                hist[(size_t)t * 256 + d] = runoff;
+                runoff += c;
+            }
+        }
+        offsets[256] = n;
+        auto scatter = [&](int t) {
+            int64_t i0 = n * t / p, i1 = n * (t + 1) / p;
+            int64_t* off = hist.data() + (size_t)t * 256;
+            for (int64_t i = i0; i < i1; i++)
+                kb[off[(keys[i] >> shift) & 0xff]++] = keys[i];
+        };
+        run(scatter);
+        std::memcpy(keys, kb, k_bytes);
+    } catch (...) {
+        g_radix_scratch.release();
+        return -1;
+    }
+    g_radix_scratch.release();
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+int32_t msd_partition_u64(uint64_t* keys, int64_t n, int32_t shift,
+                          int64_t* offsets, int32_t threads) {
+    try {
+        return msd_partition_impl(keys, n, shift, offsets, threads);
+    } catch (...) {
+        return -1;
+    }
+}
 
 // Return 0 on success, -1 on scratch allocation failure (input is then
 // left in its original order — callers must check).
