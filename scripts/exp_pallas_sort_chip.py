@@ -96,8 +96,31 @@ def xla_bitonic_sort_u64(codes):
     return _codes_from_planes(hi, lo)
 
 
+def race(f, d, want, label, warm_iters=5, budget=1800):
+    """Compile+validate f(d) against want, then best-of warm timing."""
+    with Watchdog(budget, f"{label} compile+run"):
+        t0 = time.time()
+        cs = fetch_checksum(f(d))
+        print(f"{label} cold: {time.time()-t0:.1f}s", flush=True)
+        assert cs == np_checksum(want), f"{label} checksum!"
+        best = 1e9
+        for i in range(warm_iters):
+            t0 = time.time()
+            fetch_checksum(f(d))
+            dt = time.time() - t0
+            best = min(best, dt)
+            print(f"{label} warm {i}: {dt*1e3:.1f} ms", flush=True)
+    return best
+
+
 def main():
-    budget = int(sys.argv[1]) if len(sys.argv) > 1 else 600  # s per compile
+    # argv: [budget_s_per_mosaic_compile] [comma-separated log2 blocks]
+    budget = int(sys.argv[1]) if len(sys.argv) > 1 else 480
+    logbs = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [10, 13, 14]
+    )
     with Watchdog(1200, "backend init"):
         print(f"devices: {jax.devices()}", flush=True)
     with Watchdog(60, "tiny probe"):
@@ -106,80 +129,61 @@ def main():
     print("probe ok", flush=True)
     rng = np.random.default_rng(0)
 
-    best_blk = None
-    for logb in (10, 13, 14, 15, 16):
-        n = 1 << logb
-        a = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
-        try:
-            with Watchdog(budget, f"blk=2^{logb} compile+run"):
-                t0 = time.time()
-                got = np.asarray(
-                    sort_codes_pallas(jnp.asarray(a), block_elems=n)
-                )
-                dt = time.time() - t0
-                ok = np.array_equal(got, np.sort(a))
-                print(f"blk=2^{logb}: {dt:.1f}s "
-                      f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
-                if not ok:
-                    break
-                best_blk = n
-        except TimeoutError as e:
-            print(f"WATCHDOG: {e} — stopping escalation", flush=True)
-            break
-
-    if best_blk is None:
-        print("RESULT: no block size compiled", flush=True)
-        return
-
-    # full 2^23 with the largest compiled block, vs lax.sort
+    # baseline arm first: we always have the reference number on record
     n = 1 << 23
     a = rng.integers(0, 1 << 46, size=n, dtype=np.uint64)
     want = np.sort(a)
     d = jax.device_put(jnp.asarray(a))
-    with Watchdog(1800, "n=2^23 pallas compile+run"):
-        f = jax.jit(lambda x: sort_codes_pallas(x, block_elems=best_blk))
-        t0 = time.time()
-        cs = fetch_checksum(f(d))
-        print(f"n=2^23 pallas (blk={best_blk}) cold: "
-              f"{time.time()-t0:.1f}s", flush=True)
-        assert cs == np_checksum(want), "checksum!"
-        best = 1e9
-        for i in range(5):
-            t0 = time.time()
-            fetch_checksum(f(d))
-            dt = time.time() - t0
-            best = min(best, dt)
-            print(f"n=2^23 pallas warm {i}: {dt*1e3:.1f} ms", flush=True)
-    with Watchdog(900, "n=2^23 lax.sort"):
-        g = jax.jit(jax.lax.sort)
-        cs = fetch_checksum(g(d))
-        assert cs == np_checksum(want), "lax checksum!"
-        bestx = 1e9
-        for i in range(5):
-            t0 = time.time()
-            fetch_checksum(g(d))
-            dt = time.time() - t0
-            bestx = min(bestx, dt)
-            print(f"n=2^23 lax.sort warm {i}: {dt*1e3:.1f} ms", flush=True)
+    bestx = race(jax.jit(jax.lax.sort), d, want, "n=2^23 lax.sort",
+                 budget=900)
+    results = {}
+
+    # per block size: tiny Mosaic compile (the risky, slow part), then
+    # immediately the full 2^23 race with that block — so every block
+    # that compiles produces a headline number even if the NEXT block
+    # size hits the AOT compile cliff.
+    for logb in logbs:
+        blk = 1 << logb
+        t = rng.integers(0, 1 << 64, size=blk, dtype=np.uint64)
+        try:
+            with Watchdog(budget, f"blk=2^{logb} mosaic compile"):
+                t0 = time.time()
+                got = np.asarray(
+                    sort_codes_pallas(jnp.asarray(t), block_elems=blk)
+                )
+                dt = time.time() - t0
+                ok = np.array_equal(got, np.sort(t))
+                print(f"blk=2^{logb} block-sort: {dt:.1f}s "
+                      f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
+                if not ok:
+                    break
+        except TimeoutError as e:
+            print(f"WATCHDOG: {e} — stopping escalation (abandoned "
+                  f"compile may wedge the backend; let it rest)",
+                  flush=True)
+            break
+        try:
+            f = jax.jit(
+                lambda x, b=blk: sort_codes_pallas(x, block_elems=b)
+            )
+            results[logb] = race(
+                f, d, want, f"n=2^23 pallas blk=2^{logb}", budget=900
+            )
+        except TimeoutError as e:
+            print(f"WATCHDOG: {e}", flush=True)
+            break
+
     bestb = float("nan")
     try:
-        with Watchdog(900, "n=2^23 xla-bitonic"):
-            h = jax.jit(xla_bitonic_sort_u64)
-            cs = fetch_checksum(h(d))
-            assert cs == np_checksum(want), "xla-bitonic checksum!"
-            bestb = 1e9
-            for i in range(5):
-                t0 = time.time()
-                fetch_checksum(h(d))
-                dt = time.time() - t0
-                bestb = min(bestb, dt)
-                print(f"n=2^23 xla-bitonic warm {i}: {dt*1e3:.1f} ms",
-                      flush=True)
+        bestb = race(jax.jit(xla_bitonic_sort_u64), d, want,
+                     "n=2^23 xla-bitonic", budget=900)
     except (TimeoutError, Exception) as e:  # noqa: BLE001
         print(f"xla-bitonic arm failed: {e}", flush=True)
-    print(f"RESULT blk={best_blk} pallas {best*1e3:.1f} ms vs lax.sort "
-          f"{bestx*1e3:.1f} ms ({bestx/best:.2f}x) vs xla-bitonic "
-          f"{bestb*1e3:.1f} ms", flush=True)
+
+    print(f"RESULT lax.sort {bestx*1e3:.1f} ms | " + " | ".join(
+        f"pallas blk=2^{lb} {t*1e3:.1f} ms ({bestx/t:.2f}x)"
+        for lb, t in results.items()
+    ) + f" | xla-bitonic {bestb*1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,52 @@ def test_autocompletion(tmp_path):
     assert cli(["autocompletion", "--file", f, "--type", "fish"]) == 0
 
 
+def test_num_force_scan_and_info_all(tmp_path, rng, capsys):
+    """Unknown header Number (-1 sentinel): `num` prints -1, `num -f`
+    and `info -a` count records by scanning (num.go:93-107,
+    info.go:378-394)."""
+    from tests.conftest import random_dna
+
+    p = tmp_path / "g.fa"
+    p.write_text(f">g\n{random_dna(rng, 300).decode()}\n")
+    a = tmp_path / "a"
+    # our count always knows the cardinality (batch pipeline) and sets
+    # Number; concat streams with Number unknown (-1) by default
+    assert cli(["count", "-k", 11, "-l", p, "-o", a]) == 0
+    c = tmp_path / "c"
+    assert cli(["concat", f"{a}.unik", "-o", c]) == 0
+    f = f"{c}.unik"
+
+    out = tmp_path / "num.txt"
+    # num auto-scans when header Number < 0 (num.go:93-107 does too)
+    assert cli(["num", f, "-o", out]) == 0
+    assert out.read_text().split() == ["290"]  # 300 - 11 + 1
+    assert cli(["num", f, "-f", "-n", "-b", "-o", out]) == 0
+    n, name = out.read_text().split()
+    assert name == "c.unik" and int(n) == 290
+
+    tsv = tmp_path / "info.tsv"
+    assert cli(["info", f, "-T", "-o", tsv]) == 0
+    row = tsv.read_text().splitlines()[1].split("\t")
+    hdr = tsv.read_text().splitlines()[0].split("\t")
+    assert row[hdr.index("number")] == "-1"
+    assert cli(["info", f, "-T", "-a", "-o", tsv]) == 0
+    row = tsv.read_text().splitlines()[1].split("\t")
+    assert row[hdr.index("number")] == "290"
+
+
+def test_info_skip_err(tmp_path):
+    """-e skips unreadable inputs instead of aborting (info.go worker
+    error path)."""
+    bad = tmp_path / "bad.unik"
+    bad.write_bytes(b"not a unik file at all")
+    out = tmp_path / "info.tsv"
+    with pytest.raises(SystemExit):
+        cli(["info", bad, "-T", "-o", out])
+    assert cli(["info", bad, "-T", "-e", "-o", out]) == 0
+    assert len(out.read_text().splitlines()) == 1  # header only
+
+
 def test_info_tabular(tmp_path, rng):
     from tests.conftest import random_dna
 
