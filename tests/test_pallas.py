@@ -103,6 +103,47 @@ def test_pallas_sort_in_collapse_pipeline(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_out), np.asarray(want_out))
 
 
+@pytest.mark.parametrize(
+    "n,blk",
+    [
+        (1024, 1024),      # single looped block
+        (4096, 1024),      # cross-block rounds + looped merges
+        (8192, 2048),      # bigger rows
+        (8192, 8192),      # one big looped block (the compile-cliff fix)
+        (5000, 1024),      # sentinel padding
+    ],
+)
+def test_pallas_sort_looped_matches_numpy(rng, n, blk):
+    """The fori_loop/switch kernel variant must agree bit-for-bit with
+    numpy (and hence with the unrolled variant)."""
+    a = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    a[:4] = [0, 0xFFFFFFFFFFFFFFFF, 5, 5]
+    got = np.asarray(sort_codes_pallas(jnp.asarray(a), block_elems=blk,
+                                       interpret=True, looped=True))
+    np.testing.assert_array_equal(got, np.sort(a))
+
+
+def test_pallas_sort_kv_looped(rng):
+    from unikmer_tpu.ops.pallas_sort import sort_codes_taxids_pallas
+
+    n, blk = 4096, 2048
+    codes = rng.integers(0, 1 << 46, size=n, dtype=np.uint64)
+    codes[: n // 4] = codes[0]
+    tax = rng.integers(1, 1 << 20, size=n, dtype=np.uint32)
+    c, t = sort_codes_taxids_pallas(
+        jnp.asarray(codes), jnp.asarray(tax), block_elems=blk,
+        interpret=True, looped=True,
+    )
+    c, t = np.asarray(c), np.asarray(t)
+    np.testing.assert_array_equal(c, np.sort(codes))
+    got = np.stack([c, t.astype(np.uint64)], 1)
+    order = np.argsort(codes, kind="stable")
+    want = np.stack([codes[order], tax[order].astype(np.uint64)], 1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    want = want[np.lexsort((want[:, 1], want[:, 0]))]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_sort_kv_taxids(rng):
     from unikmer_tpu.ops.pallas_sort import sort_codes_taxids_pallas
 

@@ -101,6 +101,94 @@ def _exchange(planes, j: int, keep_min):
     return tuple(jnp.where(take_p, p, x) for p, x in zip(partners, planes))
 
 
+def _elem_index(rows: int):
+    """(rows, LANES) int32 global element index r*LANES + c."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    return r * LANES + c
+
+
+def _partner_switch(planes, logj, rows: int):
+    """Partners at distance 2^logj for every plane, with TRACED logj:
+    a lax.switch over the log2(n) static-shift branches.  Program size
+    is O(log n) instead of O(log^2 n) for the fully unrolled network —
+    the fix for the AOT Mosaic compile-time cliff (the 171-stage 2^18
+    unrolled block never compiled within 900 s; this form keeps the
+    kernel body constant-size per branch)."""
+    branches = []
+    for lj in range((rows * LANES).bit_length() - 1):
+        j = 1 << lj
+        axis = 1 if j < LANES else 0
+        s = j if j < LANES else j // LANES
+
+        def mk(j=j, axis=axis, s=s):
+            def br(pl_):
+                bc = _bit_clear_mask(rows, j)
+                return tuple(
+                    jnp.where(bc, _roll(x, -s, axis), _roll(x, s, axis))
+                    for x in pl_
+                )
+
+            return br
+
+        branches.append(mk())
+    return jax.lax.switch(logj, branches, planes)
+
+
+def _exchange_traced(planes, logj, idx, asc, rows: int):
+    """One compare-exchange stage at traced distance j = 2^logj."""
+    j = jnp.int32(1) << logj
+    bc = (idx & j) == 0
+    keep_min = asc == bc
+    partners = _partner_switch(planes, logj, rows)
+    p_lt = jnp.zeros_like(keep_min)
+    for x, p in zip(reversed(planes), reversed(partners)):
+        p_lt = (p < x) | ((p == x) & p_lt)
+    take_p = keep_min == p_lt
+    return tuple(jnp.where(take_p, p, x) for p, x in zip(partners, planes))
+
+
+def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
+    """Full ascending bitonic sort of one (rows, LANES) block with the
+    stage network as fori_loops (constant compile-time in block size)."""
+    planes = tuple(r[:] for r in refs[:nplanes])
+    outs = refs[nplanes:]
+    n = rows * LANES
+    logn = n.bit_length() - 1
+    idx = _elem_index(rows)
+
+    def round_body(r_, planes):
+        kk = jnp.int32(1) << r_
+        # (idx & n) == 0 is all-True for idx < n, so the final round's
+        # all-ascending direction falls out of the same expression
+        asc = (idx & kk) == 0
+
+        def stage_body(t, planes):
+            return _exchange_traced(planes, r_ - 1 - t, idx, asc, rows)
+
+        return jax.lax.fori_loop(0, r_, stage_body, planes)
+
+    planes = jax.lax.fori_loop(1, logn + 1, round_body, planes)
+    for o, x in zip(outs, planes):
+        o[:] = x
+
+
+def _merge_block_kernel_looped(rows: int, nplanes: int, *refs):
+    """Ascending bitonic merge of one already-bitonic block, looped."""
+    planes = tuple(r[:] for r in refs[:nplanes])
+    outs = refs[nplanes:]
+    logn = (rows * LANES).bit_length() - 1
+    idx = _elem_index(rows)
+    asc = jnp.ones((rows, LANES), bool)
+
+    def stage_body(t, planes):
+        return _exchange_traced(planes, logn - 1 - t, idx, asc, rows)
+
+    planes = jax.lax.fori_loop(0, logn, stage_body, planes)
+    for o, x in zip(outs, planes):
+        o[:] = x
+
+
 def _sort_block_kernel(rows: int, nplanes: int, *refs):
     """Full ascending bitonic sort of one (rows, LANES) block."""
     planes = tuple(r[:] for r in refs[:nplanes])
@@ -174,7 +262,8 @@ def _cross_block_stage(planes, jb: int):
     return tuple(out)
 
 
-def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool):
+def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool,
+                         looped: bool = False):
     """Run the full blocked network over same-shape int32 planes (first
     two = key planes).  Returns planes flattened back to 1D."""
     rows = b // LANES
@@ -182,10 +271,12 @@ def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool):
     nplanes = len(planes)
     planes = tuple(x.reshape(nb, rows, LANES) for x in planes)
 
-    sort_call = _block_call(_sort_block_kernel, rows, nplanes, interpret)
+    sort_k = _sort_block_kernel_looped if looped else _sort_block_kernel
+    merge_k = _merge_block_kernel_looped if looped else _merge_block_kernel
+    sort_call = _block_call(sort_k, rows, nplanes, interpret)
     planes = jax.lax.map(lambda t: sort_call(*t), planes)
 
-    merge_call = _block_call(_merge_block_kernel, rows, nplanes, interpret)
+    merge_call = _block_call(merge_k, rows, nplanes, interpret)
     m = 1
     while (1 << m) <= nb:
         planes = tuple(_rev_second_halves(x, m) for x in planes)
@@ -222,9 +313,10 @@ def _padded_size(n: int, block_elems: int):
     return nn, b
 
 
-@partial(jax.jit, static_argnames=("block_elems", "interpret"))
+@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped"))
 def sort_codes_pallas(
-    codes: jnp.ndarray, block_elems: int = 1 << 18, interpret: bool = False
+    codes: jnp.ndarray, block_elems: int = 1 << 18, interpret: bool = False,
+    looped: bool = False,
 ) -> jnp.ndarray:
     """Ascending sort of a uint64 code array (drop-in for
     jax.lax.sort(codes) in the count pipeline, which pre-pads to a
@@ -236,16 +328,18 @@ def sort_codes_pallas(
     if nn != n:
         pad = jnp.full((nn - n,), jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
         codes = jnp.concatenate([codes, pad])
-    planes = _bitonic_sort_planes(_key_planes(codes), nn, b, interpret)
+    planes = _bitonic_sort_planes(_key_planes(codes), nn, b, interpret,
+                                  looped)
     return _codes_from_planes(planes[0], planes[1])[:n]
 
 
-@partial(jax.jit, static_argnames=("block_elems", "interpret"))
+@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped"))
 def sort_codes_taxids_pallas(
     codes: jnp.ndarray,
     taxids: jnp.ndarray,
     block_elems: int = 1 << 18,
     interpret: bool = False,
+    looped: bool = False,
 ):
     """Key+value sort: (sorted codes, co-sorted uint32 taxids) — the
     pallas twin of ops.sort.sort_codes_taxids.  NOT stable in ties
@@ -263,7 +357,7 @@ def sort_codes_taxids_pallas(
         )
     v = jax.lax.bitcast_convert_type(taxids.astype(jnp.uint32), jnp.int32)
     planes = _bitonic_sort_planes(
-        _key_planes(codes) + (v,), nn, b, interpret
+        _key_planes(codes) + (v,), nn, b, interpret, looped
     )
     out_tax = jax.lax.bitcast_convert_type(planes[2], jnp.uint32)
     return _codes_from_planes(planes[0], planes[1])[:n], out_tax[:n]
