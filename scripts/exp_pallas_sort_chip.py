@@ -114,12 +114,13 @@ def race(f, d, want, label, warm_iters=5, budget=1800):
 
 
 def main():
-    # argv: [budget_s_per_mosaic_compile] [comma-separated log2 blocks]
+    # argv: [budget_s_per_mosaic_compile] [comma-separated arms:
+    #   u<logb> = unrolled kernel, l<logb> = looped (fori/switch) kernel]
     budget = int(sys.argv[1]) if len(sys.argv) > 1 else 480
-    logbs = (
-        [int(x) for x in sys.argv[2].split(",")]
+    arms = (
+        [a.strip() for a in sys.argv[2].split(",")]
         if len(sys.argv) > 2
-        else [10, 13, 14]
+        else ["u10", "l16", "l18"]
     )
     with Watchdog(1200, "backend init"):
         print(f"devices: {jax.devices()}", flush=True)
@@ -138,22 +139,26 @@ def main():
                  budget=900)
     results = {}
 
-    # per block size: tiny Mosaic compile (the risky, slow part), then
+    # per arm: tiny Mosaic compile (the risky, slow part), then
     # immediately the full 2^23 race with that block — so every block
-    # that compiles produces a headline number even if the NEXT block
-    # size hits the AOT compile cliff.
-    for logb in logbs:
+    # that compiles produces a headline number even if the NEXT arm
+    # hits the AOT compile cliff.
+    for arm in arms:
+        looped = arm[0] == "l"
+        logb = int(arm[1:])
         blk = 1 << logb
         t = rng.integers(0, 1 << 64, size=blk, dtype=np.uint64)
         try:
-            with Watchdog(budget, f"blk=2^{logb} mosaic compile"):
+            with Watchdog(budget, f"{arm} mosaic compile"):
                 t0 = time.time()
                 got = np.asarray(
-                    sort_codes_pallas(jnp.asarray(t), block_elems=blk)
+                    sort_codes_pallas(
+                        jnp.asarray(t), block_elems=blk, looped=looped
+                    )
                 )
                 dt = time.time() - t0
                 ok = np.array_equal(got, np.sort(t))
-                print(f"blk=2^{logb} block-sort: {dt:.1f}s "
+                print(f"{arm} block-sort: {dt:.1f}s "
                       f"{'EXACT' if ok else 'MISMATCH'}", flush=True)
                 if not ok:
                     break
@@ -164,10 +169,12 @@ def main():
             break
         try:
             f = jax.jit(
-                lambda x, b=blk: sort_codes_pallas(x, block_elems=b)
+                lambda x, b=blk, lp=looped: sort_codes_pallas(
+                    x, block_elems=b, looped=lp
+                )
             )
-            results[logb] = race(
-                f, d, want, f"n=2^23 pallas blk=2^{logb}", budget=900
+            results[arm] = race(
+                f, d, want, f"n=2^23 pallas {arm}", budget=900
             )
         except TimeoutError as e:
             print(f"WATCHDOG: {e}", flush=True)
@@ -181,8 +188,8 @@ def main():
         print(f"xla-bitonic arm failed: {e}", flush=True)
 
     print(f"RESULT lax.sort {bestx*1e3:.1f} ms | " + " | ".join(
-        f"pallas blk=2^{lb} {t*1e3:.1f} ms ({bestx/t:.2f}x)"
-        for lb, t in results.items()
+        f"pallas {arm} {t*1e3:.1f} ms ({bestx/t:.2f}x)"
+        for arm, t in results.items()
     ) + f" | xla-bitonic {bestb*1e3:.1f} ms", flush=True)
 
 
