@@ -36,7 +36,8 @@ def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
         from .pallas_sort import sort_codes_pallas
 
         blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
-        return sort_codes_pallas(codes, block_elems=blk)
+        lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
+        return sort_codes_pallas(codes, block_elems=blk, looped=lp)
     return jax.lax.sort(codes)
 
 
@@ -133,5 +134,7 @@ def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
         from .pallas_sort import sort_codes_taxids_pallas
 
         blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
-        return sort_codes_taxids_pallas(codes, taxids, block_elems=blk)
+        lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
+        return sort_codes_taxids_pallas(codes, taxids, block_elems=blk,
+                                        looped=lp)
     return jax.lax.sort((codes, taxids), num_keys=1)
