@@ -20,26 +20,77 @@ Layer map (bottom-up):
 """
 
 # 64-bit integers are the core currency of this package (k-mer codes are
-# uint64).  Enable x64 before anything traces; on TPU XLA lowers 64-bit
-# integer ops to 32-bit pairs, and the Pallas hot kernels use explicit
-# (hi, lo) uint32 representations instead.
+# uint64).  x64 must be enabled before anything traces; on TPU XLA lowers
+# 64-bit integer ops to 32-bit pairs, and the Pallas hot kernels use
+# explicit (hi, lo) uint32 representations instead.
+#
+# jax itself costs ~2.3 s to import, which would dominate every host-only
+# CLI invocation (union/inter/view/... never touch the device).  So jax
+# is NOT imported here: if it is already in sys.modules (e.g. a TPU-host
+# sitecustomize imported it at interpreter start) it is configured
+# immediately, otherwise a one-shot import hook configures it the moment
+# anything imports it — before any trace or backend init can happen.
 import os as _os
+import sys as _sys
 
-from jax import config as _jax_config
 
-_jax_config.update("jax_enable_x64", True)
+def _configure_jax() -> None:
+    from jax import config as _jax_config
 
-# Persistent compilation cache: the CLI spawns a fresh process per command,
-# so XLA programs (20-40 s first compile on TPU) must be reused across runs.
-_cache_dir = _os.environ.get(
-    "UNIKMER_TPU_CACHE", _os.path.expanduser("~/.cache/unikmer_tpu/xla")
-)
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax_config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except (OSError, AttributeError):  # read-only fs or older jax: non-fatal
-    pass
+    _jax_config.update("jax_enable_x64", True)
+
+    # Persistent compilation cache: the CLI spawns a fresh process per
+    # command, so XLA programs (20-40 s first compile on TPU) must be
+    # reused across runs.
+    _cache_dir = _os.environ.get(
+        "UNIKMER_TPU_CACHE", _os.path.expanduser("~/.cache/unikmer_tpu/xla")
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except (OSError, AttributeError):  # read-only fs / older jax: non-fatal
+        pass
+
+    # Optional platform override (e.g. UNIKMER_TPU_PLATFORM=cpu) — the
+    # environment may force a platform via JAX_PLATFORMS before this runs.
+    _platform = _os.environ.get("UNIKMER_TPU_PLATFORM")
+    if _platform:
+        _jax_config.update("jax_platforms", _platform)
+
+
+class _JaxConfigureOnImport:
+    """meta_path hook: run _configure_jax() right after ``jax`` first
+    executes, then retire.  Guarantees configuration precedes any trace
+    or backend initialization no matter which module imports jax first."""
+
+    def find_spec(self, name, path=None, target=None):
+        if name != "jax":
+            return None
+        import importlib.util
+
+        try:
+            _sys.meta_path.remove(self)
+        except ValueError:  # concurrent import already consumed the hook
+            return None
+        spec = importlib.util.find_spec("jax")
+        if spec is None or spec.loader is None:
+            return None
+        loader = spec.loader
+        orig_exec = loader.exec_module
+
+        def exec_module(module):
+            orig_exec(module)
+            _configure_jax()
+
+        loader.exec_module = exec_module
+        return spec
+
+
+if "jax" in _sys.modules:
+    _configure_jax()
+else:
+    _sys.meta_path.insert(0, _JaxConfigureOnImport())
 
 # numpy madvises MADV_HUGEPAGE on every buffer >= 4 MB; on virtualized
 # hosts (Firecracker/GKE guests) a 2 MB huge fault can cost ~100 ms —
@@ -78,12 +129,6 @@ try:
         _libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
 except (OSError, AttributeError):  # non-glibc platforms: best-effort
     pass
-
-# Optional platform override (e.g. UNIKMER_TPU_PLATFORM=cpu) — the
-# environment may force a platform via JAX_PLATFORMS before this runs.
-_platform = _os.environ.get("UNIKMER_TPU_PLATFORM")
-if _platform:
-    _jax_config.update("jax_platforms", _platform)
 
 __version__ = "0.1.0"
 

@@ -12,11 +12,6 @@ import numpy as np
 
 from ...io import unik
 from ...io.fastx import pack_files, pack_records, read_fastx
-from ...models.count import (
-    CountConfig,
-    count_linear,
-    count_packed_taxids,
-)
 from ...ops.codec import MAX_K_ENCODED, MAX_K_HASHED
 from ...utils.log import die, log
 from ..opts import ensure_unik_suffix, get_file_list, get_options, out_binary_stream
@@ -52,6 +47,12 @@ def register(subparsers):
 
 
 def run(args) -> int:
+    from ...models.count import (  # deferred: pulls jax (~2.3 s)
+        CountConfig,
+        count_linear,
+        count_packed_taxids,
+    )
+
     opt = get_options(args)
     k = args.kmer_len
     if k <= 0:

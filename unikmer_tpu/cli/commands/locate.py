@@ -12,7 +12,6 @@ import re
 
 import numpy as np
 
-from ...models.locate import build_genome_index, lookup_ranges
 from ...utils.log import die, log
 from ..opts import out_text_stream
 from ._common import add_files_arg, new_command, open_reader, unik_inputs
@@ -32,6 +31,11 @@ def register(subparsers):
 
 
 def run(args) -> int:
+    from ...models.locate import (  # deferred: pulls jax (~2.3 s)
+        build_genome_index,
+        lookup_ranges,
+    )
+
     opt, files = unik_inputs(args)
     if not args.genome:
         die("flag -g/--genome needed")

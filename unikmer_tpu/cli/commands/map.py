@@ -19,7 +19,6 @@ import sys
 
 import numpy as np
 
-from ...models.count import CountConfig, linear_codes_all
 from ...io.fastx import read_fastx
 from ...ops import codec
 from ...utils.log import die, log
@@ -57,6 +56,11 @@ def register(subparsers):
 
 
 def run(args) -> int:
+    from ...models.count import (  # deferred: pulls jax (~2.3 s)
+        CountConfig,
+        linear_codes_all,
+    )
+
     opt, files = unik_inputs(args)
     if not args.genome:
         die("flag -g/--genome needed")
@@ -137,6 +141,7 @@ def run(args) -> int:
 
 
 def _seq_codes(seq: bytes, cfg, circular: bool) -> np.ndarray:
+    from ...models.count import linear_codes_all
     if circular:
         seq = seq + seq  # doubled (map.go:338-340)
     bases = codec.BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]

@@ -23,8 +23,10 @@ on TPU); Pallas kernels with explicit u32 pairs live in ops/pallas/.
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+# lazy: host-only CLI paths import this module for the numpy twins and
+# tables; the ~2.3 s jax import must not happen until a device path runs
+from .._lazy import jnp
 
 # Invalid-base sentinel in base-code space (valid codes are 0..3).
 INVALID_BASE = np.uint8(255)

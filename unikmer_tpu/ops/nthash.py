@@ -26,7 +26,9 @@ exactly like the 2-bit codec's doubling composition (ops/codec.py).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+# lazy: dump/grep/encode import this module for the numpy host twins;
+# the ~2.3 s jax import must not happen until a device path traces
+from .._lazy import jnp
 
 SEED_A = np.uint64(0x3C8BFBB395C60474)
 SEED_C = np.uint64(0x3193C18562A02B4C)
