@@ -117,6 +117,32 @@ def test_info_skip_err(tmp_path):
     assert len(out.read_text().splitlines()) == 1  # header only
 
 
+def test_launcher_script_and_lazy_startup(tmp_path):
+    """bin/unikmer-tpu runs host-only commands without importing jax
+    (the ~2.3 s import would dominate small commands)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    launcher = os.path.join(root, "bin", "unikmer-tpu")
+    assert os.access(launcher, os.X_OK)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [launcher, "version"], capture_output=True, text=True, env=env,
+        timeout=60,
+    )
+    assert out.returncode == 0 and "unikmer-tpu" in out.stdout
+    # the host-only import path must not pull jax
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.modules.pop('jax', None); "
+         "import unikmer_tpu.cli.main; "
+         "sys.exit(1 if 'jax' in sys.modules else 0)"],
+        env=dict(env, PYTHONPATH=root), capture_output=True, timeout=60,
+    )
+    assert probe.returncode == 0, probe.stderr.decode()
+
+
 def test_info_tabular(tmp_path, rng):
     from tests.conftest import random_dna
 
