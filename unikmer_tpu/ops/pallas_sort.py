@@ -53,7 +53,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 LANES = 128
-_BIAS = jnp.int32(-0x80000000)  # XOR with sign bit: unsigned order -> signed
+# XOR with sign bit: unsigned order -> signed.  numpy scalar on purpose:
+# a jnp constant here would touch the backend at import time, which must
+# stay legal on hosts where the device is unavailable.
+_BIAS = np.int32(-0x80000000)
 
 
 def _roll(x, shift: int, axis: int):
