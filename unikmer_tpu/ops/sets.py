@@ -212,12 +212,18 @@ def subtract(
         if len(q_codes) == 0:
             break
         tax_i = None if other_tax_arrays is None else other_tax_arrays[i]
-        # targets may be unsorted (diff.go:341-377 handles both)
+        # targets may be unsorted (diff.go:341-377 handles both), but
+        # .unik sets usually ARE sorted: verify (vectorized O(n), ~10x
+        # cheaper than a wasted sort) instead of sorting unconditionally
         if tax_i is None:
-            codes_i = native.host_sort(codes_i)
+            if not _is_sorted(codes_i):
+                codes_i = native.host_sort(codes_i)
+            # duplicate targets cannot change membership: no dedup
+            # (member_mask's join stops at the first equal ref)
         else:
-            codes_i, tax_i = native.host_sort_kv(codes_i, tax_i)
-        codes_i, tax_i = dedup_sorted(codes_i, tax_i, taxdb)
+            if not _is_sorted(codes_i):
+                codes_i, tax_i = native.host_sort_kv(codes_i, tax_i)
+            codes_i, tax_i = dedup_sorted(codes_i, tax_i, taxdb)
         mask, idx = member_mask(codes_i, q_codes, sorted_queries=True)
         if compare_taxid and q_tax is not None and tax_i is not None:
             t = tax_i[idx]
