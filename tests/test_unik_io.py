@@ -179,5 +179,47 @@ def test_reader_stream_mode_equivalent(tmp_path, rng):
         c1, _ = r1.read_all()
     with unik.UnikReader(path, stream=True) as r2:
         blocks = [c for c, _ in r2.iter_blocks()]
+        # UK-indexed files must take the member-at-a-time libdeflate path
+        assert isinstance(r2._file.raw, unik._UKMemberStream)
     np.testing.assert_array_equal(c1, codes)
     np.testing.assert_array_equal(np.concatenate(blocks), codes)
+
+
+def test_reader_stream_mode_foreign_gzip(tmp_path, rng):
+    # a plain (non-UK-indexed) gzip outer stream must fall back to the
+    # sequential zlib reader in stream mode and read identical content
+    import gzip as _gzip
+
+    codes = np.sort(rng.integers(0, 1 << 40, size=50_000, dtype=np.uint64))
+    buf = io.BytesIO()
+    with unik.UnikWriter(buf, k=20, flag=unik.SORTED, compress=False) as w:
+        w.write_codes(codes)
+    path = str(tmp_path / "foreign.unik")
+    with open(path, "wb") as f:
+        f.write(_gzip.compress(buf.getvalue(), 1))
+    for stream in (False, True):
+        with unik.UnikReader(path, stream=stream) as r:
+            out, _ = r.read_all()
+        np.testing.assert_array_equal(out, codes)
+
+
+def test_member_stream_mixed_members(tmp_path, rng):
+    # UK members followed by a foreign member: the member stream must
+    # switch to zlib push-back mid-file without losing a byte
+    import gzip as _gzip
+
+    from unikmer_tpu.io.pgzip import ParallelGzipWriter
+
+    payload = rng.integers(0, 256, size=3_000_000, dtype=np.uint8).tobytes()
+    path = str(tmp_path / "mixed.gz")
+    with open(path, "wb") as f:
+        w = ParallelGzipWriter(f, compresslevel=1, threads=2)
+        w.write(payload[:2_500_000])
+        w.close()
+        f.write(_gzip.compress(payload[2_500_000:], 1))
+    with open(path, "rb") as f:
+        br = io.BufferedReader(f)
+        assert unik._UKMemberStream.sniff(br)
+        ms = io.BufferedReader(unik._UKMemberStream(br), 1 << 20)
+        got = ms.read()
+    assert got == payload

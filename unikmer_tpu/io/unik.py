@@ -366,6 +366,10 @@ class UnikReader:
                 if self._owns:
                     f.close()
                 f = io.BufferedReader(io.BytesIO(buf))
+            elif _UKMemberStream.sniff(f):
+                # bounded member-at-a-time libdeflate inflate (~2-3x
+                # streaming zlib; one member resident)
+                f = io.BufferedReader(_UKMemberStream(f), 1 << 20)
             else:
                 f = io.BufferedReader(gzip.GzipFile(fileobj=f), 1 << 20)
             self.gzipped = True
@@ -523,6 +527,82 @@ class _Concat(io.RawIOBase):
             return 0
         b[: len(data)] = data
         return len(data)
+
+
+class _UKMemberStream(io.RawIOBase):
+    """Bounded-memory gzip reader for UK-indexed files: one whole member
+    (1 MiB of payload by default, io/pgzip.DEFAULT_CHUNK) is inflated at
+    a time with libdeflate — ~2-3x the throughput of streaming zlib —
+    while resident memory stays at a single member.  Foreign members
+    (no UK FEXTRA length tag) switch the stream permanently to the
+    sequential zlib reader via _Concat push-back."""
+
+    def __init__(self, f):
+        self._f = f
+        self._buf = b""
+        self._pos = 0
+        self._tail = None  # BufferedReader once switched to zlib mode
+
+    @staticmethod
+    def sniff(f) -> bool:
+        head = f.peek(14)[:14] if hasattr(f, "peek") else b""
+        return (
+            len(head) >= 14
+            and head[:3] == b"\x1f\x8b\x08"
+            and bool(head[3] & 0x04)
+            and head[12:14] == b"UK"
+        )
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b):
+        if self._tail is not None:
+            return self._tail.readinto(b)
+        while self._pos >= len(self._buf):
+            if not self._next_member():
+                if self._tail is not None:
+                    return self._tail.readinto(b)
+                return 0
+        n = min(len(b), len(self._buf) - self._pos)
+        b[:n] = self._buf[self._pos : self._pos + n]
+        self._pos += n
+        return n
+
+    def _next_member(self) -> bool:
+        f = self._f
+        hdr = f.read(14)
+        if not hdr:
+            return False
+        consumed = hdr
+        mlen = 0
+        if (
+            len(hdr) == 14
+            and hdr[:3] == b"\x1f\x8b\x08"
+            and (hdr[3] & 0x04)
+            and hdr[12:14] == b"UK"
+        ):
+            xlen = hdr[10] | (hdr[11] << 8)
+            extra = f.read(xlen - 2)
+            consumed += extra
+            if len(extra) == xlen - 2 and len(extra) >= 6 and extra[:2] == b"\x04\x00":
+                mlen = int.from_bytes(extra[2:6], "little")
+        if mlen <= len(consumed):
+            # not a UK member: push the consumed bytes back and let the
+            # ordinary streaming reader handle everything from here on
+            self._tail = io.BufferedReader(
+                gzip.GzipFile(fileobj=io.BufferedReader(_Concat(consumed, f))),
+                1 << 20,
+            )
+            return False
+        member = consumed + f.read(mlen - len(consumed))
+        from .. import native
+
+        out = native.pgz_inflate_all(member, threads=1)
+        if out is None:  # native lib unavailable / malformed index
+            out = gzip.decompress(member)
+        self._buf, self._pos = out, 0
+        return True
 
 
 def check_compatibility(h0: UnikHeader, h: UnikHeader, file: str = "") -> None:
