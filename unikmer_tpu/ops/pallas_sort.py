@@ -153,25 +153,36 @@ def _exchange_traced(planes, logj, idx, asc, rows: int):
 
 def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
     """Full ascending bitonic sort of one (rows, LANES) block with the
-    stage network as fori_loops (constant compile-time in block size)."""
+    whole stage network as ONE fori_loop of static trip count
+    log2(n)*(log2(n)+1)/2 (constant compile-time in block size).
+
+    The (round r, distance 2^logj) schedule is carried as two scalar
+    counters updated in the loop body — no nested loops with traced
+    bounds and no schedule tables, both of which are extra Mosaic
+    legalization risk on this AOT backend."""
     planes = tuple(r[:] for r in refs[:nplanes])
     outs = refs[nplanes:]
     n = rows * LANES
     logn = n.bit_length() - 1
+    nstages = logn * (logn + 1) // 2
     idx = _elem_index(rows)
 
-    def round_body(r_, planes):
+    def body(_, carry):
+        planes, r_, logj = carry
         kk = jnp.int32(1) << r_
         # (idx & n) == 0 is all-True for idx < n, so the final round's
         # all-ascending direction falls out of the same expression
         asc = (idx & kk) == 0
+        planes = _exchange_traced(planes, logj, idx, asc, rows)
+        logj = logj - 1
+        wrap = logj < 0
+        r_ = r_ + wrap.astype(jnp.int32)
+        logj = jnp.where(wrap, r_ - 1, logj)
+        return planes, r_, logj
 
-        def stage_body(t, planes):
-            return _exchange_traced(planes, r_ - 1 - t, idx, asc, rows)
-
-        return jax.lax.fori_loop(0, r_, stage_body, planes)
-
-    planes = jax.lax.fori_loop(1, logn + 1, round_body, planes)
+    planes, _, _ = jax.lax.fori_loop(
+        0, nstages, body, (planes, jnp.int32(1), jnp.int32(0))
+    )
     for o, x in zip(outs, planes):
         o[:] = x
 
