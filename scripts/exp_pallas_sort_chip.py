@@ -12,11 +12,18 @@ discipline, CLAUDE.md).  The persistent compile cache makes every
 block size that ever compiled free in later runs.
 """
 
+import resource
 import signal
 import sys
 import time
 
 import numpy as np
+
+# Hard self-termination backstop: the axon client busy-polls during
+# backend init with the GIL held, so SIGALRM handlers can starve
+# forever — but sys time accrues, so a CPU-time rlimit always fires.
+# (Never external-kill this process: wedge discipline, CLAUDE.md.)
+resource.setrlimit(resource.RLIMIT_CPU, (5400, 5400))
 
 import unikmer_tpu  # noqa: F401  (x64, compile cache, mallopt)
 import jax
