@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from .. import native
 from ..utils.log import die, log
 
 
@@ -117,34 +118,60 @@ class Taxonomy:
         """
         keys = np.asarray(keys, dtype=np.uint64)
         taxids = np.asarray(taxids, dtype=np.uint32)
-        if len(keys) == 0:
+        n = len(keys)
+        if n == 0:
             return keys, taxids
-        # dedupe (key, taxid) pairs first: runs shrink to the number of
-        # distinct taxids per key (usually <= n_files)
-        order = np.lexsort((taxids, keys))
-        k_s, t_s = keys[order], taxids[order]
-        first = np.ones(len(k_s), bool)
-        first[1:] = (k_s[1:] != k_s[:-1]) | (t_s[1:] != t_s[:-1])
-        k_s, t_s = k_s[first], t_s[first]
+        if n > 1 and (keys[1:] < keys[:-1]).any():
+            # unsorted callers (count's genome-order codes, the library
+            # API) pay one parallel native kv radix sort — still ~7x
+            # the old full np.lexsort
+            keys, taxids = native.host_sort_kv(keys, taxids)
+        # sorted keys: singleton runs (the common case) pass through
+        # untouched; only multi-element runs are reduced.  The old
+        # implementation re-sorted EVERYTHING with np.lexsort (~5 M
+        # pairs/s) — 10x the cost of the whole rest of a 20M-code
+        # taxid external sort.
+        run_start = np.ones(n, bool)
+        run_start[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(run_start)
+        out_keys = keys[starts]
+        out_tax = taxids[starts].copy()
+        lens = np.diff(np.append(starts, n))
+        if (lens <= 1).all():
+            return out_keys, out_tax
+        run_id = np.cumsum(run_start) - 1
+        multi = (lens > 1)[run_id]
+        # dedupe (run, taxid) pairs of the multi subset via one packed
+        # parallel u64 sort (run ids and taxids both fit in 32 bits)
+        packed = (run_id[multi].astype(np.uint64) << np.uint64(32)) | taxids[
+            multi
+        ].astype(np.uint64)
+        packed = native.host_sort(packed)
+        first = np.ones(len(packed), bool)
+        first[1:] = packed[1:] != packed[:-1]
+        packed = packed[first]
+        k_s = (packed >> np.uint64(32)).astype(np.int64)  # run ids
+        t_s = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         # pairwise tree reduction within runs
         while True:
             run_start = np.ones(len(k_s), bool)
             run_start[1:] = k_s[1:] != k_s[:-1]
             if run_start.all():
-                return k_s, t_s
+                break
             # merge adjacent pairs within runs: element i merges i+1 when
             # both belong to the same run and i is an even member offset
-            run_id = np.cumsum(run_start) - 1
-            offset = np.arange(len(k_s)) - np.flatnonzero(run_start)[run_id]
+            rid2 = np.cumsum(run_start) - 1
+            offset = np.arange(len(k_s)) - np.flatnonzero(run_start)[rid2]
             left = (offset % 2 == 0)
             has_right = np.zeros(len(k_s), bool)
-            has_right[:-1] = left[:-1] & (run_id[:-1] == run_id[1:]) & (offset[:-1] + 1 == offset[1:])
+            has_right[:-1] = left[:-1] & (rid2[:-1] == rid2[1:]) & (offset[:-1] + 1 == offset[1:])
             merged = t_s.copy()
             merged[has_right] = self.lca_pairs(
                 t_s[has_right], t_s[np.flatnonzero(has_right) + 1]
             )
-            keep = left
-            k_s, t_s = k_s[keep], merged[keep]
+            k_s, t_s = k_s[left], merged[left]
+        out_tax[k_s] = t_s
+        return out_keys, out_tax
 
 
 def _parse_dmp_line(line: bytes) -> list[bytes]:
