@@ -77,6 +77,36 @@ def test_lca_reduce_host(taxdb):
     assert m.tolist() == [562, 349741, 562]
 
 
+@pytest.mark.parametrize("trial", range(5))
+def test_lca_reduce_random_vs_bruteforce(taxdb, rng, trial):
+    """Random run lengths (incl. singletons, long runs and taxid 0,
+    unsorted input) against an elementwise LCA fold.  Unknown taxids
+    are excluded: they map to 0 which then acts as the identity, making
+    the fold order-dependent (the reference's map-iteration fold is
+    equally order-dependent there)."""
+    pool = np.array([0, 1, 2, 562, 511145, 585057, 349741, 83333],
+                    np.uint32)
+    n_runs = int(rng.integers(1, 60))
+    keys, taxes = [], []
+    for _ in range(n_runs):
+        ln = int(rng.choice([1, 1, 1, 2, 3, 7, 19]))
+        k = int(rng.integers(0, 1 << 40))
+        keys += [k] * ln
+        taxes += rng.choice(pool, size=ln).tolist()
+    keys = np.array(keys, np.uint64)
+    taxes = np.array(taxes, np.uint32)
+    if trial % 2 == 0:
+        perm = rng.permutation(len(keys))  # unsorted-caller contract
+        keys, taxes = keys[perm], taxes[perm]
+    got_k, got_t = taxdb.lca_reduce(keys, taxes)
+    # brute force
+    want = {}
+    for k, t in zip(keys.tolist(), taxes.tolist()):
+        want[k] = t if k not in want else taxdb.lca(want[k], t)
+    assert got_k.tolist() == sorted(want)
+    assert got_t.tolist() == [want[k] for k in sorted(want)]
+
+
 def test_merged_remap(tmp_path, taxdb):
     # merged.dmp remapping
     d = tmp_path / "td"
