@@ -128,10 +128,14 @@ def dump_chunk(
     spill files are write-once-read-once: level 1 compresses ~3x
     faster for ~15% more temp bytes); split's user-visible chunks
     keep the configured level."""
-    if taxids is None:
-        codes = native.host_sort(codes)
-    else:
-        codes, taxids = native.host_sort_kv(codes, taxids)
+    # split of an already-sorted input streams chunks that are sorted
+    # runs (split.go's fast path): an O(n) vectorized check beats a
+    # wasted sort; tie order is irrelevant (collapse LCA-reduces runs)
+    if len(codes) > 1 and (codes[1:] < codes[:-1]).any():
+        if taxids is None:
+            codes = native.host_sort(codes)
+        else:
+            codes, taxids = native.host_sort_kv(codes, taxids)
     codes, taxids = collapse_batch(codes, taxids, mode, taxdb, final_round=False)
     flag |= unik.SORTED
     if taxids is not None:
