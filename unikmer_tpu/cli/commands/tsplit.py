@@ -75,26 +75,48 @@ def run(args) -> int:
         flag |= unik.HASHED
 
     k = h0.k
-    uniq_taxids = np.unique(taxids)
+    # group by taxid with ONE stable parallel radix sort (code order is
+    # preserved within each group) instead of a codes[taxids == t] scan
+    # per taxid — that is O(T*N) and took 19.5 s for 1023 taxids at 20M
+    from ... import native
+
+    res = native.sort_u64_kv(taxids.astype(np.uint64), codes)
+    if res is not None:
+        t_s, c_s = res[0].astype(np.uint32), res[1]
+    else:
+        order = np.argsort(taxids, kind="stable")
+        t_s, c_s = taxids[order], codes[order]
+    starts = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+    bounds = np.append(starts, len(t_s))
     if opt.verbose:
-        log.info(f"{len(codes)} k-mers belonging to {len(uniq_taxids)} taxids loaded")
-    for taxid in uniq_taxids:
-        sel = codes[taxids == taxid]
+        log.info(f"{len(codes)} k-mers belonging to {len(starts)} taxids loaded")
+
+    def write_one(i: int) -> tuple[str, int]:
+        taxid = int(t_s[starts[i]])
+        sel = c_s[starts[i] : bounds[i + 1]]
         path = os.path.join(
-            out_dir, f"{args.out_prefix}.taxid-{int(taxid)}.k{k}{unik.EXT}"
+            out_dir, f"{args.out_prefix}.taxid-{taxid}.k{k}{unik.EXT}"
         )
         with unik.UnikWriter(
             path,
             k=k,
             flag=flag,
             number=len(sel),
-            global_taxid=int(taxid),
+            global_taxid=taxid,
             max_taxid=(1 << (8 * max_taxid_width)) - 1,
             compress=opt.compress,
             compression_level=opt.compression_level,
-            threads=opt.threads,
+            threads=1,  # parallelism is across files here
         ) as w:
             w.write_codes(sel)
-        if opt.verbose:
-            log.info(f"{len(sel)} k-mers saved to {path}")
+        return path, len(sel)
+
+    # parallel per-taxid writers (tsplit.go:175-192 does the same with
+    # a goroutine pool); the native varint encode + deflate release the GIL
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(opt.threads, 1)) as pool:
+        for path, n_sel in pool.map(write_one, range(len(starts))):
+            if opt.verbose:
+                log.info(f"{n_sel} k-mers saved to {path}")
     return 0
