@@ -157,3 +157,33 @@ def test_info_tabular(tmp_path, rng):
     assert header[:3] == ["file", "k", "canonical"]
     row = lines[1].split("\t")
     assert row[1] == "11" and row[2] == "✓"
+
+
+def test_filter_bit_trick_vs_bruteforce(rng):
+    """low_complexity_mask (windowed-popcount formulation) against the
+    reference filterCode loop (filter.go:181-221), incl. non-default
+    penalties."""
+    import numpy as np
+
+    from unikmer_tpu.ops.filter import low_complexity_mask
+
+    def brute(code, k, ps=3, pd=1, th=15, w=7):
+        w = min(w, k)
+        b = [(code >> (2 * i)) & 3 for i in range(k)]
+        sc = [pd] * k
+        for i in range(1, k):
+            if b[i] == b[i - 1]:
+                sc[i] = ps
+        for s in range(max(k - w - 1, 0) + 1):
+            if sum(sc[s : s + w]) >= th:
+                return True
+        return False
+
+    for k in (3, 7, 8, 23, 32):
+        codes = rng.integers(0, 1 << min(2 * k, 63), size=800,
+                             dtype=np.uint64)
+        codes[:8] = 0  # poly-A
+        for args in ((), (5, 2, 20, 5)):
+            got = low_complexity_mask(codes, k, *args)
+            want = np.array([brute(int(c), k, *args) for c in codes])
+            assert (got == want).all(), (k, args)
