@@ -266,9 +266,14 @@ def _threads() -> int:
     return min(os.cpu_count() or 1, 8)
 
 
-def set2_sorted(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+def set2_sorted(op: str, a: np.ndarray, b: np.ndarray,
+                trim: bool = True) -> np.ndarray | None:
     """union/inter/diff of two sorted u64 arrays (duplicates collapsed),
-    range-partitioned across threads; None without the native library."""
+    range-partitioned across threads; None without the native library.
+
+    ``trim=False`` returns a view into the oversized output buffer —
+    for short-lived intermediates (union trees) where the trim copy was
+    measured at 2/3 of the whole merge cost."""
     lib = get_lib()
     if lib is None:
         return None
@@ -277,7 +282,7 @@ def set2_sorted(op: str, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     out = np.empty(len(a) + len(b), np.uint64)
     fn = getattr(lib, f"set2_{op}_u64")
     n = fn(_u64p(a), len(a), _u64p(b), len(b), _u64p(out), _threads())
-    return out[:n].copy()
+    return out[:n].copy() if trim else out[:n]
 
 
 def sort_u64(arr: np.ndarray) -> np.ndarray | None:

@@ -70,8 +70,13 @@ def _native_union_tree(code_arrays):
     level = [np.ascontiguousarray(c, np.uint64) for c in code_arrays]
     while len(level) > 1:
         nxt = []
+        final = len(level) == 2
         for i in range(0, len(level) - 1, 2):
-            nxt.append(native.set2_sorted("union", level[i], level[i + 1]))
+            # intermediates skip the buffer-trim copy (consumed by the
+            # next level immediately); only the final result is trimmed
+            nxt.append(native.set2_sorted(
+                "union", level[i], level[i + 1], trim=final
+            ))
         if len(level) % 2:
             nxt.append(level[-1])
         level = nxt
