@@ -36,6 +36,8 @@ def dedup_sorted(codes: np.ndarray, taxids: np.ndarray | None, taxdb=None):
     if taxids is None:
         first = np.ones(len(codes), bool)
         first[1:] = codes[1:] != codes[:-1]
+        if first.all():  # sorted .unik sets are usually already unique
+            return codes, None
         return codes[first], None
     if taxdb is not None:
         return taxdb.lca_reduce(codes, taxids)
