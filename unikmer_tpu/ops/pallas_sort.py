@@ -181,7 +181,8 @@ def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
         return planes, r_, logj
 
     planes, _, _ = jax.lax.fori_loop(
-        0, nstages, body, (planes, jnp.int32(1), jnp.int32(0))
+        jnp.int32(0), jnp.int32(nstages), body,
+        (planes, jnp.int32(1), jnp.int32(0))
     )
     for o, x in zip(outs, planes):
         o[:] = x
@@ -196,9 +197,17 @@ def _merge_block_kernel_looped(rows: int, nplanes: int, *refs):
     asc = jnp.ones((rows, LANES), bool)
 
     def stage_body(t, planes):
-        return _exchange_traced(planes, logn - 1 - t, idx, asc, rows)
+        return _exchange_traced(planes, jnp.int32(logn - 1) - t, idx, asc,
+                                rows)
 
-    planes = jax.lax.fori_loop(0, logn, stage_body, planes)
+    # int32 bounds: with x64 enabled a Python-int fori_loop index is
+    # int64, and the i64->i32 convert that lax.switch then needs sends
+    # this jax version's Mosaic _convert_helper into infinite mutual
+    # recursion (RecursionError at AOT lowering; chip-diagnosed
+    # 2026-08-18).  Keep every in-kernel scalar int32.
+    planes = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(logn), stage_body, planes
+    )
     for o, x in zip(outs, planes):
         o[:] = x
 
