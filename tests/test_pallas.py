@@ -164,3 +164,26 @@ def test_pallas_sort_kv_taxids(rng):
         got = got[np.lexsort((got[:, 1], got[:, 0]))]
         want = want[np.lexsort((want[:, 1], want[:, 0]))]
         np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_sort_kernels_carry_no_int64():
+    """Mosaic regression guard: with x64 enabled, a Python-int
+    fori_loop bound gives an int64 induction variable inside the
+    kernel, and the i64->i32 convert that lax.switch needs sends this
+    jax version's Mosaic _convert_helper into infinite mutual recursion
+    at AOT-lowering time (chip-diagnosed 2026-08-18).  Interpret mode
+    cannot see that, but the jaxpr can: no 64-bit scalar may appear
+    anywhere inside the Pallas kernel jaxprs."""
+    import re
+
+    import jax
+
+    def run(codes):
+        return sort_codes_pallas(codes, block_elems=1024, interpret=True,
+                                 looped=True)
+
+    jaxpr = jax.make_jaxpr(run)(jnp.zeros((4096,), jnp.uint64))
+    kernels = re.findall(r"pallas_call\[.*?\]", str(jaxpr), re.S)
+    assert kernels, "expected pallas_call eqns in the jaxpr"
+    for k in kernels:
+        assert not re.search(r"\b(i64|u64|s64)\[", k), k[:2000]
