@@ -131,9 +131,22 @@ def main():
     )
     with Watchdog(1200, "backend init"):
         print(f"devices: {jax.devices()}", flush=True)
-    with Watchdog(60, "tiny probe"):
-        v = np.asarray(jax.device_put(np.ones(8, np.float32)))[0]
-        assert v == 1.0
+    # bench.py-style probe-retry loop: the tunnel chip wedges
+    # transiently after heavy traffic; wait it out instead of exiting
+    # (an exit with the probe op pending is itself wedge-inducing).
+    for attempt in range(20):
+        try:
+            with Watchdog(45, "tiny probe"):
+                v = np.asarray(jax.device_put(np.ones(8, np.float32)))[0]
+                assert v == 1.0
+            break
+        except TimeoutError:
+            print(f"probe {attempt + 1}/20 timed out; sleeping 90s",
+                  flush=True)
+            time.sleep(90)
+    else:
+        print("device unresponsive after all probe retries", flush=True)
+        return
     print("probe ok", flush=True)
     rng = np.random.default_rng(0)
 
