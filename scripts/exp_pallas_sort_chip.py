@@ -187,6 +187,10 @@ def main():
                   f"compile may wedge the backend; let it rest)",
                   flush=True)
             break
+        except Exception as e:  # noqa: BLE001  (lowering bugs: next arm)
+            print(f"{arm} block-sort failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
         try:
             f = jax.jit(
                 lambda x, b=blk, lp=looped: sort_codes_pallas(
@@ -199,6 +203,10 @@ def main():
         except TimeoutError as e:
             print(f"WATCHDOG: {e}", flush=True)
             break
+        except Exception as e:  # noqa: BLE001  (lowering bugs: next arm)
+            print(f"{arm} full race failed: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            continue
 
     bestb = float("nan")
     try:

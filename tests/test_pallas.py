@@ -169,21 +169,23 @@ def test_pallas_sort_kv_taxids(rng):
 def test_pallas_sort_kernels_carry_no_int64():
     """Mosaic regression guard: with x64 enabled, a Python-int
     fori_loop bound gives an int64 induction variable inside the
-    kernel, and the i64->i32 convert that lax.switch needs sends this
-    jax version's Mosaic _convert_helper into infinite mutual recursion
-    at AOT-lowering time (chip-diagnosed 2026-08-18).  Interpret mode
-    cannot see that, but the jaxpr can: no 64-bit scalar may appear
-    anywhere inside the Pallas kernel jaxprs."""
-    import re
-
+    kernel (fori_loop lowers to scan with a weak-int index), and the
+    i64->i32 convert that lax.switch then needs sends this jax
+    version's Mosaic _convert_helper into infinite mutual recursion at
+    AOT-lowering time (chip-diagnosed 2026-08-18).  Interpret mode
+    cannot see that, but the jaxpr can: this traced program must
+    contain NO 64-bit scalars at all (its only legitimate 64-bit
+    values are the u64 code vectors outside the kernels).  The pre-fix
+    revision's jaxpr contains 17 `i64[]` scalars — the guard was
+    verified to fail there."""
     import jax
 
     def run(codes):
         return sort_codes_pallas(codes, block_elems=1024, interpret=True,
                                  looped=True)
 
-    jaxpr = jax.make_jaxpr(run)(jnp.zeros((4096,), jnp.uint64))
-    kernels = re.findall(r"pallas_call\[.*?\]", str(jaxpr), re.S)
-    assert kernels, "expected pallas_call eqns in the jaxpr"
-    for k in kernels:
-        assert not re.search(r"\b(i64|u64|s64)\[", k), k[:2000]
+    s = str(jax.make_jaxpr(run)(jnp.zeros((4096,), jnp.uint64)))
+    # u64[] scalars are legitimate outside kernels (shift constants on
+    # the u64 codes); the killer class is signed-64 loop indices.
+    for bad in ("i64[]", "s64[]"):
+        assert bad not in s, f"64-bit scalar {bad} leaked into the program"
