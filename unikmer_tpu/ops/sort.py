@@ -37,7 +37,10 @@ def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
 
         blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
         lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
-        return sort_codes_pallas(codes, block_elems=blk, looped=lp)
+        # CPU has no Mosaic: interpret mode keeps the routing testable
+        interp = jax.default_backend() == "cpu"
+        return sort_codes_pallas(codes, block_elems=blk, looped=lp,
+                                 interpret=interp)
     return jax.lax.sort(codes)
 
 
@@ -135,6 +138,7 @@ def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
 
         blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
         lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
+        interp = jax.default_backend() == "cpu"
         return sort_codes_taxids_pallas(codes, taxids, block_elems=blk,
-                                        looped=lp)
+                                        looped=lp, interpret=interp)
     return jax.lax.sort((codes, taxids), num_keys=1)
