@@ -97,7 +97,10 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
-    _watchdog(480)
+    # 900s rides out the known "first large dispatch stalls 5-8 min then
+    # completes at full speed" tunnel pathology (CLAUDE.md) instead of
+    # killing the run just before it would have finished.
+    _watchdog(900)
     rng = np.random.default_rng(20260817)
     bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
     cfg = CountConfig(k=K, canonical=True)
@@ -114,6 +117,7 @@ def main() -> int:
     n = int(np.asarray(f(dev_bases)))  # compile + first run
     compile_s = time.time() - t0
 
+    _watchdog(300)  # re-arm: warm reps are ~60 ms each; 300s is generous
     times = []
     for _ in range(REPS):
         t = time.time()
