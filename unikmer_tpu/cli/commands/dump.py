@@ -92,6 +92,8 @@ def run(args) -> int:
                     line = items[0]
                     try:
                         taxid = int(items[1])
+                        if not 0 <= taxid <= 0xFFFFFFFF:  # Go ParseUint(.., 32)
+                            raise ValueError
                     except ValueError:
                         die(
                             "query taxid (2nd column) should be positive integer: "

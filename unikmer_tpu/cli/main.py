@@ -8,7 +8,9 @@ pipelines in models/ and ops/.
 from __future__ import annotations
 
 import argparse
+import lzma
 import sys
+import zlib
 
 from .. import __version__, REFERENCE_VERSION
 
@@ -88,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     except KeyboardInterrupt:
         return 130
-    except (ValueError, OSError, EOFError) as e:
+    except (ValueError, OSError, EOFError, zlib.error, lzma.LZMAError) as e:
         # fatal-error semantics of the reference (checkError -> exit -1);
         # set UNIKMER_TPU_DEBUG=1 for the full traceback
         import os
