@@ -3,7 +3,6 @@ info tabular mode."""
 
 import os
 
-import pytest
 
 from unikmer_tpu.ops import codec
 from unikmer_tpu.ops.nthash import nthash_kmer
@@ -52,8 +51,7 @@ def test_decode_roundtrip_and_overflow(tmp_path):
     assert cli(["decode", txt, "-k", 4, "-o", out, "-a"]) == 0
     assert out.read_text().splitlines()[0] == "27\tACGT"
     txt.write_text("300\n")
-    with pytest.raises(SystemExit):
-        cli(["decode", txt, "-k", 2, "-o", out])
+    assert cli(["decode", txt, "-k", 2, "-o", out]) != 0
 
 
 def test_version(capsys):
@@ -111,8 +109,7 @@ def test_info_skip_err(tmp_path):
     bad = tmp_path / "bad.unik"
     bad.write_bytes(b"not a unik file at all")
     out = tmp_path / "info.tsv"
-    with pytest.raises(SystemExit):
-        cli(["info", bad, "-T", "-o", out])
+    assert cli(["info", bad, "-T", "-o", out]) != 0
     assert cli(["info", bad, "-T", "-e", "-o", out]) == 0
     assert len(out.read_text().splitlines()) == 1  # header only
 
@@ -187,3 +184,19 @@ def test_filter_bit_trick_vs_bruteforce(rng):
             got = low_complexity_mask(codes, k, *args)
             want = np.array([brute(int(c), k, *args) for c in codes])
             assert (got == want).all(), (k, args)
+
+
+def test_embedded_main_survives_command_exits(tmp_path):
+    """Commands that mirror the reference's process-level exits (grep's
+    zero-query os.Exit(0), grep.go:475-478) must not kill an embedding
+    process: main() converts SystemExit to a return code."""
+    fa = tmp_path / "g.fa"
+    fa.write_text(">s\nACGTACGTACGTACGT\n")
+    src = tmp_path / "s"
+    assert cli(["count", "-k", 5, "-K", fa, "-o", src]) == 0
+    qf = tmp_path / "q.txt"
+    qf.write_text("\n")  # no usable queries
+    out = tmp_path / "hit"
+    assert cli(
+        ["grep", "-f", qf, f"{src}.unik", "-o", out]
+    ) == 0  # reference exits 0 here; embedded call must return, not raise

@@ -227,8 +227,13 @@ _OPS = [
 
 @pytest.mark.parametrize("trial", range(6))
 def test_fuzz_pipeline_vs_oracle(tmp_path, trial):
-    rng = np.random.default_rng(0xC11 + trial)
-    k = [3, 5, 11, 17, 23, 31][trial]
+    run_trial(tmp_path, 0xC11 + trial, [3, 5, 11, 17, 23, 31][trial])
+
+
+def run_trial(tmp_path, seed, k):
+    """One randomized pipeline-vs-oracle trial (scripts/fuzz_campaign.py
+    drives this over many extra seeds)."""
+    rng = np.random.default_rng(seed)
     circular = bool(rng.random() < 0.25)
     fastq = bool(rng.random() < 0.3)
 

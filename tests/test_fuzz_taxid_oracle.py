@@ -186,9 +186,14 @@ _OPS = [_op_union, _op_concat_sortu, _op_inter, _op_common, _op_diff,
 
 @pytest.mark.parametrize("trial", range(5))
 def test_fuzz_taxid_pipeline_vs_oracle(tmp_path, trial):
-    rng = np.random.default_rng(0x7A1D + trial)
+    run_trial(tmp_path, 0x7A1D + trial, [5, 11, 17, 23, 31][trial])
+
+
+def run_trial(tmp_path, seed, k):
+    """One randomized taxid pipeline trial (scripts/fuzz_campaign.py
+    drives this over many extra seeds)."""
+    rng = np.random.default_rng(seed)
     parent, taxdump = make_taxonomy(rng, tmp_path)
-    k = [5, 11, 17, 23, 31][trial]
 
     def cli_(argv):
         return cli(argv, taxdump)

@@ -81,6 +81,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     try:
         return _run_profiled(args)
+    except SystemExit as e:
+        # Commands mirror the reference's process-level exits (utils.log
+        # die/check_error = util-cli.go:39-44 checkError; grep's
+        # zero-query os.Exit(0) = grep.go:475-478).  main() is also the
+        # embeddable API, so convert to a return code instead of killing
+        # the host process; `sys.exit(main())` keeps the process
+        # behavior identical (-1 -> 255, as in Go).
+        code = e.code
+        if code is None:
+            return 0
+        return code & 0xFF if isinstance(code, int) else 255
     except BrokenPipeError:
         # head | view-style pipelines
         try:
