@@ -353,3 +353,16 @@ def test_dedup_sorted_zero_taxid_identity():
     c, t = sets.dedup_sorted(codes, tax, None)
     assert c.tolist() == [5, 7, 9, 10]
     assert t.tolist() == [4, 0, 0, 6]
+
+
+def test_subtract_empty_taxid_target(rng):
+    # regression (fuzz_campaign seed 0xf402): an empty taxid-carrying
+    # target crashed subtract — member_mask's clipped index was used to
+    # gather from the zero-length taxid column
+    q = np.unique(rng.integers(0, 1 << 40, size=200, dtype=np.uint64))
+    qt = np.full(len(q), 7, np.uint32)
+    empty = np.zeros(0, np.uint64)
+    out, out_t = sets.subtract(
+        q, qt, [empty], [np.zeros(0, np.uint32)], compare_taxid=True
+    )
+    assert out.tolist() == q.tolist() and out_t.tolist() == qt.tolist()

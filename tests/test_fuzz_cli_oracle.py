@@ -183,6 +183,11 @@ def _op_grep(cli_, rng, tmp, pool, i):
     if invert:
         argv.insert(1, "-v")
     assert cli_(argv) == 0
+    if not pool[a][1]:
+        # empty query set: grep exits 0 WITHOUT writing output, matching
+        # the reference's os.Exit(0) (grep.go:475-478)
+        assert not (tmp / f"g{i}.unik").exists()
+        return pool[b]
     want = (pool[b][1] - pool[a][1]) if invert else (pool[b][1] & pool[a][1])
     return f"{out}.unik", want
 

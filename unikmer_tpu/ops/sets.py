@@ -218,6 +218,10 @@ def subtract(
     for i, codes_i in enumerate(other_arrays):
         if len(q_codes) == 0:
             break
+        if len(codes_i) == 0:
+            # empty target removes nothing (and member_mask's clipped
+            # searchsorted index must never be used against it)
+            continue
         tax_i = None if other_tax_arrays is None else other_tax_arrays[i]
         # targets may be unsorted (diff.go:341-377 handles both), but
         # .unik sets usually ARE sorted: verify (vectorized O(n), ~10x
