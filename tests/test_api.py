@@ -317,3 +317,43 @@ def test_common_threshold_zero_means_all_files(rng, monkeypatch):
         np.testing.assert_array_equal(
             KmerSet.common([a, b], th).to_numpy(), want)
         monkeypatch.undo()
+
+
+def test_union_one_sided_taxids(taxdb):
+    # regression: (taxid-set | plain-set) silently dropped the taxid
+    # column; now one-sided union passes taxids through (missing side =
+    # taxid 0 identity), mirroring intersect's one-sided semantics
+    a = _mk([10, 20, 30], taxids=[511145, 562, 511145], taxdb=taxdb)
+    b = _mk([20, 40])
+    for u in (a | b, b | a):
+        np.testing.assert_array_equal(u.to_numpy(), [10, 20, 30, 40])
+        assert u.has_taxids
+        np.testing.assert_array_equal(
+            u.taxids_to_numpy(), [511145, 562, 511145, 0]
+        )
+
+
+def test_from_unik_sorted_flag_with_duplicates(tmp_path, rng, taxdb):
+    # regression: SORTED .unik files may carry duplicates (sort without
+    # -u, concat -s); from_unik trusted the flag and skipped dedup
+    from unikmer_tpu.io.unik import CANONICAL, SORTED, UnikWriter
+
+    codes = np.unique(rng.integers(0, 1 << 40, size=300, dtype=np.uint64))
+    dup = np.sort(np.concatenate([codes, codes[:50]]))
+    p = str(tmp_path / "d.unik")
+    with UnikWriter(p, k=23, flag=CANONICAL | SORTED) as w:
+        w.write_codes(dup)
+    s = KmerSet.from_unik(p)
+    assert len(s) == len(codes)
+    np.testing.assert_array_equal(s.to_numpy(), codes)
+    # taxid-carrying duplicates LCA-merge (needs taxdb)
+    pt = str(tmp_path / "dt.unik")
+    from unikmer_tpu.io.unik import INCLUDE_TAXID
+
+    with UnikWriter(pt, k=23, flag=CANONICAL | SORTED | INCLUDE_TAXID,
+                    max_taxid=600000) as w:
+        w.write_codes(np.array([5, 5, 9], np.uint64),
+                      np.array([511145, 585057, 562], np.uint32))
+    st = KmerSet.from_unik(pt, taxdb=taxdb)
+    np.testing.assert_array_equal(st.to_numpy(), [5, 9])
+    np.testing.assert_array_equal(st.taxids_to_numpy(), [562, 562])

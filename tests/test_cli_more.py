@@ -168,3 +168,27 @@ def test_hashed_k51_roundtrip(tmp_path, rng):
     h2, codes2, _ = read_unik(f"{d}.unik")
     assert h2.is_hashed
     np.testing.assert_array_equal(codes2, codes)
+
+
+def test_grep_query_unik_k_mismatch_dies(tmp_path, rng):
+    # grep.go:553-554: input k must equal the -F query file's k; and
+    # query files must be mutually compatible (grep.go:229-240)
+    from tests.conftest import random_dna
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 150).decode()}\n")
+    a21, a31 = tmp_path / "a21", tmp_path / "a31"
+    assert cli(["count", "-k", 21, "-K", fa, "-o", a21]) == 0
+    assert cli(["count", "-k", 31, "-K", fa, "-o", a31]) == 0
+    out = tmp_path / "o"
+    assert cli(
+        ["grep", "-F", f"{a21}.unik", f"{a31}.unik", "-o", out]
+    ) != 0
+    assert cli(
+        ["grep", "-F", f"{a21}.unik", "-F", f"{a31}.unik",
+         f"{a21}.unik", "-o", out]
+    ) != 0
+    # equal k still works
+    assert cli(
+        ["grep", "-F", f"{a21}.unik", f"{a21}.unik", "-o", out]
+    ) == 0

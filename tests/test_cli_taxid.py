@@ -218,3 +218,41 @@ def test_view_genome_partial_decode(tmp_path, fa, rng):
     lines = out.read_text().splitlines()
     assert str(int(foreign)) in lines  # undecodable printed as integer
     assert sum(1 for l in lines if len(l) == 15) == len(codes)
+
+
+def test_count_linear_parse_taxid(tmp_path, rng, fa):
+    """count -l -T: linear (order-preserving, duplicates kept) with
+    per-record taxids parsed from headers (count.go:235-258,377-410);
+    the batched single-dispatch path must match the per-record oracle."""
+    k = 7
+    seqs = [
+        random_dna(rng, 40).decode(),
+        "ACGTACGTACGTACGT",          # repetitive: duplicate windows
+        random_dna(rng, 5).decode(),  # shorter than k: skipped
+        random_dna(rng, 33).decode().lower(),
+    ]
+    taxids = [562, 511145, 9606, 585057]
+    path = fa("lin.fa", [
+        (f"r{i}|taxid={t}", s) for i, (s, t) in enumerate(zip(seqs, taxids))
+    ])
+    out = tmp_path / "lt"
+    assert cli([
+        "count", "-k", k, "-K", "-l", "-T", "-r", r"taxid=(\d+)",
+        path, "-o", out,
+    ]) == 0
+    hdr, codes, got_tax = read_unik(f"{out}.unik")
+    assert hdr.is_include_taxid and not hdr.is_sorted
+    want_codes, want_tax = [], []
+    for s, t in zip(seqs, taxids):
+        for km in brute_kmers([s], k, canonical=True):
+            want_codes.append(km)
+            want_tax.append(t)
+    got_kmers = [codec.decode_kmer(int(c), k) for c in codes]
+    assert got_kmers == want_codes          # exact linear order
+    assert got_tax.tolist() == want_tax
+    # a record with an unparseable header dies
+    bad = fa("bad.fa", [("r0|taxid=5", "ACGTACGTAC"), ("nope", "ACGTACGTAC")])
+    assert cli([
+        "count", "-k", k, "-K", "-l", "-T", "-r", r"taxid=(\d+)",
+        bad, "-o", tmp_path / "x",
+    ]) != 0

@@ -102,3 +102,16 @@ def test_window_valid_masks_invalid_bases(rng):
 
 def test_bits_string():
     assert codec.bits_string(codec.encode_kmer("ACGT"), 4) == "00 01 10 11"
+
+
+def test_window_valid_short_input_shape():
+    # regression: len(bases) < k returned a (k-1)-element mask instead
+    # of len(bases), breaking downstream jnp.where alignment
+    import numpy as np
+
+    from unikmer_tpu.ops.codec import window_valid
+
+    for n, k in [(0, 8), (5, 8), (7, 8), (8, 8), (9, 8), (0, 1), (3, 1)]:
+        m = np.asarray(window_valid(np.zeros(n, np.uint8), k))
+        assert m.shape == (n,), (n, k, m.shape)
+        assert m[: max(n - k + 1, 0)].all() and not m[max(n - k + 1, 0):].any()

@@ -366,3 +366,30 @@ def test_subtract_empty_taxid_target(rng):
         q, qt, [empty], [np.zeros(0, np.uint32)], compare_taxid=True
     )
     assert out.tolist() == q.tolist() and out_t.tolist() == qt.tolist()
+
+
+def test_locate_duplicate_codes_print_once(tmp_path, rng, capsysbinary):
+    # regression: duplicate codes inside ONE .unik block printed their
+    # BED lines twice (the reference's found-map delete prints once,
+    # locate.go:274-285); cross-block duplicates were already deduped
+    from tests.conftest import random_dna
+
+    from unikmer_tpu.cli.main import main
+    from unikmer_tpu.io.unik import CANONICAL, UnikReader, UnikWriter
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 120).decode()}\n")
+    a = tmp_path / "a"
+    assert main([str(x) for x in ("count", "-k", 11, "-K", fa, "-o", a)]) == 0
+    with UnikReader(f"{a}.unik") as r:
+        codes = np.concatenate([c for c, _ in r.iter_blocks()])
+    dup = tmp_path / "dup.unik"
+    with UnikWriter(dup, k=11, flag=CANONICAL) as w:
+        w.write_codes(np.concatenate([codes, codes]))  # one block, 2x
+    for src in (f"{a}.unik", str(dup)):
+        assert main(["locate", "-g", str(fa), src]) == 0
+    out = capsysbinary.readouterr().out.splitlines()
+    # both runs must emit the same multiset of lines, each unique
+    half = len(out) // 2
+    assert half and sorted(out[:half]) == sorted(out[half:])
+    assert len(set(out[:half])) == half

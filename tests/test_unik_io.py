@@ -223,3 +223,33 @@ def test_member_stream_mixed_members(tmp_path, rng):
         ms = io.BufferedReader(unik._UKMemberStream(br), 1 << 20)
         got = ms.read()
     assert got == payload
+
+
+def test_package_version_constants_track_io():
+    import unikmer_tpu
+    from unikmer_tpu.io import unik
+
+    assert unikmer_tpu.UNIK_MAIN_VERSION == unik.MAIN_VERSION
+    assert unikmer_tpu.UNIK_MINOR_VERSION == unik.MINOR_VERSION
+
+
+def test_writer_flushes_handed_stream_uncompressed(tmp_path, rng):
+    # regression: with compress=False and a caller-owned stream, close()
+    # left the payload in the stream's buffer (truncated file until GC)
+    import numpy as np
+
+    from unikmer_tpu.io.unik import UnikReader, UnikWriter
+
+    codes = np.unique(rng.integers(0, 1 << 40, size=5000, dtype=np.uint64))
+    p = tmp_path / "x.unik"
+    f = open(p, "wb")
+    try:
+        w = UnikWriter(f, k=21, compress=False, number=len(codes))
+        w.write_codes(codes)
+        w.close()
+        # stream intentionally NOT closed: bytes must already be on disk
+        with UnikReader(p) as r:
+            got = np.concatenate([c for c, _ in r.iter_blocks()])
+        assert got.tolist() == codes.tolist()
+    finally:
+        f.close()

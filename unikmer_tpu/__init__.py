@@ -161,5 +161,7 @@ def __getattr__(name):
 REFERENCE_VERSION = "0.21.0"
 # .unik format version we emit (parity with unik/v5 v5.0 semantics;
 # byte-level layout is this package's own documented layout, see io/unik.py).
+# Must track io.unik.MAIN_VERSION/MINOR_VERSION (duplicated here so
+# importing the package root stays cheap; guarded by test_unik_io).
 UNIK_MAIN_VERSION = 5
-UNIK_MINOR_VERSION = 0
+UNIK_MINOR_VERSION = 1

@@ -208,7 +208,12 @@ class KmerSet:
             h = r.header
             if h.has_global_taxid and taxids is None:
                 taxids = np.full(len(codes), h.global_taxid, np.uint32)
-            sorted_unique = bool(h.is_sorted)
+            # the SORTED flag does not imply distinct (sort without -u,
+            # dump -s, concat -s keep duplicates): verify strictly
+            # increasing before trusting the sorted-unique fast path
+            sorted_unique = bool(h.is_sorted) and bool(
+                np.all(codes[1:] > codes[:-1])
+            )
             return cls.from_codes(
                 codes, h.k, canonical=h.is_canonical, hashed=h.is_hashed,
                 scale=h.scale if h.is_scaled else 1, taxids=taxids,
@@ -303,7 +308,22 @@ class KmerSet:
         return self._from_host(c, t)
 
     def union(self, other: "KmerSet") -> "KmerSet":
+        """Union; colliding codes LCA-merge taxids when both sides carry
+        them (union.go:195-202).  When only ONE side does, its taxids
+        pass through (missing side = taxid 0, the no-taxid identity) —
+        same one-sided semantics as intersect."""
         self._check_compatible(other)
+        if self.has_taxids != other.has_taxids:
+            from .ops import sets as host_sets
+
+            with_t, plain = (self, other) if self.has_taxids else (other, self)
+            c, t = host_sets.union(
+                [with_t.to_numpy(), plain.to_numpy()],
+                [with_t._np_taxids(),
+                 np.zeros(len(plain), np.uint32)],
+                self._taxdb or other._taxdb,
+            )
+            return self._from_host(c, t)
         if self.capacity + other.capacity > _max_device_elems():
             # concat would exceed the validated program size (2^26+
             # hangs this backend): exact host engine, then re-upload

@@ -161,10 +161,36 @@ def run(args) -> int:
         with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
             n = 0
             if args.parse_taxid:
+                # batch ALL records into one packed buffer (one device
+                # program instead of one padded dispatch per record),
+                # then map emitted window positions back to records for
+                # the per-record taxid column
+                from ...models.count import linear_codes_all
+
+                kept, taxid_of = [], []
                 for rec in records():
-                    codes, taxids = _linear_one(rec, cfg, re_taxid)
-                    w.write_codes(codes, taxids)
-                    n += len(codes)
+                    if len(rec.seq) < k:
+                        continue  # ErrShortSeq skip (count.go:323-331)
+                    m = re_taxid.search(rec.name)
+                    if not m:
+                        die(
+                            "failed to parse taxid in header: "
+                            f"{rec.name.decode()}"
+                        )
+                    kept.append(rec)
+                    taxid_of.append(int(m.group(1)))
+                packed = pack_records(kept, k, args.circular)
+                codes, pos = linear_codes_all(packed.bases, cfg)
+                rec_idx = (
+                    np.searchsorted(packed.starts, pos, side="right") - 1
+                )
+                taxids = (
+                    np.asarray(taxid_of, np.uint32)[rec_idx]
+                    if kept
+                    else np.zeros(0, np.uint32)
+                )
+                w.write_codes(codes, taxids)
+                n = len(codes)
             else:
                 if use_packed_ingest:
                     packed = pack_files(files, k, args.circular)
@@ -234,12 +260,3 @@ def _native_ingest_ok(path: str) -> bool:
     falls back to the streaming reader beyond it."""
     return path != "-" and os.path.isfile(path)
 
-
-def _linear_one(rec, cfg, re_taxid):
-    packed = pack_records([rec], cfg.k, cfg.circular)
-    codes = count_linear(packed, cfg)
-    m = re_taxid.search(rec.name)
-    if not m:
-        die(f"failed to parse taxid in header: {rec.name.decode()}")
-    taxid = int(m.group(1))
-    return codes, np.full(len(codes), taxid, np.uint32)

@@ -115,16 +115,34 @@ def run(args) -> int:
         if len(query_taxids) == 0:
             log.warning("0 taxids loaded")
 
-    # query codes from .unik files (hashed-ness follows those files)
+    # query codes from .unik files (hashed-ness follows those files);
+    # query files must agree on k/canonical/hashed/scaled among
+    # themselves (grep.go:229-240 checkCompatibility between them)
     unik_query_codes = []
     unik_query_hashed = None
+    unik_query_k = None
+    hq0 = None
     for f in args.query_unik_file:
         if not f:
             continue
         with open_reader(f) as r:
+            h = r.header
+            if hq0 is None:
+                hq0 = h
+                unik_query_hashed = h.is_hashed
+                unik_query_k = h.k
+            elif (
+                h.k != hq0.k
+                or h.is_canonical != hq0.is_canonical
+                or h.is_hashed != hq0.is_hashed
+                or h.is_scaled != hq0.is_scaled
+            ):
+                die(
+                    f"query file incompatible with previous query files "
+                    f"(k/canonical/hashed/scaled must match): {f}"
+                )
             codes, _ = r.read_all()
             unik_query_codes.append(codes)
-            unik_query_hashed = r.header.is_hashed
 
     kmer_queries: list[str] = []
     if not args.query_is_taxid:
@@ -155,6 +173,13 @@ def run(args) -> int:
     for i, file in enumerate(files):
         with open_reader(file) as r:
             h = r.header
+            if not args.query_is_taxid and unik_query_k is not None \
+                    and h.k != unik_query_k:
+                # grep.go:553-554: input k must equal the -F query k
+                die(
+                    f"K ({h.k}) of binary file '{file}' not equal to "
+                    f"query K ({unik_query_k})"
+                )
             if h0 is None:
                 h0 = h
                 has_taxid = not opt.ignore_taxid and h.has_taxid_info

@@ -72,6 +72,13 @@ def run(args) -> int:
                 for codes, _ in r.iter_blocks():
                     if len(index.codes) == 0:
                         continue
+                    # duplicate codes within a block must print once
+                    # (the reference deletes a code from its map at the
+                    # first hit, locate.go:274-285); keep first
+                    # occurrences in record order
+                    _, first_idx = np.unique(codes, return_index=True)
+                    if len(first_idx) != len(codes):
+                        codes = codes[np.sort(first_idx)]
                     start, end = lookup_ranges(index, codes)
                     found = (start < end) & ~seen_runs[np.minimum(start, len(seen_runs) - 1)]
                     if not found.any():

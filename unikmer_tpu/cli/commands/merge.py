@@ -42,6 +42,10 @@ def run(args) -> int:
         die("flag -u/--unique and -d/--repeated are not compatible")
     mode = "unique" if args.unique else "repeated" if args.repeated else "none"
 
+    if "-" in files:
+        # the k-way merge needs seekable chunk files (merge.go:152)
+        log.warning("skip stdin")
+        files = [f for f in files if f != "-"]
     if args.is_dir:
         pattern = re.compile(args.pattern)
         expanded = []

@@ -156,7 +156,7 @@ class UnikWriter:
         block_size: int = DEFAULT_BLOCK,
         threads: int = 4,
     ):
-        if isinstance(path_or_file, (str, bytes)):
+        if isinstance(path_or_file, (str, bytes, os.PathLike)):
             self._file = open(path_or_file, "wb")
             self._owns = True
         else:
@@ -295,7 +295,11 @@ class UnikWriter:
             self._file.close()
         if self._owns:
             self._raw.close()
-        elif self._raw is not self._file:
+        else:
+            # handed-in stream: force buffered bytes out (uncompressed
+            # writes land in the stream's own buffer, and an embedding
+            # caller may hold the process alive long after close());
+            # fd lifecycle stays with the caller (it may be stdout)
             self._raw.flush()
 
     flush = close  # reference Writer.Flush() finalizes
@@ -348,7 +352,7 @@ class UnikReader:
         memory stays bounded at one block — the external-merge paths
         hold up to 400 chunk readers open at once and would otherwise
         resident the entire spilled dataset."""
-        if isinstance(path_or_file, (str, bytes)):
+        if isinstance(path_or_file, (str, bytes, os.PathLike)):
             f = open(path_or_file, "rb")
             self._owns = True
         else:

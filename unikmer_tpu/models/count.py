@@ -464,8 +464,6 @@ def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
     merged.sort()
     first = np.ones(len(merged), bool)
     first[1:] = merged[1:] != merged[:-1]
-    if cfg.mode not in ("unique", "repeated"):
-        return merged[first]
     run_id = np.cumsum(first) - 1
     counts = np.bincount(run_id)
     keep = counts == 1 if cfg.mode == "unique" else counts >= 2

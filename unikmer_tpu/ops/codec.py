@@ -120,7 +120,8 @@ def window_valid(bases: jnp.ndarray, k: int) -> jnp.ndarray:
     ok_in = (prefix[k:] - prefix[:-k]) == 0  # length n-k+1
     if k == 1:
         return ok_in if n >= 1 else jnp.zeros((n,), bool)
-    pad = jnp.zeros((k - 1,), dtype=bool)
+    # pad so the mask always has length n (all-False when n < k)
+    pad = jnp.zeros((min(k - 1, n),), dtype=bool)
     return jnp.concatenate([ok_in, pad])
 
 
