@@ -192,3 +192,49 @@ def test_grep_query_unik_k_mismatch_dies(tmp_path, rng):
     assert cli(
         ["grep", "-F", f"{a21}.unik", f"{a21}.unik", "-o", out]
     ) == 0
+
+
+def test_grep_taxid_info_mismatch_dies(tmp_path, rng):
+    # grep.go:556-562: inputs must agree on taxid-info presence unless
+    # -I/--ignore-taxid
+    from tests.conftest import random_dna
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 150).decode()}\n")
+    plain, taxed = tmp_path / "p", tmp_path / "t"
+    assert cli(["count", "-k", 21, "-K", fa, "-o", plain]) == 0
+    assert cli(["count", "-k", 21, "-K", fa, "-o", taxed, "-t", 562]) == 0
+    out = tmp_path / "o"
+    q = tmp_path / "q.txt"
+    q.write_text("A" * 21 + "\n")
+    argv = ["grep", "-f", q, f"{plain}.unik", f"{taxed}.unik", "-o", out]
+    assert cli(argv) != 0
+    assert cli(["grep", "-I"] + argv[1:]) == 0
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["view"], ["sort"], ["merge"], ["concat"], ["head"], ["sample"],
+        ["split"],
+    ],
+)
+def test_taxid_info_mismatch_dies_everywhere(tmp_path, rng, argv):
+    """Multi-file commands must die when inputs disagree on taxid-info
+    presence unless -I (the shared block in sort.go:217-222 etc.)."""
+    from tests.conftest import random_dna
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 100).decode()}\n")
+    plain, taxed = tmp_path / "p", tmp_path / "t"
+    assert cli(["count", "-k", 11, "-K", "-s", fa, "-o", plain]) == 0
+    assert cli(["count", "-k", 11, "-K", "-s", fa, "-o", taxed,
+                "-t", 562]) == 0
+    inputs = [f"{plain}.unik", f"{taxed}.unik"]
+    if argv[0] == "head":
+        argv = argv + ["-n", 10**6]  # default -n 10 stops before file 2
+    outs = (["-o", tmp_path / "o"] if argv[0] != "split"
+            else ["-O", tmp_path / "od"])
+    assert cli(argv + inputs + outs) != 0
+    assert cli(argv + ["-I"] + inputs + outs + (
+        ["--force"] if argv[0] == "split" else [])) == 0

@@ -35,6 +35,25 @@ def add_files_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument("files", nargs="*", default=[], help="input .unik file(s)")
 
 
+def check_taxid_info_match(h0, h, file, opt) -> None:
+    """Multi-file inputs must ALL have (or all lack) taxid info unless
+    -I/--ignore-taxid (reference sort.go:217-222; the same block appears
+    in concat/merge/sample/split/view/grep/head)."""
+    if opt.ignore_taxid or h.has_taxid_info == h0.has_taxid_info:
+        return
+    from ...utils.log import die
+
+    if h.has_taxid_info:
+        die(
+            "taxid information not found in previous files, "
+            f"but found in this: {file}"
+        )
+    die(
+        "taxid information found in previous files, "
+        f"but missing in this: {file}"
+    )
+
+
 def unik_inputs(args, check_suffix: bool = True):
     """(options, file list) with existence/suffix checks."""
     opt = get_options(args)

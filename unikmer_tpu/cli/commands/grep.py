@@ -24,6 +24,7 @@ from ...utils.log import die, log
 from ..opts import ensure_unik_suffix, out_binary_stream
 from ._common import (
     add_files_arg,
+    check_taxid_info_match,
     effective_taxids,
     log_saved,
     new_command,
@@ -192,6 +193,8 @@ def run(args) -> int:
                         die(f"no taxids found in file: {file}")
             elif not args.query_is_taxid and h.k != h0.k:
                 die(f"k-mer length mismatch: {file}")
+            if h0 is not h:
+                check_taxid_info_match(h0, h, file, opt)  # grep.go:556-562
 
             f_codes, f_tax = [], []
             for codes, taxids in r.iter_blocks():

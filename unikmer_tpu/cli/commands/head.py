@@ -10,6 +10,7 @@ import numpy as np
 
 from ._common import (
     add_files_arg,
+    check_taxid_info_match,
     effective_taxids,
     log_saved,
     make_writer_like,
@@ -79,12 +80,5 @@ def run(args) -> int:
     return 0
 
 
-def _check_taxid_match(h0, h, file, opt):
-    if opt.ignore_taxid:
-        return
-    if h.has_taxid_info != h0.has_taxid_info:
-        from ...utils.log import die
-
-        if h.has_taxid_info:
-            die(f"taxid information not found in previous files, but found in this: {file}")
-        die(f"taxid information found in previous files, but missing in this: {file}")
+# back-compat alias; the shared check lives in _common
+_check_taxid_match = check_taxid_info_match

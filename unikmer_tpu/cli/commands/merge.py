@@ -14,7 +14,14 @@ from ...io import unik
 from ...pipeline import extsort
 from ...utils.log import die, log
 from ..opts import ensure_unik_suffix, out_binary_stream
-from ._common import add_files_arg, log_saved, new_command, open_reader, unik_inputs
+from ._common import (
+    add_files_arg,
+    check_taxid_info_match,
+    log_saved,
+    new_command,
+    open_reader,
+    unik_inputs,
+)
 from ._setops import maybe_taxonomy
 
 
@@ -69,6 +76,8 @@ def run(args) -> int:
             if h0 is None:
                 h0 = r.header
                 has_taxid = not opt.ignore_taxid and h0.has_taxid_info
+            else:
+                check_taxid_info_match(h0, r.header, f, opt)  # merge.go:199-204
             if not r.header.is_sorted:
                 die(f"input file should be sorted: {f}")
 

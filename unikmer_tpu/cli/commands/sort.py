@@ -105,7 +105,7 @@ def _sort_external(args, opt, files, mode, out_file):
             die(f"tmp dir not empty: {tmp_dir}, use --force to overwrite")
     os.makedirs(tmp_dir, exist_ok=True)
 
-    from ._common import effective_taxids, open_reader
+    from ._common import check_taxid_info_match, effective_taxids, open_reader
     from ...io.unik import check_compatibility
     from ...utils.log import check_error
 
@@ -134,11 +134,13 @@ def _sort_external(args, opt, files, mode, out_file):
                 if has_taxid and mode != "none":
                     taxdb = maybe_taxonomy(opt, True)
                 acc = extsort.ChunkAccumulator(chunk_size, has_taxid, on_chunk)
-            elif not opt.skip_flag_check:
-                try:
-                    check_compatibility(h0, r.header, f)
-                except ValueError as e:
-                    check_error(e)
+            else:
+                if not opt.skip_flag_check:
+                    try:
+                        check_compatibility(h0, r.header, f)
+                    except ValueError as e:
+                        check_error(e)
+                check_taxid_info_match(h0, r.header, f, opt)  # sort.go:217-222
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
                 acc.add(codes, taxids)

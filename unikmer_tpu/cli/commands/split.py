@@ -14,7 +14,14 @@ from ...io import unik
 from ...pipeline import extsort
 from ...utils.log import die, log
 from ...utils.sizes import parse_byte_size
-from ._common import add_files_arg, effective_taxids, new_command, open_reader, unik_inputs
+from ._common import (
+    add_files_arg,
+    check_taxid_info_match,
+    effective_taxids,
+    new_command,
+    open_reader,
+    unik_inputs,
+)
 from ._setops import maybe_taxonomy
 from ...io.unik import check_compatibility
 from ...utils.log import check_error
@@ -86,11 +93,14 @@ def run(args) -> int:
                 acc = extsort.ChunkAccumulator(
                     chunk_size, state["has_taxid"], on_chunk
                 )
-            elif not opt.skip_flag_check:
-                try:
-                    check_compatibility(state["h0"], r.header, f)
-                except ValueError as e:
-                    check_error(e)
+            else:
+                if not opt.skip_flag_check:
+                    try:
+                        check_compatibility(state["h0"], r.header, f)
+                    except ValueError as e:
+                        check_error(e)
+                # split.go:228-233
+                check_taxid_info_match(state["h0"], r.header, f, opt)
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
                 acc.add(codes, taxids)

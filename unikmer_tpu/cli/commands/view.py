@@ -13,11 +13,13 @@ import sys
 
 import numpy as np
 
+from ...io.unik import check_compatibility
 from ...ops.codec import decode_codes
 from ...utils import textout
-from ...utils.log import log
+from ...utils.log import check_error, log
 from ._common import (
     add_files_arg,
+    check_taxid_info_match,
     effective_taxids,
     new_command,
     open_reader,
@@ -60,14 +62,22 @@ def run(args) -> int:
     out, owns = _out_binary(args.out_file, opt.compression_level)
     hash2loc = None
     sequences = None
-    first = True
+    h0 = None
     k = None
     try:
         for file in files:
             with open_reader(file) as r:
                 h = r.header
-                if first:
-                    first = False
+                if h0 is not None:
+                    # view.go:149-154: flag compat + taxid-info match
+                    if not opt.skip_flag_check:
+                        try:
+                            check_compatibility(h0, h, file)
+                        except ValueError as e:
+                            check_error(e)
+                    check_taxid_info_match(h0, h, file, opt)
+                if h0 is None:
+                    h0 = h
                     k = h.k
                     if show_taxid and not h.has_taxid_info:
                         log.warning(

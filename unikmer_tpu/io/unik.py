@@ -625,3 +625,4 @@ def check_compatibility(h0: UnikHeader, h: UnikHeader, file: str = "") -> None:
         problems.append("scale mismatch")
     if problems:
         raise ValueError(f"incompatible .unik file {file}: " + "; ".join(problems))
+
