@@ -1,0 +1,138 @@
+"""Host count engine (models/count_host.py): differential parity with
+the device pipeline and with the from-scratch oracle, CLI routing, and
+the jax-free property.
+
+The host engine exists because the reference's headline benchmark is a
+single-genome `count` (README.md:156-158) where startup dominates; it
+must be byte-for-byte indistinguishable from the device path.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_dna
+from tests.test_count import brute_kmers
+
+from unikmer_tpu.io.fastx import Record, pack_records
+from unikmer_tpu.models import count_host
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_records(rng, n_rec, min_len, max_len):
+    recs = []
+    for i in range(n_rec):
+        L = int(rng.integers(min_len, max_len))
+        seq = bytearray(random_dna(rng, L))
+        # sprinkle invalid bases to exercise window resets
+        for _ in range(int(rng.integers(0, 4))):
+            seq[int(rng.integers(0, L))] = ord("N")
+        recs.append(Record(b"r%d" % i, b"r%d" % i, bytes(seq)))
+    return recs
+
+
+@pytest.mark.parametrize("mode", ["distinct", "unique", "repeated"])
+@pytest.mark.parametrize("circular", [False, True])
+def test_host_vs_device_modes(rng, mode, circular):
+    from unikmer_tpu.models.count import CountConfig, count_packed
+
+    k = int(rng.choice([3, 11, 21, 31, 32]))
+    recs = _mk_records(rng, 5, max(k, 4), 120)
+    # force duplicates so unique/repeated discriminate
+    recs.append(recs[0])
+    packed = pack_records(recs, k, circular)
+    got = count_host.count_host(packed, k, True, mode)
+    assert got is not None
+    want = count_packed(packed, CountConfig(k=k, canonical=True,
+                                            circular=circular, mode=mode))
+    np.testing.assert_array_equal(got, np.asarray(want), err_msg=f"k={k}")
+
+
+def test_host_linear_vs_oracle(rng):
+    k = 7
+    seqs = ["ACGTACGTACGTACGT", random_dna(rng, 60).decode(),
+            "ACGNNGTACGTACGTA"]
+    recs = [Record(b"r", b"r", s.encode()) for s in seqs]
+    packed = pack_records(recs, k, False)
+    got = count_host.linear_host(packed, k, True)
+    want = [c for s in seqs for c in brute_kmers([s], k, canonical=True)]
+    from unikmer_tpu.ops import codec
+
+    assert [codec.decode_kmer(int(c), k) for c in got] == want
+
+
+def test_host_cli_byte_parity(tmp_path, rng):
+    """UNIKMER_TPU_HOST_COUNT=1 and =0 must write identical bytes for
+    every flag combo the host engine supports."""
+    from unikmer_tpu.cli.main import main
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(
+        "".join(f">r{i}\n{random_dna(rng, 200).decode()}\n" for i in range(3))
+    )
+    for extra in ([], ["-s"], ["-c"], ["-u"], ["-d"], ["-l"],
+                  ["--circular"], ["-t", "562"]):
+        outs = []
+        for knob in ("1", "0"):
+            os.environ["UNIKMER_TPU_HOST_COUNT"] = knob
+            try:
+                out = tmp_path / f"o{knob}"
+                assert main(["count", "-k", "17", "-K", *extra,
+                             str(fa), "-o", str(out)]) == 0
+                outs.append((out.parent / (out.name + ".unik")).read_bytes())
+            finally:
+                os.environ.pop("UNIKMER_TPU_HOST_COUNT", None)
+        assert outs[0] == outs[1], extra
+
+
+def test_count_cli_is_jax_free_on_host_path(tmp_path, rng):
+    """The headline-latency win: a small un-hashed count must never
+    import jax."""
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 500).decode()}\n")
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; from unikmer_tpu.cli.main import main; "
+         f"rc = main(['count', '-k', '23', '-K', '-s', {str(fa)!r}, "
+         f"'-o', {str(tmp_path / 'o')!r}]); "
+         "sys.exit(2 if rc else (1 if 'jax' in sys.modules else 0))"],
+        env=dict(os.environ, PYTHONPATH=ROOT, PALLAS_AXON_POOL_IPS="",
+                 UNIKMER_TPU_PLATFORM="cpu"),
+        capture_output=True, timeout=120,
+    )
+    assert probe.returncode == 0, probe.stderr.decode()[-800:]
+
+
+def test_launcher_reexec_restores_device_env(tmp_path, rng):
+    """Device-forcing flags under the launcher re-exec with the saved
+    pool; on this CPU-only box the re-exec'd process falls back to the
+    XLA CPU pipeline and must still be correct."""
+    fa = tmp_path / "g.fa"
+    seq = random_dna(rng, 300).decode()
+    fa.write_text(f">s\n{seq}\n")
+    out = tmp_path / "h"
+    p = subprocess.run(
+        [os.path.join(ROOT, "bin", "unikmer-tpu"), "count", "-k", "31",
+         "-K", "-H", str(fa), "-o", str(out)],
+        env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                 UNIKMER_TPU_PLATFORM="cpu"),
+        capture_output=True, timeout=300, text=True,
+    )
+    assert p.returncode == 0, p.stderr[-800:]
+    from unikmer_tpu.io.unik import UnikReader
+
+    with UnikReader(f"{out}.unik") as r:
+        assert r.header.is_hashed
+        codes, _ = r.read_all()
+    assert len(codes) == len({
+        min(s, _rc(s)) for s in brute_kmers([seq], 31)
+    })
+
+
+def _rc(s):
+    comp = dict(zip("ACGT", "TGCA"))
+    return "".join(comp[c] for c in reversed(s))

@@ -47,12 +47,10 @@ def register(subparsers):
 
 
 def run(args) -> int:
-    from ...models.count import (  # deferred: pulls jax (~2.3 s)
-        CountConfig,
-        count_linear,
-        count_packed_taxids,
-    )
-
+    # NOTE: models.count (the device pipeline) pulls jax (~3 s import);
+    # it is imported only on the branches that actually dispatch to the
+    # device.  Small un-hashed inputs route to the jax-free host engine
+    # (models/count_host.py) instead.
     opt = get_options(args)
     k = args.kmer_len
     if k <= 0:
@@ -104,16 +102,20 @@ def run(args) -> int:
     mode = "repeated" if args.repeated else "unique" if args.unique else "distinct"
     if args.linear:
         mode = "distinct"
-    cfg = CountConfig(
-        k=k,
-        canonical=canonical,
-        hashed=hashed,
-        scale=args.scale,
-        minimizer_w=args.minimizer_w,
-        syncmer_s=args.syncmer_s,
-        circular=args.circular,
-        mode=mode,
-    )
+
+    def make_cfg():
+        from ...models.count import CountConfig  # pulls jax
+
+        return CountConfig(
+            k=k,
+            canonical=canonical,
+            hashed=hashed,
+            scale=args.scale,
+            minimizer_w=args.minimizer_w,
+            syncmer_s=args.syncmer_s,
+            circular=args.circular,
+            mode=mode,
+        )
 
     def records():
         for f in files:
@@ -127,7 +129,7 @@ def run(args) -> int:
     flag = 0
     if canonical:
         flag |= unik.CANONICAL
-    if cfg.hashed:
+    if hashed:
         flag |= unik.HASHED
     elif opt.compact and not args.sort and not args.linear:
         flag |= unik.COMPACT
@@ -155,6 +157,12 @@ def run(args) -> int:
         and not name_res
         and all(_native_ingest_ok(f) for f in files)
     )
+    host_ok = not args.parse_taxid and _host_count_wanted(files, k, hashed, args)
+
+    def pack_all():
+        if use_packed_ingest:
+            return pack_files(files, k, args.circular)
+        return pack_records(records(), k, args.circular)
 
     if args.linear:
         out, _ = out_binary_stream(out_file)
@@ -165,6 +173,7 @@ def run(args) -> int:
                 # program instead of one padded dispatch per record),
                 # then map emitted window positions back to records for
                 # the per-record taxid column
+                _ensure_device_env()
                 from ...models.count import linear_codes_all
 
                 kept, taxid_of = [], []
@@ -180,7 +189,7 @@ def run(args) -> int:
                     kept.append(rec)
                     taxid_of.append(int(m.group(1)))
                 packed = pack_records(kept, k, args.circular)
-                codes, pos = linear_codes_all(packed.bases, cfg)
+                codes, pos = linear_codes_all(packed.bases, make_cfg())
                 rec_idx = (
                     np.searchsorted(packed.starts, pos, side="right") - 1
                 )
@@ -192,21 +201,29 @@ def run(args) -> int:
                 w.write_codes(codes, taxids)
                 n = len(codes)
             else:
-                if use_packed_ingest:
-                    packed = pack_files(files, k, args.circular)
-                else:
-                    packed = pack_records(records(), k, args.circular)
-                codes = count_linear(packed, cfg)
+                packed = pack_all()
+                codes = None
+                if host_ok:
+                    from ...models.count_host import linear_host
+
+                    codes = linear_host(packed, k, canonical)
+                if codes is None:
+                    _ensure_device_env()
+                    from ...models.count import count_linear
+
+                    codes = count_linear(packed, make_cfg())
                 w.write_codes(codes)
                 n = len(codes)
         log_saved(opt, n, out_file)
         return 0
 
     if args.parse_taxid:
+        _ensure_device_env()
+        from ...models.count import count_packed_taxids
         from ...taxonomy.taxdump import load_taxonomy
 
         taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
-        codes, taxids = count_packed_taxids(records(), cfg, re_taxid, taxdb)
+        codes, taxids = count_packed_taxids(records(), make_cfg(), re_taxid, taxdb)
         if not args.sort:
             pass  # already sorted; reference order is map order (unordered)
         out, _ = out_binary_stream(out_file)
@@ -215,9 +232,24 @@ def run(args) -> int:
         log_saved(opt, len(codes), out_file)
         return 0
 
+    if host_ok:
+        from ...models.count_host import count_host
+
+        codes = count_host(pack_all(), k, canonical, mode)
+        if codes is not None:
+            out, _ = out_binary_stream(out_file)
+            with unik.UnikWriter(
+                out, flag=flag, number=len(codes), **writer_kw
+            ) as w:
+                w.write_codes(codes)
+            log_saved(opt, len(codes), out_file)
+            return 0
+
+    _ensure_device_env()
     from ...models.count import (
         _stream_chunk_bases, count_stream, count_stream_packed,
     )
+    cfg = make_cfg()
 
     if use_packed_ingest:
         from ...io.fastx import PackedSeqs, _try_native_load
@@ -252,6 +284,54 @@ def run(args) -> int:
         w.write_codes(codes)
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _ensure_device_env() -> None:
+    """The launcher starts `count` dial-free (axon relay dial = ~3 s at
+    interpreter start) betting on the host engine.  When routing decides
+    it needs the device after all, re-exec with the saved pool restored
+    so the device backend can register; UNIKMER_TPU_HOST_COUNT=0 makes
+    the second invocation route straight to the device."""
+    import sys
+
+    if os.environ.get("UNIKMER_TPU_LAUNCHER_PINNED") != "1":
+        return
+    saved = os.environ.get("UNIKMER_TPU_SAVED_POOL", "")
+    env = dict(os.environ)
+    env.pop("UNIKMER_TPU_LAUNCHER_PINNED", None)
+    env.pop("UNIKMER_TPU_SAVED_POOL", None)
+    env.pop("UNIKMER_TPU_PLATFORM", None)
+    env["PALLAS_AXON_POOL_IPS"] = saved
+    env["UNIKMER_TPU_HOST_COUNT"] = "0"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execvpe(sys.executable, [sys.executable, "-m", "unikmer_tpu.cli.main",
+                                *sys.argv[1:]], env)
+
+
+def _host_count_wanted(files, k: int, hashed: bool, args) -> bool:
+    """Route to the jax-free host engine?  UNIKMER_TPU_HOST_COUNT:
+    0 = never, 1 = whenever the config is supported, auto (default) =
+    supported AND total input size below UNIKMER_TPU_HOST_COUNT_MAX_MB
+    (default 256 MB — at that scale startup + dispatch dominate the
+    device path; above it the TPU pipeline's throughput wins)."""
+    from ...models.count_host import supported
+
+    if not supported(k, hashed, args.scale, args.minimizer_w, args.syncmer_s):
+        return False
+    knob = os.environ.get("UNIKMER_TPU_HOST_COUNT", "auto")
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    if any(f == "-" for f in files):
+        return False  # unknown size: keep the streaming device path
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return False
+    cap_mb = float(os.environ.get("UNIKMER_TPU_HOST_COUNT_MAX_MB", "256"))
+    return total <= cap_mb * (1 << 20)
 
 
 def _native_ingest_ok(path: str) -> bool:

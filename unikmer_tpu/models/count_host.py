@@ -1,0 +1,67 @@
+"""Host-native count engine — no jax import.
+
+The reference's headline benchmark is a single-genome `count`
+(README.md:156-158, 0.897 s): end-to-end latency there is dominated by
+interpreter + framework startup and device dispatch, not compute.  For
+small inputs the CLI routes here instead of the device pipeline: the
+C++ rolling window encoder (native/unikit_native.cpp
+encode_windows_u64, ~380 M codes/s on 4 vCPUs) feeds the SIMD host
+sort, so `count` never pays the jax import (~3 s) or the TPU dispatch
+latency.  Window semantics are IDENTICAL to the device pipeline
+(models/count.window_codes; reference sketches NewKmerIterator,
+count.go:314-367) and differentially tested against it
+(tests/test_count_host.py).
+
+The device pipeline (models/count.py) stays the primary engine for
+large batches, hashed/scaled/sketched modes, and anything taxid-aware.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import native
+
+
+def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
+              syncmer_s: int) -> bool:
+    """Host engine scope: 2-bit encode only (no ntHash / scale /
+    sketches) at k <= 32."""
+    return (
+        not hashed
+        and 1 <= k <= 32
+        and scale <= 1
+        and minimizer_w == 0
+        and syncmer_s == 0
+        and native.get_lib() is not None
+    )
+
+
+def linear_host(packed, k: int, canonical: bool) -> np.ndarray | None:
+    """count -l: all valid window codes in genome order, duplicates
+    kept.  None when the native library is unavailable."""
+    return native.encode_windows(packed.bases, k, canonical)
+
+
+def count_host(packed, k: int, canonical: bool,
+               mode: str = "distinct") -> np.ndarray | None:
+    """count: sorted distinct/unique/repeated canonical codes (the
+    device pipeline also emits sorted order — docs/DIVERGENCES.md §3).
+    None when the native library is unavailable."""
+    codes = native.encode_windows(packed.bases, k, canonical)
+    if codes is None:
+        return None
+    if len(codes) == 0:
+        return codes
+    codes = native.host_sort(codes)
+    first = np.ones(len(codes), bool)
+    first[1:] = codes[1:] != codes[:-1]
+    if mode == "distinct":
+        return codes[first]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(codes)))
+    if mode == "unique":
+        return codes[starts[counts == 1]]
+    if mode == "repeated":
+        return codes[starts[counts >= 2]]
+    raise ValueError(f"unknown mode: {mode}")

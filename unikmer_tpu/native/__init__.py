@@ -125,6 +125,10 @@ def get_lib():
         u8p, i64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u64p, u32p, i64,
     ]
+    lib.encode_windows_u64.restype = i64
+    lib.encode_windows_u64.argtypes = [
+        u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p, ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
@@ -193,6 +197,26 @@ def map_bases_skip_ws(seq: bytes) -> np.ndarray | None:
     out = np.empty(len(inp), np.uint8)
     n = lib.map_bases_skip_ws(_u8p(inp), len(inp), _u8p(out))
     return out[:n]
+
+
+def encode_windows(bases: np.ndarray, k: int,
+                   canonical: bool) -> np.ndarray | None:
+    """All valid k-mer window codes of a packed base buffer (0..3 valid,
+    >=4 resets the window), in genome order — the host-count hot loop
+    (native encode_windows_u64).  None -> no native lib (callers fall
+    back to the device pipeline)."""
+    lib = get_lib()
+    if lib is None or not (1 <= k <= 32):
+        return None
+    bases = np.ascontiguousarray(bases, np.uint8)
+    n = len(bases)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    out = np.empty(n, np.uint64)
+    m = lib.encode_windows_u64(
+        _u8p(bases), n, k, 1 if canonical else 0, _u64p(out), _threads()
+    )
+    return out[:m]
 
 
 def render_lines(codes: np.ndarray, k: int | None,

@@ -1365,3 +1365,101 @@ FastxPack* fastx_load(const char* path, int64_t k, int32_t circular,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Host count engine: rolling 2-bit window encode over a packed base
+// buffer (0..3 valid, >=4 separator/invalid resets the window), the
+// same window semantics as the device pipeline (models/count
+// window_codes; reference sketches NewKmerIterator, count.go:314-367).
+// Canonical = min(code, revcomp), both maintained incrementally.
+// Two passes so threads write disjoint exact output slots:
+//   pass 1: count emit positions per chunk (validity runs only)
+//   pass 2: emit codes.
+// ---------------------------------------------------------------------
+
+namespace {
+
+// Emit positions in [lo, hi): i with >= k consecutive valid bases
+// ending at i.  Seeds the run/codes by scanning back k-1 bases.
+template <typename F>
+static inline void walk_windows(const uint8_t* bases, int64_t lo, int64_t hi,
+                                int k, F&& emit) {
+    int64_t start = lo - (k - 1);
+    if (start < 0) start = 0;
+    uint64_t code = 0, rc = 0;
+    int run = 0;
+    const int rc_shift = 2 * (k - 1);
+    for (int64_t i = start; i < hi; i++) {
+        uint8_t b = bases[i];
+        if (b > 3) {
+            run = 0;
+            continue;
+        }
+        code = (code << 2) | b;
+        rc = (rc >> 2) | ((uint64_t)(3 - b) << rc_shift);
+        if (run < k) run++;
+        if (run >= k && i >= lo) emit(i, code, rc);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// out must hold up to (n) uint64 (exact count returned).  threads<=0
+// picks the hardware count.  k in [1, 32].
+int64_t encode_windows_u64(const uint8_t* bases, int64_t n, int32_t k,
+                           int32_t canonical, uint64_t* out,
+                           int32_t threads) {
+    if (k < 1 || k > 32 || n <= 0) return 0;
+    const uint64_t mask =
+        (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    int t = threads > 0 ? threads
+                        : (int)std::thread::hardware_concurrency();
+    if (t < 1) t = 1;
+    if ((int64_t)t > n / (1 << 16) + 1) t = (int)(n / (1 << 16) + 1);
+    std::vector<int64_t> lo(t + 1);
+    for (int i = 0; i <= t; i++) lo[i] = n * i / t;
+    std::vector<int64_t> counts(t, 0);
+
+    auto count_chunk = [&](int ci) {
+        int64_t c = 0;
+        walk_windows(bases, lo[ci], lo[ci + 1], k,
+                     [&](int64_t, uint64_t, uint64_t) { c++; });
+        counts[ci] = c;
+    };
+    auto run_pool = [&](auto&& fn) {
+        if (t == 1) {
+            fn(0);
+            return;
+        }
+        std::vector<std::thread> pool;
+        pool.reserve(t);
+        for (int i = 0; i < t; i++) pool.emplace_back(fn, i);
+        for (auto& th : pool) th.join();
+    };
+    run_pool(count_chunk);
+
+    std::vector<int64_t> offs(t + 1, 0);
+    for (int i = 0; i < t; i++) offs[i + 1] = offs[i] + counts[i];
+
+    auto emit_chunk = [&](int ci) {
+        uint64_t* p = out + offs[ci];
+        if (canonical) {
+            walk_windows(bases, lo[ci], lo[ci + 1], k,
+                         [&](int64_t, uint64_t code, uint64_t rc) {
+                             uint64_t f = code & mask;
+                             *p++ = f < rc ? f : rc;
+                         });
+        } else {
+            walk_windows(bases, lo[ci], lo[ci + 1], k,
+                         [&](int64_t, uint64_t code, uint64_t) {
+                             *p++ = code & mask;
+                         });
+        }
+    };
+    run_pool(emit_chunk);
+    return offs[t];
+}
+
+}  // extern "C"
