@@ -136,3 +136,35 @@ def test_launcher_reexec_restores_device_env(tmp_path, rng):
 def _rc(s):
     comp = dict(zip("ACGT", "TGCA"))
     return "".join(comp[c] for c in reversed(s))
+
+
+@pytest.mark.parametrize("scale", [1, 7])
+@pytest.mark.parametrize("k", [11, 31, 33, 64])
+def test_host_vs_device_hashed(rng, k, scale):
+    from unikmer_tpu.models.count import CountConfig, count_packed
+
+    recs = _mk_records(rng, 4, k, 200)
+    packed = pack_records(recs, k, False)
+    got = count_host.count_host(packed, k, True, "distinct",
+                                hashed=True, scale=scale)
+    assert got is not None
+    want = count_packed(packed, CountConfig(k=k, canonical=True, hashed=True,
+                                            scale=scale, mode="distinct"))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_host_scaled_fixture_cli(tmp_path):
+    """MG1655 k=31 scaled s=15 = 586,734 (analysis/distance/README.md:5-10)
+    through the jax-free host path."""
+    from unikmer_tpu.cli.main import main
+    from unikmer_tpu.io.unik import UnikReader
+
+    out = tmp_path / "s15"
+    assert main([
+        "count", "-k", "31", "-K", "-H", "-D", "15", "-s",
+        "/root/reference/testdata/old/Ecoli-MG1655.fasta.gz",
+        "-o", str(out),
+    ]) == 0
+    with UnikReader(f"{out}.unik") as r:
+        assert r.header.number == 586_734
+        assert r.header.is_hashed and r.header.scale == 15

@@ -206,7 +206,8 @@ def run(args) -> int:
                 if host_ok:
                     from ...models.count_host import linear_host
 
-                    codes = linear_host(packed, k, canonical)
+                    codes = linear_host(packed, k, canonical, hashed,
+                                        args.scale)
                 if codes is None:
                     _ensure_device_env()
                     from ...models.count import count_linear
@@ -235,7 +236,8 @@ def run(args) -> int:
     if host_ok:
         from ...models.count_host import count_host
 
-        codes = count_host(pack_all(), k, canonical, mode)
+        codes = count_host(pack_all(), k, canonical, mode, hashed,
+                           args.scale)
         if codes is not None:
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(

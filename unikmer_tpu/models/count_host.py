@@ -25,30 +25,35 @@ from .. import native
 
 def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
               syncmer_s: int) -> bool:
-    """Host engine scope: 2-bit encode only (no ntHash / scale /
-    sketches) at k <= 32."""
-    return (
-        not hashed
-        and 1 <= k <= 32
-        and scale <= 1
-        and minimizer_w == 0
-        and syncmer_s == 0
-        and native.get_lib() is not None
-    )
+    """Host engine scope: 2-bit encode (k <= 32) or ntHash (k <= 64,
+    incl. scaled MinHash); sketches (minimizer/syncmer) stay on the
+    device pipeline."""
+    if minimizer_w > 0 or syncmer_s > 0 or native.get_lib() is None:
+        return False
+    if hashed:
+        return 1 <= k <= 64
+    return 1 <= k <= 32 and scale <= 1
 
 
-def linear_host(packed, k: int, canonical: bool) -> np.ndarray | None:
-    """count -l: all valid window codes in genome order, duplicates
-    kept.  None when the native library is unavailable."""
+def _windows(packed, k, canonical, hashed, scale):
+    if hashed:
+        return native.nthash_windows(packed.bases, k, canonical, scale)
     return native.encode_windows(packed.bases, k, canonical)
 
 
-def count_host(packed, k: int, canonical: bool,
-               mode: str = "distinct") -> np.ndarray | None:
+def linear_host(packed, k: int, canonical: bool, hashed: bool = False,
+                scale: int = 1) -> np.ndarray | None:
+    """count -l: all valid window codes/hashes in genome order,
+    duplicates kept.  None when the native library is unavailable."""
+    return _windows(packed, k, canonical, hashed, scale)
+
+
+def count_host(packed, k: int, canonical: bool, mode: str = "distinct",
+               hashed: bool = False, scale: int = 1) -> np.ndarray | None:
     """count: sorted distinct/unique/repeated canonical codes (the
     device pipeline also emits sorted order — docs/DIVERGENCES.md §3).
     None when the native library is unavailable."""
-    codes = native.encode_windows(packed.bases, k, canonical)
+    codes = _windows(packed, k, canonical, hashed, scale)
     if codes is None:
         return None
     if len(codes) == 0:

@@ -129,6 +129,11 @@ def get_lib():
     lib.encode_windows_u64.argtypes = [
         u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p, ctypes.c_int32,
     ]
+    lib.nthash_windows_u64.restype = i64
+    lib.nthash_windows_u64.argtypes = [
+        u8p, i64, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, u64p,
+        ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
@@ -215,6 +220,26 @@ def encode_windows(bases: np.ndarray, k: int,
     out = np.empty(n, np.uint64)
     m = lib.encode_windows_u64(
         _u8p(bases), n, k, 1 if canonical else 0, _u64p(out), _threads()
+    )
+    return out[:m]
+
+
+def nthash_windows(bases: np.ndarray, k: int, canonical: bool,
+                   scale: int = 1) -> np.ndarray | None:
+    """ntHash v1 of all valid windows (genome order, invalid bases reset
+    the window); scale>1 keeps hashes <= 2^64/scale (FracMinHash).
+    None -> no native lib."""
+    lib = get_lib()
+    if lib is None or not (1 <= k <= 64):
+        return None
+    bases = np.ascontiguousarray(bases, np.uint8)
+    n = len(bases)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    out = np.empty(n, np.uint64)
+    m = lib.nthash_windows_u64(
+        _u8p(bases), n, k, 1 if canonical else 0,
+        scale if scale > 1 else 1, _u64p(out), _threads()
     )
     return out[:m]
 

@@ -1463,3 +1463,121 @@ int64_t encode_windows_u64(const uint8_t* bases, int64_t n, int32_t k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// ntHash v1 window hashes (reference: will-rowe/nthash v0.4.0 via
+// unikmer/cmd call sites; same contract as ops/nthash.py):
+//   NTF64 = XOR_j rol64(seedF[s_j], k-1-j)
+//   NTR64 = XOR_j rol64(seedR[s_j], j)       (seedR = complement seeds)
+//   canonical = min(NTF, NTR); k <= 64.
+// Window validity semantics identical to encode_windows_u64 (invalid
+// base resets the run; only all-valid windows emit) — the behavior the
+// scaled-MinHash fixture pins for hashed counts.
+// ---------------------------------------------------------------------
+
+namespace {
+
+static const uint64_t kSeedF[5] = {
+    0x3C8BFBB395C60474ULL, 0x3193C18562A02B4CULL, 0x20323ED082572324ULL,
+    0x295549F54BE24456ULL, 0ULL};
+static const uint64_t kSeedR[5] = {  // complement: A<->T, C<->G
+    0x295549F54BE24456ULL, 0x20323ED082572324ULL, 0x3193C18562A02B4CULL,
+    0x3C8BFBB395C60474ULL, 0ULL};
+
+static inline uint64_t rol64(uint64_t x, int s) {
+    s &= 63;
+    return s ? (x << s) | (x >> (64 - s)) : x;
+}
+
+// Emit (i, ntf, ntr) for each all-valid window ending at i in [lo, hi).
+template <typename F>
+static inline void walk_nthash(const uint8_t* bases, int64_t lo, int64_t hi,
+                               int k, F&& emit) {
+    int64_t start = lo - (k - 1);
+    if (start < 0) start = 0;
+    uint64_t f = 0, r = 0;
+    int run = 0;
+    for (int64_t i = start; i < hi; i++) {
+        uint8_t b = bases[i];
+        if (b > 3) {
+            run = 0;
+            continue;
+        }
+        if (run >= k) {
+            // rolling update: drop bases[i-k], admit b
+            uint8_t out = bases[i - k];
+            f = rol64(f, 1) ^ rol64(kSeedF[out], k) ^ kSeedF[b];
+            r = (rol64(r ^ kSeedR[out], 63)) ^ rol64(kSeedR[b], k - 1);
+        } else if (++run == k) {
+            // first complete window after a reset: from scratch
+            f = r = 0;
+            for (int j = 0; j < k; j++) {
+                uint8_t c = bases[i - k + 1 + j];
+                f ^= rol64(kSeedF[c], k - 1 - j);
+                r ^= rol64(kSeedR[c], j);
+            }
+        }
+        if (run >= k && i >= lo) emit(i, f, r);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// out must hold up to n uint64; returns the emit count.  scale>1 keeps
+// only hashes <= UINT64_MAX/scale (FracMinHash threshold,
+// count.go:89-98).  k in [1, 64].
+int64_t nthash_windows_u64(const uint8_t* bases, int64_t n, int32_t k,
+                           int32_t canonical, uint32_t scale, uint64_t* out,
+                           int32_t threads) {
+    if (k < 1 || k > 64 || n <= 0) return 0;
+    const uint64_t max_hash =
+        scale > 1 ? (~0ULL) / (uint64_t)scale : ~0ULL;
+    int t = threads > 0 ? threads
+                        : (int)std::thread::hardware_concurrency();
+    if (t < 1) t = 1;
+    if ((int64_t)t > n / (1 << 16) + 1) t = (int)(n / (1 << 16) + 1);
+    std::vector<int64_t> lo(t + 1);
+    for (int i = 0; i <= t; i++) lo[i] = n * i / t;
+    std::vector<int64_t> counts(t, 0);
+    std::vector<std::vector<uint64_t>> parts(t);
+
+    auto run_pool = [&](auto&& fn) {
+        if (t == 1) {
+            fn(0);
+            return;
+        }
+        std::vector<std::thread> pool;
+        pool.reserve(t);
+        for (int i = 0; i < t; i++) pool.emplace_back(fn, i);
+        for (auto& th : pool) th.join();
+    };
+    // hashes are filtered by value (scaled), so per-chunk counts are
+    // value-dependent: emit into per-thread buffers, then concatenate
+    auto emit_chunk = [&](int ci) {
+        auto& buf = parts[ci];
+        buf.reserve((lo[ci + 1] - lo[ci]) / (scale > 1 ? scale : 1) + 16);
+        if (canonical) {
+            walk_nthash(bases, lo[ci], lo[ci + 1], k,
+                        [&](int64_t, uint64_t f, uint64_t r) {
+                            uint64_t h = f < r ? f : r;
+                            if (h <= max_hash) buf.push_back(h);
+                        });
+        } else {
+            walk_nthash(bases, lo[ci], lo[ci + 1], k,
+                        [&](int64_t, uint64_t f, uint64_t) {
+                            if (f <= max_hash) buf.push_back(f);
+                        });
+        }
+    };
+    run_pool(emit_chunk);
+    uint64_t* p = out;
+    for (int i = 0; i < t; i++) {
+        std::memcpy(p, parts[i].data(), parts[i].size() * sizeof(uint64_t));
+        p += parts[i].size();
+    }
+    return p - out;
+}
+
+}  // extern "C"
