@@ -56,11 +56,6 @@ def register(subparsers):
 
 
 def run(args) -> int:
-    from ...models.count import (  # deferred: pulls jax (~2.3 s)
-        CountConfig,
-        linear_codes_all,
-    )
-
     opt, files = unik_inputs(args)
     if not args.genome:
         die("flag -g/--genome needed")
@@ -89,7 +84,6 @@ def run(args) -> int:
     if opt.verbose:
         log.info(f"{len(query)} k-mers loaded")
 
-    cfg = CountConfig(k=k, canonical=True, hashed=hashed)
 
     # pre-scan genomes for multiply-mapped query k-mers per genome unit
     # (map.go:172-284); a unit is one sequence, or one file with -W
@@ -103,7 +97,7 @@ def run(args) -> int:
                     continue
                 if len(rec.seq) < k:
                     continue
-                codes = _seq_codes(rec.seq, cfg, args.circular)
+                codes = _seq_codes(rec.seq, k, hashed, args.circular)
                 if args.seqs_in_a_file_as_one_genome:
                     unit_codes.append(codes)
                 else:
@@ -128,7 +122,7 @@ def run(args) -> int:
                 else:
                     ui = file_unit if args.seqs_in_a_file_as_one_genome else unit
                     m2 = multi_per_unit[ui] if ui < len(multi_per_unit) else None
-                _map_one(rec, cfg, query, m2, args, out)
+                _map_one(rec, k, hashed, query, m2, args, out)
                 if not args.seqs_in_a_file_as_one_genome:
                     unit += 1
             if args.seqs_in_a_file_as_one_genome:
@@ -140,13 +134,22 @@ def run(args) -> int:
     return 0
 
 
-def _seq_codes(seq: bytes, cfg, circular: bool) -> np.ndarray:
-    from ...models.count import linear_codes_all
+def _seq_codes(seq: bytes, k: int, hashed: bool,
+               circular: bool) -> np.ndarray:
+    from ...models.count_host import linear_windows_host
+
     if circular:
         seq = seq + seq  # doubled (map.go:338-340)
     bases = codec.BASE_LUT[np.frombuffer(seq, dtype=np.uint8)]
-    codes, pos = linear_codes_all(bases, cfg)
-    n = len(seq) - cfg.k + 1
+    res = linear_windows_host(bases, k, True, hashed)
+    if res is not None:
+        codes, pos = res
+    else:  # no native toolchain: device pipeline
+        from ...models.count import CountConfig, linear_codes_all
+
+        codes, pos = linear_codes_all(
+            bases, CountConfig(k=k, canonical=True, hashed=hashed))
+    n = len(seq) - k + 1
     out = np.full(n, np.uint64(codec.CODE_SENTINEL), np.uint64)
     keep = pos < n
     out[pos[keep]] = codes[keep]
@@ -169,10 +172,9 @@ def _member(sorted_ref: np.ndarray, vals: np.ndarray) -> np.ndarray:
     return sorted_ref[idx] == vals
 
 
-def _map_one(rec, cfg, query, m2, args, out):
-    k = cfg.k
+def _map_one(rec, k, hashed, query, m2, args, out):
     length0 = len(rec.seq)
-    codes = _seq_codes(rec.seq, cfg, args.circular)
+    codes = _seq_codes(rec.seq, k, hashed, args.circular)
     match = _member(query, codes)
     term = (
         _member(m2, codes) & match if m2 is not None and len(m2) else

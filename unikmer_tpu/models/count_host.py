@@ -70,3 +70,32 @@ def count_host(packed, k: int, canonical: bool, mode: str = "distinct",
     if mode == "repeated":
         return codes[starts[counts >= 2]]
     raise ValueError(f"unknown mode: {mode}")
+
+
+def _valid_window_positions(bases: np.ndarray, k: int) -> np.ndarray:
+    """Start positions of all-valid windows — the positions the native
+    window kernels emit for, in the same order."""
+    n = len(bases)
+    if n < k:
+        return np.zeros(0, np.int64)
+    bad = (np.asarray(bases) >= 4).astype(np.int64)
+    c = np.concatenate([np.zeros(1, np.int64), np.cumsum(bad)])
+    return np.flatnonzero(c[k:] - c[:-k] == 0)
+
+
+def linear_windows_host(bases: np.ndarray, k: int, canonical: bool,
+                        hashed: bool = False):
+    """(codes, start_positions) of every valid window, genome order —
+    the jax-free twin of models.count.linear_codes_all.  None when the
+    native library is unavailable."""
+    if hashed:
+        codes = native.nthash_windows(bases, k, canonical)
+    else:
+        if not 1 <= k <= 32:
+            return None
+        codes = native.encode_windows(bases, k, canonical)
+    if codes is None:
+        return None
+    pos = _valid_window_positions(bases, k)
+    assert len(pos) == len(codes), (len(pos), len(codes))
+    return codes, pos

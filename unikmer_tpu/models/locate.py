@@ -19,7 +19,11 @@ import numpy as np
 from .. import native
 from ..io.fastx import read_fastx
 from ..ops import codec
-from .count import CountConfig, linear_codes_all
+from .count_host import linear_windows_host
+
+# NOTE: models.count (device pipeline) is imported lazily — with the
+# native library present the genome index builds jax-free, so locate /
+# map / view -g keep the 0.4 s host CLI startup.
 
 
 @dataclass
@@ -63,7 +67,6 @@ def build_genome_index(
     name_filters=None,
 ) -> GenomeIndex:
     """Index every (canonical) window of the genomes."""
-    cfg = CountConfig(k=k, canonical=True, hashed=hashed, circular=False)
     sequences: list[bytes] = []
     ids: list[bytes] = []
     seq_file: list[int] = []
@@ -90,7 +93,15 @@ def build_genome_index(
         lens = np.fromiter((len(s) for s in sequences), np.int64,
                            len(sequences))
         np.cumsum(lens[:-1] + 1, out=starts[1:])
-        codes, flat = linear_codes_all(bases, cfg)
+        res = linear_windows_host(bases, k, True, hashed)
+        if res is not None:
+            codes, flat = res
+        else:  # no native toolchain: device pipeline
+            from .count import CountConfig, linear_codes_all
+
+            cfg = CountConfig(k=k, canonical=True, hashed=hashed,
+                              circular=False)
+            codes, flat = linear_codes_all(bases, cfg)
         seq_idx = (
             np.searchsorted(starts, flat, side="right") - 1
         ).astype(np.int32)
