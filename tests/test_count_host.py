@@ -107,30 +107,58 @@ def test_count_cli_is_jax_free_on_host_path(tmp_path, rng):
     assert probe.returncode == 0, probe.stderr.decode()[-800:]
 
 
-def test_launcher_reexec_restores_device_env(tmp_path, rng):
-    """Device-forcing flags under the launcher re-exec with the saved
-    pool; on this CPU-only box the re-exec'd process falls back to the
-    XLA CPU pipeline and must still be correct."""
+def test_ensure_device_env_reexec(monkeypatch, tmp_path):
+    """_ensure_device_env: re-execs with the pool restored ONLY when the
+    launcher pinned AND a pool existed; marker removed, HOST_COUNT=0."""
+    from unikmer_tpu.cli.commands.count import _ensure_device_env
+
+    calls = []
+    monkeypatch.setattr(os, "execvpe",
+                        lambda exe, argv, env: calls.append((argv, env)))
+    # no marker -> no-op
+    monkeypatch.delenv("UNIKMER_TPU_LAUNCHER_PINNED", raising=False)
+    _ensure_device_env()
+    assert not calls
+    # marker but empty saved pool -> no device existed -> stay in-process
+    monkeypatch.setenv("UNIKMER_TPU_LAUNCHER_PINNED", "1")
+    monkeypatch.setenv("UNIKMER_TPU_SAVED_POOL", "")
+    _ensure_device_env()
+    assert not calls
+    # marker + pool -> exec with pool restored and the pin dropped
+    monkeypatch.setenv("UNIKMER_TPU_SAVED_POOL", "10.0.0.1")
+    monkeypatch.setenv("UNIKMER_TPU_PLATFORM", "cpu")
+    _ensure_device_env()
+    assert len(calls) == 1
+    argv, env = calls[0]
+    assert argv[1:3] == ["-m", "unikmer_tpu.cli.main"]
+    assert env["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+    assert env["UNIKMER_TPU_HOST_COUNT"] == "0"
+    assert "UNIKMER_TPU_LAUNCHER_PINNED" not in env
+    assert "UNIKMER_TPU_PLATFORM" not in env
+
+
+def test_launcher_device_config_falls_back_correctly(tmp_path, rng):
+    """A sketch config (host-unsupported) under the launcher on this
+    CPU-only box must fall back to the XLA CPU pipeline and stay
+    correct (the saved pool is empty, so no re-exec happens)."""
     fa = tmp_path / "g.fa"
     seq = random_dna(rng, 300).decode()
     fa.write_text(f">s\n{seq}\n")
     out = tmp_path / "h"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    env.pop("UNIKMER_TPU_PLATFORM", None)  # let the launcher pin
     p = subprocess.run(
-        [os.path.join(ROOT, "bin", "unikmer-tpu"), "count", "-k", "31",
-         "-K", "-H", str(fa), "-o", str(out)],
-        env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
-                 UNIKMER_TPU_PLATFORM="cpu"),
-        capture_output=True, timeout=300, text=True,
+        [os.path.join(ROOT, "bin", "unikmer-tpu"), "count", "-k", "15",
+         "-W", "9", str(fa), "-o", str(out)],
+        env=env, capture_output=True, timeout=300, text=True,
     )
     assert p.returncode == 0, p.stderr[-800:]
     from unikmer_tpu.io.unik import UnikReader
 
     with UnikReader(f"{out}.unik") as r:
-        assert r.header.is_hashed
+        assert r.header.is_hashed  # sketches force -H
         codes, _ = r.read_all()
-    assert len(codes) == len({
-        min(s, _rc(s)) for s in brute_kmers([seq], 31)
-    })
+    assert 0 < len(codes) < len(seq)  # minimizer downsamples
 
 
 def _rc(s):
@@ -168,3 +196,28 @@ def test_host_scaled_fixture_cli(tmp_path):
     with UnikReader(f"{out}.unik") as r:
         assert r.header.number == 586_734
         assert r.header.is_hashed and r.header.scale == 15
+
+
+def test_count_linear_stdin_device_fallback(tmp_path, rng):
+    """Stdin never routes to the host engine (size unknown) and must
+    not be consumed before any re-exec decision: piped linear count
+    stays in-process and emits every window (the review-found stdin
+    data-loss scenario)."""
+    seq = random_dna(rng, 80).decode()
+    out = tmp_path / "o"
+    p = subprocess.run(
+        [sys.executable, "-m", "unikmer_tpu.cli.main", "count", "-l",
+         "-k", "11", "-K", "-", "-o", str(out)],
+        input=f">s\n{seq}\n".encode(),
+        env=dict(os.environ, PYTHONPATH=ROOT, PALLAS_AXON_POOL_IPS="",
+                 UNIKMER_TPU_PLATFORM="cpu",
+                 UNIKMER_TPU_LAUNCHER_PINNED="1",
+                 UNIKMER_TPU_SAVED_POOL=""),
+        capture_output=True, timeout=300,
+    )
+    assert p.returncode == 0, p.stderr.decode()[-800:]
+    from unikmer_tpu.io.unik import UnikReader
+
+    with UnikReader(f"{out}.unik") as r:
+        codes, _ = r.read_all()
+    assert len(codes) == len(seq) - 11 + 1

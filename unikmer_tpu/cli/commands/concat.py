@@ -13,13 +13,14 @@ from ...utils.log import check_error, log
 from ..opts import ensure_unik_suffix, out_binary_stream
 from ._common import (
     add_files_arg,
+    check_taxid_info_match,
     effective_taxids,
     log_saved,
     new_command,
     open_reader,
     unik_inputs,
 )
-from .head import _check_taxid_match
+
 
 
 def register(subparsers):
@@ -83,7 +84,7 @@ def run(args) -> int:
                     except ValueError as e:
                         check_error(e)
                 if global_taxid == 0:
-                    _check_taxid_match(h0, h, file, opt)
+                    check_taxid_info_match(h0, h, file, opt)
             for codes, taxids in r.iter_blocks():
                 if global_taxid > 0 or not has_taxid:
                     writer.write_codes(codes)

@@ -61,6 +61,8 @@ def run(args) -> int:
         log.warning("flag -H/--hash is switched on for k > 32")
     if hashed and k > MAX_K_HASHED:
         die(f"k-mer size ({k}) should be <=64")
+    if args.scale > 0xFFFFFFFF:
+        die("scale must fit in 32 bits (the .unik header stores uint32)")
     if args.scale > 1 and not hashed:
         hashed = True
         log.warning("flag -H/--hash is switched on for scale > 1")
@@ -165,6 +167,12 @@ def run(args) -> int:
         return pack_records(records(), k, args.circular)
 
     if args.linear:
+        # re-exec (if the device env must be restored) BEFORE touching
+        # the output stream or stdin: UnikWriter's gzip wrapper writes
+        # its header at construction, and pack_all() would consume a
+        # stdin input the re-exec'd process can never re-read
+        if args.parse_taxid or not host_ok:
+            _ensure_device_env()
         out, _ = out_binary_stream(out_file)
         with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
             n = 0
@@ -173,7 +181,6 @@ def run(args) -> int:
                 # program instead of one padded dispatch per record),
                 # then map emitted window positions back to records for
                 # the per-record taxid column
-                _ensure_device_env()
                 from ...models.count import linear_codes_all
 
                 kept, taxid_of = [], []
@@ -203,13 +210,12 @@ def run(args) -> int:
             else:
                 packed = pack_all()
                 codes = None
-                if host_ok:
+                if host_ok and len(packed.bases) <= _host_max_bases():
                     from ...models.count_host import linear_host
 
                     codes = linear_host(packed, k, canonical, hashed,
                                         args.scale)
                 if codes is None:
-                    _ensure_device_env()
                     from ...models.count import count_linear
 
                     codes = count_linear(packed, make_cfg())
@@ -234,11 +240,12 @@ def run(args) -> int:
         return 0
 
     if host_ok:
-        from ...models.count_host import count_host
+        packed = pack_all()
+        if len(packed.bases) <= _host_max_bases():
+            from ...models.count_host import count_host
 
-        codes = count_host(pack_all(), k, canonical, mode, hashed,
-                           args.scale)
-        if codes is not None:
+            codes = count_host(packed, k, canonical, mode, hashed,
+                               args.scale)
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(
                 out, flag=flag, number=len(codes), **writer_kw
@@ -246,6 +253,10 @@ def run(args) -> int:
                 w.write_codes(codes)
             log_saved(opt, len(codes), out_file)
             return 0
+        # gz-size pre-filter underestimated: fall through to the
+        # bounded-memory device streaming path (files are re-readable;
+        # stdin never routes here)
+        del packed
 
     _ensure_device_env()
     from ...models.count import (
@@ -299,6 +310,10 @@ def _ensure_device_env() -> None:
     if os.environ.get("UNIKMER_TPU_LAUNCHER_PINNED") != "1":
         return
     saved = os.environ.get("UNIKMER_TPU_SAVED_POOL", "")
+    if not saved:
+        # no relay pool existed before the launcher pinned: there is no
+        # device to restore — stay in-process on the XLA CPU fallback
+        return
     env = dict(os.environ)
     env.pop("UNIKMER_TPU_LAUNCHER_PINNED", None)
     env.pop("UNIKMER_TPU_SAVED_POOL", None)
@@ -311,18 +326,26 @@ def _ensure_device_env() -> None:
                                 *sys.argv[1:]], env)
 
 
+def _host_max_bases() -> int:
+    """Hard post-pack cap for the host engine: its window buffer costs
+    8 bytes/base, so bound it independently of the compressed-size
+    pre-filter (the device streaming path is memory-bounded instead)."""
+    return int(os.environ.get("UNIKMER_TPU_HOST_COUNT_MAX_BASES",
+                              str(1 << 28)))  # 268 Mbp -> ~2.1 GB codes
+
+
 def _host_count_wanted(files, k: int, hashed: bool, args) -> bool:
     """Route to the jax-free host engine?  UNIKMER_TPU_HOST_COUNT:
     0 = never, 1 = whenever the config is supported, auto (default) =
     supported AND total input size below UNIKMER_TPU_HOST_COUNT_MAX_MB
     (default 256 MB — at that scale startup + dispatch dominate the
     device path; above it the TPU pipeline's throughput wins)."""
+    knob = os.environ.get("UNIKMER_TPU_HOST_COUNT", "auto")
+    if knob == "0":
+        return False  # checked before supported(): get_lib() may compile
     from ...models.count_host import supported
 
     if not supported(k, hashed, args.scale, args.minimizer_w, args.syncmer_s):
-        return False
-    knob = os.environ.get("UNIKMER_TPU_HOST_COUNT", "auto")
-    if knob == "0":
         return False
     if knob == "1":
         return True

@@ -53,7 +53,7 @@ def run(args) -> int:
                         check_compatibility(h0, r.header, file)
                     except ValueError as e:
                         check_error(e)
-                _check_taxid_match(h0, r.header, file, opt)
+                check_taxid_info_match(h0, r.header, file, opt)
             done = False
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
@@ -80,5 +80,4 @@ def run(args) -> int:
     return 0
 
 
-# back-compat alias; the shared check lives in _common
-_check_taxid_match = check_taxid_info_match
+

@@ -10,6 +10,7 @@ import numpy as np
 
 from ._common import (
     add_files_arg,
+    check_taxid_info_match,
     effective_taxids,
     log_saved,
     make_writer_like,
@@ -17,7 +18,7 @@ from ._common import (
     open_reader,
     unik_inputs,
 )
-from .head import _check_taxid_match
+
 from ..opts import ensure_unik_suffix
 from ...utils.log import check_error, die
 from ...io.unik import check_compatibility
@@ -57,7 +58,7 @@ def run(args) -> int:
                         check_compatibility(h0, r.header, file)
                     except ValueError as e:
                         check_error(e)
-                _check_taxid_match(h0, r.header, file, opt)
+                check_taxid_info_match(h0, r.header, file, opt)
             j = 0
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)

@@ -241,6 +241,8 @@ def nthash_windows(bases: np.ndarray, k: int, canonical: bool,
         _u8p(bases), n, k, 1 if canonical else 0,
         scale if scale > 1 else 1, _u64p(out), _threads()
     )
+    if m * 2 < n:
+        return out[:m].copy()  # scaled filter kept few: release the 8n buffer
     return out[:m]
 
 
