@@ -221,3 +221,22 @@ def test_count_linear_stdin_device_fallback(tmp_path, rng):
     with UnikReader(f"{out}.unik") as r:
         codes, _ = r.read_all()
     assert len(codes) == len(seq) - 11 + 1
+
+
+def test_post_pack_cap_falls_back_to_device(tmp_path, rng, monkeypatch):
+    """When the packed buffer exceeds UNIKMER_TPU_HOST_COUNT_MAX_BASES
+    the main path falls back to the bounded-memory device streaming and
+    the output is identical."""
+    from unikmer_tpu.cli.main import main
+    from unikmer_tpu.io.unik import UnikReader
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">s\n{random_dna(rng, 5000).decode()}\n")
+    outs = []
+    for cap in ("1000", str(1 << 28)):  # force fallback, then host
+        monkeypatch.setenv("UNIKMER_TPU_HOST_COUNT_MAX_BASES", cap)
+        out = tmp_path / f"c{cap}"
+        assert main(["count", "-k", "21", "-K", "-s", str(fa),
+                     "-o", str(out)]) == 0
+        outs.append((out.parent / (out.name + ".unik")).read_bytes())
+    assert outs[0] == outs[1]
