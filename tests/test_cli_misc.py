@@ -200,3 +200,23 @@ def test_embedded_main_survives_command_exits(tmp_path):
     assert cli(
         ["grep", "-f", qf, f"{src}.unik", "-o", out]
     ) == 0  # reference exits 0 here; embedded call must return, not raise
+
+
+def test_parse_byte_size_reference_semantics():
+    """Exact ParseByteSize parity (util.go:291-336): last-char-only
+    unit, empty/bare-unit -> 0, negatives clamp, '1Kb' is an error."""
+    import pytest as _pytest
+
+    from unikmer_tpu.utils.sizes import parse_byte_size as p
+
+    assert p("") == 0 and p("  \t") == 0
+    assert p("K") == 0 and p("g") == 0
+    assert p("123") == 123
+    assert p("1.5") == 1
+    assert p("-3") == 0 and p("-1K") == 0
+    assert p("1k") == 1024 and p("1K") == 1024
+    assert p("2M") == 2 << 20 and p("0.5G") == 1 << 29
+    assert p("100b") == 100 and p("100B") == 100
+    for bad in ("1Kb", "1T", "x", "1..2M"):
+        with _pytest.raises(ValueError):
+            p(bad)

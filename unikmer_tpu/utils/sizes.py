@@ -1,26 +1,33 @@
-"""Byte/element size parsing (reference unikmer/cmd/util.go:291-336
-ParseByteSize: suffixes B/K/M/G with optional trailing 'b', case
-insensitive, bare numbers allowed)."""
+"""Byte/element size parsing — exact ParseByteSize semantics
+(reference unikmer/cmd/util.go:291-336): suffixes B/K/M/G (case
+insensitive, last character only — "1Kb" is an ERROR there too), bare
+numbers allowed, empty or bare-unit strings mean 0, negatives clamp
+to 0."""
 
 from __future__ import annotations
 
-_UNITS = {"": 1, "B": 1, "K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+_UNITS = {"B": 1, "K": 1 << 10, "M": 1 << 20, "G": 1 << 30}
 
 
 def parse_byte_size(s: str) -> int:
-    t = s.strip().upper()
-    if t.endswith("B") and len(t) > 1 and t[-2] in "KMGT":
-        t = t[:-1]
-    unit = 1
-    if t and t[-1] in _UNITS and not t[-1].isdigit():
-        unit = _UNITS[t[-1]]
-        t = t[:-1]
+    t = s.strip(" \t\r\n")
     if not t:
-        raise ValueError(f"invalid size: {s!r}")
+        return 0
+    unit = _UNITS.get(t[-1].upper())
+    if unit is None:  # no unit suffix: plain float
+        try:
+            val = float(t)
+        except ValueError as e:
+            raise ValueError(f"invalid byte size: {s}") from e
+        return int(val) if val > 0 else 0
+    if len(t) == 1:  # bare unit, no value
+        return 0
     try:
-        val = float(t)
+        val = float(t[:-1].strip(" \t\r\n"))
     except ValueError as e:
-        raise ValueError(f"invalid size: {s!r}") from e
+        raise ValueError(f"invalid byte size: {s}") from e
+    if val < 0:
+        val = 0.0
     return int(val * unit)
 
 
