@@ -240,3 +240,58 @@ def test_post_pack_cap_falls_back_to_device(tmp_path, rng, monkeypatch):
                      "-o", str(out)]) == 0
         outs.append((out.parent / (out.name + ".unik")).read_bytes())
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_host_device_byte_parity_fuzz(tmp_path, rng, trial):
+    """Randomized flag combos (k up to 64, hashed, scaled, modes, sort,
+    compact, circular, fastq, multi-file): HOST_COUNT=1 and =0 must
+    write identical bytes."""
+    from unikmer_tpu.cli.main import main
+
+    k = int(rng.choice([5, 17, 31, 32, 33, 47, 64]))
+    hashed = bool(k > 32 or rng.random() < 0.5)
+    scale = int(rng.choice([1, 1, 5, 100])) if hashed else 1
+    mode_flag = rng.choice(["", "-u", "-d"])
+    layout = rng.choice(["", "-s", "-c"])
+    circular = rng.random() < 0.3
+    fastq = rng.random() < 0.3
+    n_files = int(rng.integers(1, 3))
+
+    files = []
+    for fi in range(n_files):
+        p = tmp_path / (f"g{fi}.fq" if fastq else f"g{fi}.fa")
+        recs = []
+        for ri in range(int(rng.integers(1, 4))):
+            L = int(rng.integers(max(k, 2), 400))
+            s = bytearray(random_dna(rng, L))
+            for _ in range(int(rng.integers(0, 3))):
+                s[int(rng.integers(0, L))] = ord("N")
+            if fastq:
+                recs.append(f"@r{ri}\n{s.decode()}\n+\n{'I' * L}\n")
+            else:
+                recs.append(f">r{ri}\n{s.decode()}\n")
+        p.write_text("".join(recs))
+        files.append(str(p))
+
+    argv = ["count", "-k", str(k), "-K"]
+    if hashed:
+        argv.append("-H")
+    if scale > 1:
+        argv += ["-D", str(scale)]
+    if mode_flag:
+        argv.append(mode_flag)
+    if layout:
+        argv.append(layout)
+    if circular:
+        argv.append("--circular")
+    outs = []
+    for knob in ("1", "0"):
+        os.environ["UNIKMER_TPU_HOST_COUNT"] = knob
+        try:
+            out = tmp_path / f"t{knob}"
+            assert main(argv + files + ["-o", str(out)]) == 0
+            outs.append((tmp_path / f"t{knob}.unik").read_bytes())
+        finally:
+            os.environ.pop("UNIKMER_TPU_HOST_COUNT", None)
+    assert outs[0] == outs[1], argv
