@@ -20,8 +20,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests")
 
 import numpy as np  # noqa: E402
 
+import test_count_host as count_host_parity  # noqa: E402
 import test_fuzz_cli_oracle as cli_oracle  # noqa: E402
 import test_fuzz_taxid_oracle as taxid_oracle  # noqa: E402
+
+
+class _ParityMod:
+    @staticmethod
+    def run_trial(tmp, seed, k):  # k unused: the trial randomizes it
+        count_host_parity.run_parity_trial(
+            tmp, np.random.default_rng(seed))
+
+
+_ParityMod.__name__ = "count_host_parity"
 
 KS = [3, 5, 7, 11, 13, 17, 21, 23, 27, 31]
 KS_TAXID = [5, 7, 11, 13, 17, 21, 23, 27, 31]  # taxid paths need k>=5
@@ -33,7 +44,8 @@ def main(argv):
     rng = np.random.default_rng(base)
     failures = []
     for i in range(n):
-        for mod, ks in ((cli_oracle, KS), (taxid_oracle, KS_TAXID)):
+        for mod, ks in ((cli_oracle, KS), (taxid_oracle, KS_TAXID),
+                        (_ParityMod, KS)):
             seed = base + 1000 + i
             k = int(rng.choice(ks))
             tag = f"{mod.__name__} seed={seed:#x} k={k}"

@@ -244,9 +244,14 @@ def test_post_pack_cap_falls_back_to_device(tmp_path, rng, monkeypatch):
 
 @pytest.mark.parametrize("trial", range(8))
 def test_host_device_byte_parity_fuzz(tmp_path, rng, trial):
+    run_parity_trial(tmp_path, rng)
+
+
+def run_parity_trial(tmp_path, rng):
     """Randomized flag combos (k up to 64, hashed, scaled, modes, sort,
     compact, circular, fastq, multi-file): HOST_COUNT=1 and =0 must
-    write identical bytes."""
+    write identical bytes.  (scripts/fuzz_campaign.py drives extra
+    seeds.)"""
     from unikmer_tpu.cli.main import main
 
     k = int(rng.choice([5, 17, 31, 32, 33, 47, 64]))
