@@ -497,3 +497,24 @@ def test_partitioned_host_sort(lib, rng):
         assert got is not a
     zeros = np.zeros((1 << 23), np.uint64)
     np.testing.assert_array_equal(native.host_sort(zeros), zeros)
+
+
+def test_set_threads_plumbs_j_flag(rng):
+    """-j caps native kernel threads (reference GOMAXPROCS analog,
+    root.go:93-98); results are thread-count invariant."""
+    import numpy as np
+
+    from unikmer_tpu import native
+
+    bases = rng.integers(0, 5, size=200_000).astype(np.uint8)
+    try:
+        native.set_threads(1)
+        one = native.encode_windows(bases, 21, True)
+        h1 = native.nthash_windows(bases, 21, True)
+        native.set_threads(7)
+        many = native.encode_windows(bases, 21, True)
+        h7 = native.nthash_windows(bases, 21, True)
+    finally:
+        native.set_threads(0)
+    assert one.tolist() == many.tolist()
+    assert h1.tolist() == h7.tolist()

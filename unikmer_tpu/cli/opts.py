@@ -65,6 +65,9 @@ def get_options(args: argparse.Namespace) -> Options:
         data_dir = os.environ.get("UNIKMER_DB") or DEFAULT_DATA_DIR
     if args.threads <= 0:
         die(f"invalid threads: {args.threads}")
+    from .. import native
+
+    native.set_threads(args.threads)  # -j caps native kernel threads too
     opt = Options(
         threads=args.threads,
         verbose=args.verbose,

@@ -313,7 +313,19 @@ def parse_code_lines(text: bytes, kmer_mode: bool, k: int, has_taxid: bool):
     return codes[:n].copy(), (taxids[:n].copy() if has_taxid else None)
 
 
+_THREADS_OVERRIDE = 0
+
+
+def set_threads(n: int) -> None:
+    """Cap native kernel threads (the CLI's -j flag — the reference's
+    GOMAXPROCS analog, root.go:93-98)."""
+    global _THREADS_OVERRIDE
+    _THREADS_OVERRIDE = max(int(n), 0)
+
+
 def _threads() -> int:
+    if _THREADS_OVERRIDE > 0:
+        return _THREADS_OVERRIDE
     return min(os.cpu_count() or 1, 8)
 
 
