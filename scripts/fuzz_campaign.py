@@ -43,12 +43,14 @@ def main(argv):
     base = int(argv[2], 0) if len(argv) > 2 else 0xF00D
     rng = np.random.default_rng(base)
     failures = []
+    total = 0
     for i in range(n):
         for mod, ks in ((cli_oracle, KS), (taxid_oracle, KS_TAXID),
                         (_ParityMod, KS)):
             seed = base + 1000 + i
             k = int(rng.choice(ks))
             tag = f"{mod.__name__} seed={seed:#x} k={k}"
+            total += 1
             try:
                 with tempfile.TemporaryDirectory() as td:
                     mod.run_trial(pathlib.Path(td), seed, k)
@@ -57,7 +59,7 @@ def main(argv):
                 failures.append(tag)
                 print(f"FAIL {tag}", flush=True)
                 traceback.print_exc()
-    print(f"\n{n * 2} trials, {len(failures)} failures")
+    print(f"\n{total} trials, {len(failures)} failures")
     for f in failures:
         print("  repro:", f)
     return 1 if failures else 0
