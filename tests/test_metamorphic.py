@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from unikmer_tpu.io import unik
+from tests.conftest import random_dna
 
 
 def cli(argv):
@@ -156,3 +157,37 @@ def test_taxid_union_lca_associativity(tmp_path, rng):
     taxcol = {ln.split("\t")[1] for ln in o1.read_text().splitlines()}
     assert taxcol <= {"1", "2", "3", "4", "5"}
     assert "1" in taxcol or "2" in taxcol  # some collision happened
+
+
+@pytest.mark.full
+def test_union_routes_identical_at_scale(tmp_path, rng):
+    """4 Mbp x 3 genomes: union -s == sort -u -m == split+merge -u,
+    md5-identical payloads (the README Quick Start identity at a scale
+    that exercises chunk spill, the host count engine, and the native
+    sorted-union tree together)."""
+    import hashlib
+
+    outs = []
+    for g in range(3):
+        seq = random_dna(rng, 4_000_000).decode()
+        p = tmp_path / f"g{g}.fa"
+        p.write_text(f">g{g}\n{seq}\n")
+        o = tmp_path / f"s{g}"
+        assert cli(["count", "-k", "23", "-K", "-s", p, "-o", o]) == 0
+        outs.append(f"{o}.unik")
+    assert cli(["union", "-s", *outs, "-o", tmp_path / "u1"]) == 0
+    assert cli(["sort", "-u", "-m", "3M", *outs, "-o", tmp_path / "u2",
+                "-t", tmp_path / "tmp", "--force"]) == 0
+    assert cli(["split", *outs, "-O", tmp_path / "chunks", "-m", "2M",
+                "-u"]) == 0
+    assert cli(["merge", "--is-dir", tmp_path / "chunks", "-u",
+                "-o", tmp_path / "u3"]) == 0
+
+    def digest(p):
+        with unik.UnikReader(str(p)) as r:
+            codes, _ = r.read_all()
+        return hashlib.md5(codes.tobytes()).hexdigest(), len(codes)
+
+    d1 = digest(tmp_path / "u1.unik")
+    assert d1 == digest(tmp_path / "u2.unik") == digest(tmp_path / "u3.unik")
+    assert d1[1] > 11_000_000  # ~12M distinct 23-mers expected
