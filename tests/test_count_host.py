@@ -300,3 +300,23 @@ def run_parity_trial(tmp_path, rng):
         finally:
             os.environ.pop("UNIKMER_TPU_HOST_COUNT", None)
     assert outs[0] == outs[1], argv
+
+
+@pytest.mark.parametrize("hashed", [False, True])
+def test_genome_index_host_vs_device(tmp_path, rng, monkeypatch, hashed):
+    """build_genome_index must produce an identical index through the
+    host window kernels and the device fallback."""
+    from unikmer_tpu.models import locate as locate_mod
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(
+        f">a\n{random_dna(rng, 400).decode()}\n"
+        f">b\n{random_dna(rng, 150).decode()}NNN{random_dna(rng, 80).decode()}\n"
+    )
+    host = locate_mod.build_genome_index([str(fa)], 21, hashed=hashed)
+    monkeypatch.setattr(locate_mod, "linear_windows_host",
+                        lambda *a, **k: None)
+    dev = locate_mod.build_genome_index([str(fa)], 21, hashed=hashed)
+    np.testing.assert_array_equal(host.codes, dev.codes)
+    np.testing.assert_array_equal(host.seq_idx, dev.seq_idx)
+    np.testing.assert_array_equal(host.pos, dev.pos)
