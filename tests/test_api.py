@@ -357,3 +357,53 @@ def test_from_unik_sorted_flag_with_duplicates(tmp_path, rng, taxdb):
     st = KmerSet.from_unik(pt, taxdb=taxdb)
     np.testing.assert_array_equal(st.to_numpy(), [5, 9])
     np.testing.assert_array_equal(st.taxids_to_numpy(), [562, 562])
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_kmerset_chains(rng, taxdb, trial):
+    """Randomized KmerSet algebra chains with mixed taxid presence vs a
+    python-dict oracle (LCA of two E. coli strains = 562; the 0 taxid
+    is the no-taxid identity)."""
+    LCA = {}
+    strains = [511145, 585057]
+    for a in strains + [562, 0]:
+        for b in strains + [562, 0]:
+            if a == 0:
+                LCA[(a, b)] = b
+            elif b == 0 or a == b:
+                LCA[(a, b)] = a
+            else:
+                LCA[(a, b)] = 562
+
+    def mk():
+        codes = np.unique(rng.integers(0, 200, size=rng.integers(1, 60),
+                                       dtype=np.uint64))
+        with_t = rng.random() < 0.6
+        t = int(rng.choice(strains)) if with_t else 0
+        s = KmerSet.from_codes(
+            codes, k=23, canonical=True,
+            taxids=np.full(len(codes), t, np.uint32) if with_t else None,
+            taxdb=taxdb)
+        return s, {int(c): t for c in codes}
+
+    s1, o1 = mk()
+    for _ in range(4):
+        s2, o2 = mk()
+        op = rng.choice(["|", "&", "-"])
+        if op == "|":
+            s1 = s1 | s2
+            o1 = {c: LCA[(o1.get(c, 0), o2.get(c, 0))]
+                  for c in set(o1) | set(o2)}
+        elif op == "&":
+            s1 = s1 & s2
+            o1 = {c: LCA[(o1[c], o2[c])] for c in set(o1) & set(o2)}
+        else:
+            s1 = s1 - s2
+            o1 = {c: o1[c] for c in set(o1) - set(o2)}
+        assert s1.to_numpy().tolist() == sorted(o1), op
+        got_t = s1.taxids_to_numpy()
+        want_t = [o1[c] for c in sorted(o1)]
+        if got_t is None:
+            assert not any(want_t), op
+        else:
+            assert got_t.tolist() == want_t, op
