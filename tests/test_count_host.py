@@ -320,3 +320,30 @@ def test_genome_index_host_vs_device(tmp_path, rng, monkeypatch, hashed):
     np.testing.assert_array_equal(host.codes, dev.codes)
     np.testing.assert_array_equal(host.seq_idx, dev.seq_idx)
     np.testing.assert_array_equal(host.pos, dev.pos)
+
+
+def test_count_taxids_host_vs_device(tmp_path, rng):
+    """count -T parity: host twin (count_taxids_host) vs the device
+    count_packed_taxids across modes, incl. LCA collisions."""
+    import re as _re
+
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+    from unikmer_tpu.models.count_host import count_taxids_host
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+
+    taxdb = load_taxonomy(os.path.join(ROOT, "tests", "data", "taxdump"))
+    shared = random_dna(rng, 120).decode()
+    recs = []
+    for i, t in enumerate([511145, 585057, 562]):
+        seq = shared + random_dna(rng, 60).decode()
+        recs.append(Record(b"r%d|taxid=%d" % (i, t), b"r", seq.encode()))
+    re_taxid = _re.compile(rb"taxid=(\d+)")
+    for mode in ("distinct", "unique", "repeated"):
+        got = count_taxids_host(list(recs), 11, True, False, 1, mode,
+                                False, re_taxid, taxdb)
+        assert got is not None
+        want = count_packed_taxids(
+            list(recs), CountConfig(k=11, canonical=True, mode=mode),
+            re_taxid, taxdb)
+        np.testing.assert_array_equal(got[0], want[0], err_msg=mode)
+        np.testing.assert_array_equal(got[1], want[1], err_msg=mode)

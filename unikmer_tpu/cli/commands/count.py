@@ -159,7 +159,7 @@ def run(args) -> int:
         and not name_res
         and all(_native_ingest_ok(f) for f in files)
     )
-    host_ok = not args.parse_taxid and _host_count_wanted(files, k, hashed, args)
+    host_ok = _host_count_wanted(files, k, hashed, args)
 
     def pack_all():
         if use_packed_ingest:
@@ -171,18 +171,16 @@ def run(args) -> int:
         # the output stream or stdin: UnikWriter's gzip wrapper writes
         # its header at construction, and pack_all() would consume a
         # stdin input the re-exec'd process can never re-read
-        if args.parse_taxid or not host_ok:
+        if not host_ok:
             _ensure_device_env()
         out, _ = out_binary_stream(out_file)
         with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
             n = 0
             if args.parse_taxid:
-                # batch ALL records into one packed buffer (one device
-                # program instead of one padded dispatch per record),
-                # then map emitted window positions back to records for
-                # the per-record taxid column
-                from ...models.count import linear_codes_all
-
+                # batch ALL records into one packed buffer (one
+                # engine invocation instead of one padded dispatch per
+                # record), then map emitted window positions back to
+                # records for the per-record taxid column
                 kept, taxid_of = [], []
                 for rec in records():
                     if len(rec.seq) < k:
@@ -196,7 +194,17 @@ def run(args) -> int:
                     kept.append(rec)
                     taxid_of.append(int(m.group(1)))
                 packed = pack_records(kept, k, args.circular)
-                codes, pos = linear_codes_all(packed.bases, make_cfg())
+                res = None
+                if host_ok:
+                    from ...models.count_host import linear_windows_host
+
+                    res = linear_windows_host(packed.bases, k, canonical,
+                                              hashed)
+                if res is None:
+                    from ...models.count import linear_codes_all
+
+                    res = linear_codes_all(packed.bases, make_cfg())
+                codes, pos = res
                 rec_idx = (
                     np.searchsorted(packed.starts, pos, side="right") - 1
                 )
@@ -225,12 +233,22 @@ def run(args) -> int:
         return 0
 
     if args.parse_taxid:
-        _ensure_device_env()
-        from ...models.count import count_packed_taxids
         from ...taxonomy.taxdump import load_taxonomy
 
         taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
-        codes, taxids = count_packed_taxids(records(), make_cfg(), re_taxid, taxdb)
+        res = None
+        if host_ok:
+            from ...models.count_host import count_taxids_host
+
+            res = count_taxids_host(records(), k, canonical, hashed,
+                                    args.scale, mode, args.circular,
+                                    re_taxid, taxdb)
+        if res is None:
+            _ensure_device_env()
+            from ...models.count import count_packed_taxids
+
+            res = count_packed_taxids(records(), make_cfg(), re_taxid, taxdb)
+        codes, taxids = res
         if not args.sort:
             pass  # already sorted; reference order is map order (unordered)
         out, _ = out_binary_stream(out_file)

@@ -99,3 +99,55 @@ def linear_windows_host(bases: np.ndarray, k: int, canonical: bool,
     pos = _valid_window_positions(bases, k)
     assert len(pos) == len(codes), (len(pos), len(codes))
     return codes, pos
+
+
+def count_taxids_host(records, k: int, canonical: bool, hashed: bool,
+                      scale: int, mode: str, circular: bool, re_taxid,
+                      taxdb):
+    """count -T: the jax-free twin of models.count.count_packed_taxids
+    (count.go:334-344,377-410) — per-record taxids parsed from headers,
+    windows via the native kernels, LCA-merge per code.  None when the
+    native library is unavailable."""
+    from ..io.fastx import pack_records
+    from ..utils.log import die
+
+    if native.get_lib() is None:
+        return None
+    records = list(records)
+    rec_taxids = np.empty(len(records), np.uint32)
+    for i, rec in enumerate(records):
+        m = re_taxid.search(rec.name)
+        if not m:
+            die(f"failed to parse taxid in header: {rec.name.decode()}")
+        try:
+            rec_taxids[i] = int(m.group(1))
+        except (ValueError, OverflowError):
+            die(
+                f"failed to parse taxid {m.group(1)!r} in header: "
+                f"{rec.name.decode()}"
+            )
+    packed = pack_records(records, k, circular)
+    if packed.bases.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    import os
+
+    if packed.bases.size > int(os.environ.get(
+            "UNIKMER_TPU_HOST_COUNT_MAX_BASES", str(1 << 28))):
+        return None  # window buffer would be 8 B/base: device streams
+    if packed.n_records != len(records):
+        kept = [i for i, rec in enumerate(records) if len(rec.seq) >= k]
+        rec_taxids = rec_taxids[kept]
+    res = linear_windows_host(packed.bases, k, canonical, hashed)
+    if res is None:
+        return None
+    codes, pos = res
+    taxids = rec_taxids[np.searchsorted(packed.starts, pos, side="right") - 1]
+    if scale > 1:  # FracMinHash threshold (count.go:89-98)
+        keep = codes <= np.uint64((1 << 64) - 1) // np.uint64(scale)
+        codes, taxids = codes[keep], taxids[keep]
+    uniq, merged = taxdb.lca_reduce(codes, taxids)
+    if mode in ("unique", "repeated"):
+        u, counts = np.unique(codes, return_counts=True)
+        keep = counts == 1 if mode == "unique" else counts > 1
+        return uniq[keep], merged[keep]
+    return uniq, merged
