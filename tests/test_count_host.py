@@ -347,3 +347,26 @@ def test_count_taxids_host_vs_device(tmp_path, rng):
             re_taxid, taxdb)
         np.testing.assert_array_equal(got[0], want[0], err_msg=mode)
         np.testing.assert_array_equal(got[1], want[1], err_msg=mode)
+
+
+@pytest.mark.parametrize("kind", ["minimizer", "syncmer"])
+def test_sketch_kernels_vs_device(rng, kind):
+    """Native sketch emission streams (monotonic deque) vs the device
+    doubling-argmin implementation, randomized with invalid bases."""
+    from unikmer_tpu import native
+    from unikmer_tpu.ops.sketch import minimizer_windows, syncmer_windows
+
+    for _ in range(6):
+        n = int(rng.integers(0, 2000))
+        k = int(rng.integers(1, 40))
+        bases = rng.integers(0, 4, size=n).astype(np.uint8)
+        bases[rng.random(n) < 0.03] = 4
+        if kind == "minimizer":
+            p = int(rng.integers(1, 20))
+            codes, emit = minimizer_windows(bases, k, p)
+        else:
+            p = int(rng.integers(1, k + 1))
+            codes, emit = syncmer_windows(bases, k, p)
+        got = native.sketch_emit(bases, k, p, kind)
+        want = np.asarray(codes)[np.asarray(emit)]
+        assert got is not None and got.tolist() == want.tolist(), (n, k, p)

@@ -222,7 +222,8 @@ def run(args) -> int:
                     from ...models.count_host import linear_host
 
                     codes = linear_host(packed, k, canonical, hashed,
-                                        args.scale)
+                                        args.scale, args.minimizer_w,
+                                        args.syncmer_s)
                 if codes is None:
                     from ...models.count import count_linear
 
@@ -263,7 +264,8 @@ def run(args) -> int:
             from ...models.count_host import count_host
 
             codes = count_host(packed, k, canonical, mode, hashed,
-                               args.scale)
+                               args.scale, args.minimizer_w,
+                               args.syncmer_s)
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(
                 out, flag=flag, number=len(codes), **writer_kw

@@ -25,35 +25,50 @@ from .. import native
 
 def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
               syncmer_s: int) -> bool:
-    """Host engine scope: 2-bit encode (k <= 32) or ntHash (k <= 64,
-    incl. scaled MinHash); sketches (minimizer/syncmer) stay on the
-    device pipeline."""
-    if minimizer_w > 0 or syncmer_s > 0 or native.get_lib() is None:
+    """Host engine scope: 2-bit encode (k <= 32), ntHash (k <= 64, incl.
+    scaled MinHash), and the minimizer/closed-syncmer sketches (which
+    force hashed+canonical)."""
+    if native.get_lib() is None:
         return False
-    if hashed:
+    if hashed or minimizer_w > 0 or syncmer_s > 0:
         return 1 <= k <= 64
     return 1 <= k <= 32 and scale <= 1
 
 
-def _windows(packed, k, canonical, hashed, scale):
+def _windows(packed, k, canonical, hashed, scale,
+             minimizer_w=0, syncmer_s=0):
+    if minimizer_w > 0 or syncmer_s > 0:
+        kind = "minimizer" if minimizer_w > 0 else "syncmer"
+        codes = native.sketch_emit(packed.bases, k,
+                                   minimizer_w or syncmer_s, kind)
+        if codes is not None and scale > 1:
+            # scaled filter applies to the emitted sketch stream
+            # (models/count.linear_codes_step; count.go:373-375)
+            codes = codes[codes <= np.uint64((1 << 64) - 1)
+                          // np.uint64(scale)]
+        return codes
     if hashed:
         return native.nthash_windows(packed.bases, k, canonical, scale)
     return native.encode_windows(packed.bases, k, canonical)
 
 
 def linear_host(packed, k: int, canonical: bool, hashed: bool = False,
-                scale: int = 1) -> np.ndarray | None:
+                scale: int = 1, minimizer_w: int = 0,
+                syncmer_s: int = 0) -> np.ndarray | None:
     """count -l: all valid window codes/hashes in genome order,
     duplicates kept.  None when the native library is unavailable."""
-    return _windows(packed, k, canonical, hashed, scale)
+    return _windows(packed, k, canonical, hashed, scale,
+                    minimizer_w, syncmer_s)
 
 
 def count_host(packed, k: int, canonical: bool, mode: str = "distinct",
-               hashed: bool = False, scale: int = 1) -> np.ndarray | None:
+               hashed: bool = False, scale: int = 1, minimizer_w: int = 0,
+               syncmer_s: int = 0) -> np.ndarray | None:
     """count: sorted distinct/unique/repeated canonical codes (the
     device pipeline also emits sorted order — docs/DIVERGENCES.md §3).
     None when the native library is unavailable."""
-    codes = _windows(packed, k, canonical, hashed, scale)
+    codes = _windows(packed, k, canonical, hashed, scale,
+                     minimizer_w, syncmer_s)
     if codes is None:
         return None
     if len(codes) == 0:

@@ -134,6 +134,14 @@ def get_lib():
         u8p, i64, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, u64p,
         ctypes.c_int32,
     ]
+    lib.minimizer_emit_u64.restype = i64
+    lib.minimizer_emit_u64.argtypes = [
+        u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,
+    ]
+    lib.syncmer_emit_u64.restype = i64
+    lib.syncmer_emit_u64.argtypes = [
+        u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,
+    ]
     _lib = lib
     return lib
 
@@ -243,6 +251,26 @@ def nthash_windows(bases: np.ndarray, k: int, canonical: bool,
     )
     if m * 2 < n:
         return out[:m].copy()  # scaled filter kept few: release the 8n buffer
+    return out[:m]
+
+
+def sketch_emit(bases: np.ndarray, k: int, w_or_s: int,
+                kind: str) -> np.ndarray | None:
+    """Linear minimizer/syncmer emission stream (host twins of
+    ops/sketch.minimizer_windows / syncmer_windows; canonical ntHash).
+    None -> no native lib."""
+    lib = get_lib()
+    if lib is None or not (1 <= k <= 64):
+        return None
+    bases = np.ascontiguousarray(bases, np.uint8)
+    n = len(bases)
+    if n < k:
+        return np.zeros(0, np.uint64)
+    out = np.empty(n, np.uint64)
+    fn = lib.minimizer_emit_u64 if kind == "minimizer" else lib.syncmer_emit_u64
+    m = fn(_u8p(bases), n, k, w_or_s, _u64p(out))
+    if m * 2 < n:
+        return out[:m].copy()
     return out[:m]
 
 

@@ -1581,3 +1581,112 @@ int64_t nthash_windows_u64(const uint8_t* bases, int64_t n, int32_t k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Sketch emission streams — host twins of ops/sketch.py (same contract:
+// sketches force hashed+canonical; invalid windows keyed to U64_MAX;
+// leftmost argmin ties; minimizer emits on selected-POSITION change
+// per run of fully-valid window groups; closed syncmer emits the k-mer
+// hash where the min s-mer sits at offset 0 or k-s).
+// Monotonic-deque sliding min replaces the device's doubling argmin.
+// ---------------------------------------------------------------------
+
+namespace {
+
+// keyed[i] = canonical ntHash of window [i, i+k) or U64MAX when any
+// base in it is invalid; valid[i] likewise.  i in [0, n-k+1).
+static void nthash_keyed(const uint8_t* bases, int64_t n, int k,
+                         uint64_t* keyed, uint8_t* valid) {
+    const int64_t n_pos = n - k + 1;
+    for (int64_t i = 0; i < n_pos; i++) {
+        keyed[i] = ~0ULL;
+        valid[i] = 0;
+    }
+    walk_nthash(bases, 0, n, k, [&](int64_t i, uint64_t f, uint64_t r) {
+        int64_t p = i - k + 1;
+        keyed[p] = f < r ? f : r;
+        valid[p] = 1;
+    });
+}
+
+struct MinDeque {
+    std::vector<std::pair<uint64_t, int64_t>> q;  // (value, index)
+    size_t head = 0;
+
+    void push(uint64_t v, int64_t i) {
+        // strict >: equal values keep the EARLIER index (leftmost tie)
+        while (q.size() > head && q.back().first > v) q.pop_back();
+        q.emplace_back(v, i);
+    }
+    void drop_before(int64_t lo) {
+        while (q.size() > head && q[head].second < lo) head++;
+    }
+    uint64_t min_value() const { return q[head].first; }
+    int64_t min_index() const { return q[head].second; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// out must hold up to n uint64; returns emit count (the linear
+// minimizer stream; callers sort/dedup for count semantics).
+int64_t minimizer_emit_u64(const uint8_t* bases, int64_t n, int32_t k,
+                           int32_t w, uint64_t* out) {
+    if (k < 1 || k > 64 || w < 1 || n < k) return 0;
+    const int64_t n_pos = n - k + 1;
+    std::vector<uint64_t> keyed(n_pos);
+    std::vector<uint8_t> valid(n_pos);
+    nthash_keyed(bases, n, k, keyed.data(), valid.data());
+    if (n_pos < w) return 0;
+    MinDeque dq;
+    int64_t run = 0;  // consecutive valid k-positions ending at j
+    uint64_t* p = out;
+    bool prev_group_valid = false;
+    int64_t prev_arg = -1;
+    for (int64_t j = 0; j < n_pos; j++) {
+        dq.push(keyed[j], j);
+        run = valid[j] ? run + 1 : 0;
+        int64_t i = j - w + 1;  // window group [i, j]
+        if (i < 0) continue;
+        dq.drop_before(i);
+        bool gvalid = run >= w;
+        if (gvalid && (!prev_group_valid || dq.min_index() != prev_arg)) {
+            *p++ = dq.min_value();
+        }
+        prev_group_valid = gvalid;
+        prev_arg = dq.min_index();
+    }
+    return p - out;
+}
+
+// Closed syncmer: emit the canonical k-mer hash at every valid
+// k-position whose minimal s-mer (leftmost tie) sits at offset 0 or
+// k-s.  out must hold up to n uint64.
+int64_t syncmer_emit_u64(const uint8_t* bases, int64_t n, int32_t k,
+                         int32_t s, uint64_t* out) {
+    if (k < 1 || k > 64 || s < 1 || s > k || n < k) return 0;
+    const int64_t nk = n - k + 1;
+    const int64_t ns = n - s + 1;
+    std::vector<uint64_t> khash(nk);
+    std::vector<uint8_t> kvalid(nk);
+    nthash_keyed(bases, n, k, khash.data(), kvalid.data());
+    std::vector<uint64_t> shash(ns);
+    std::vector<uint8_t> svalid(ns);
+    nthash_keyed(bases, n, s, shash.data(), svalid.data());
+    const int w = k - s + 1;  // s-mers per k-mer
+    MinDeque dq;
+    uint64_t* p = out;
+    for (int64_t j = 0; j < ns; j++) {
+        dq.push(shash[j], j);
+        int64_t i = j - w + 1;  // k-position
+        if (i < 0 || i >= nk) continue;
+        dq.drop_before(i);
+        if (!kvalid[i]) continue;
+        int64_t off = dq.min_index() - i;
+        if (off == 0 || off == (int64_t)(k - s)) *p++ = khash[i];
+    }
+    return p - out;
+}
+
+}  // extern "C"
