@@ -115,3 +115,23 @@ def test_window_valid_short_input_shape():
         m = np.asarray(window_valid(np.zeros(n, np.uint8), k))
         assert m.shape == (n,), (n, k, m.shape)
         assert m[: max(n - k + 1, 0)].all() and not m[max(n - k + 1, 0):].any()
+
+
+def test_short_input_window_ops_no_crash():
+    # regression: the doubling _shift_up helpers produced wrong-length
+    # arrays when the shift exceeded the input length (inputs shorter
+    # than k crashed nthash_windows/sketches with broadcast errors)
+    import numpy as np
+
+    from unikmer_tpu.ops.nthash import nthash_windows_np
+    from unikmer_tpu.ops.sketch import minimizer_windows, syncmer_windows
+
+    for n in (0, 1, 5, 24):
+        bases = np.arange(n, dtype=np.uint8) % 4
+        for k in (8, 32, 40):
+            h = np.asarray(nthash_windows_np(bases, min(k, 64), True))
+            assert h.shape == (n,)
+            c, e = minimizer_windows(bases, k, 5)
+            assert np.asarray(c).shape == (n,) and np.asarray(e).shape == (n,)
+            c, e = syncmer_windows(bases, k, min(k, 16))
+            assert np.asarray(c).shape == (n,)

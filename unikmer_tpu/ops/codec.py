@@ -70,6 +70,8 @@ def _shift_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
     """y[i] = x[i+s], zero-padded at the tail (static shapes)."""
     if s == 0:
         return x
+    if s >= x.shape[0]:  # inputs shorter than the window width
+        return jnp.zeros_like(x)
     return jnp.concatenate([x[s:], jnp.zeros((s,), dtype=x.dtype)])
 
 

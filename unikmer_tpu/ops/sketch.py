@@ -31,6 +31,8 @@ from .nthash import nthash_windows
 def _shift_up(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
     if s == 0:
         return x
+    if s >= x.shape[0]:  # inputs shorter than the window width
+        return jnp.full_like(x, fill)
     return jnp.concatenate([x[s:], jnp.full((s,), fill, dtype=x.dtype)])
 
 
