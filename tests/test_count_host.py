@@ -138,14 +138,16 @@ def test_ensure_device_env_reexec(monkeypatch, tmp_path):
 
 
 def test_launcher_device_config_falls_back_correctly(tmp_path, rng):
-    """A sketch config (host-unsupported) under the launcher on this
-    CPU-only box must fall back to the XLA CPU pipeline and stay
-    correct (the saved pool is empty, so no re-exec happens)."""
+    """A device-routed count (auto size cap forced to 0) under the
+    launcher on this CPU-only box must fall back to the XLA CPU
+    pipeline and stay correct (the saved pool is empty, so no re-exec
+    happens)."""
     fa = tmp_path / "g.fa"
     seq = random_dna(rng, 300).decode()
     fa.write_text(f">s\n{seq}\n")
     out = tmp_path / "h"
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+               UNIKMER_TPU_HOST_COUNT_MAX_MB="0")  # force the device route
     env.pop("UNIKMER_TPU_PLATFORM", None)  # let the launcher pin
     p = subprocess.run(
         [os.path.join(ROOT, "bin", "unikmer-tpu"), "count", "-k", "15",
