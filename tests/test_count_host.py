@@ -259,6 +259,7 @@ def run_parity_trial(tmp_path, rng):
     k = int(rng.choice([5, 17, 31, 32, 33, 47, 64]))
     hashed = bool(k > 32 or rng.random() < 0.5)
     scale = int(rng.choice([1, 1, 5, 100])) if hashed else 1
+    sketch = rng.choice(["", "-W", "-S"]) if k >= 4 else ""
     mode_flag = rng.choice(["", "-u", "-d"])
     layout = rng.choice(["", "-s", "-c"])
     circular = rng.random() < 0.3
@@ -286,6 +287,14 @@ def run_parity_trial(tmp_path, rng):
         argv.append("-H")
     if scale > 1:
         argv += ["-D", str(scale)]
+    if sketch == "-W":
+        argv += ["-W", str(int(rng.integers(2, 20)))]
+    elif sketch == "-S":
+        argv += ["-S", str(int(rng.integers(2, min(k, 32) + 1)))]
+    if sketch == "-W":
+        argv += ["-W", str(int(rng.integers(2, 20)))]
+    elif sketch == "-S":
+        argv += ["-S", str(int(rng.integers(2, min(k, 32) + 1)))]
     if mode_flag:
         argv.append(mode_flag)
     if layout:
