@@ -260,12 +260,14 @@ def run(args) -> int:
 
     if host_ok:
         packed = pack_all()
+        codes = None
         if len(packed.bases) <= _host_max_bases():
             from ...models.count_host import count_host
 
             codes = count_host(packed, k, canonical, mode, hashed,
                                args.scale, args.minimizer_w,
                                args.syncmer_s)
+        if codes is not None:
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(
                 out, flag=flag, number=len(codes), **writer_kw
@@ -273,7 +275,8 @@ def run(args) -> int:
                 w.write_codes(codes)
             log_saved(opt, len(codes), out_file)
             return 0
-        # gz-size pre-filter underestimated: fall through to the
+        # size caps said no (gz pre-filter underestimated, or the
+        # sketch kernels' tighter memory cap): fall through to the
         # bounded-memory device streaming path (files are re-readable;
         # stdin never routes here)
         del packed

@@ -38,6 +38,15 @@ def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
 def _windows(packed, k, canonical, hashed, scale,
              minimizer_w=0, syncmer_s=0):
     if minimizer_w > 0 or syncmer_s > 0:
+        # sketch kernels materialize keyed hash arrays (~17-26 B/base vs
+        # 8 for plain windows): route to the device streaming path at a
+        # quarter of the plain-window cap
+        import os
+
+        cap = int(os.environ.get("UNIKMER_TPU_HOST_COUNT_MAX_BASES",
+                                 str(1 << 28))) // 4
+        if packed.bases.size > cap:
+            return None
         kind = "minimizer" if minimizer_w > 0 else "syncmer"
         codes = native.sketch_emit(packed.bases, k,
                                    minimizer_w or syncmer_s, kind)
