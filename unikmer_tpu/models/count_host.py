@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import native
+from ..ops.nthash import scaled_max_hash
 
 
 def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
@@ -53,8 +54,7 @@ def _windows(packed, k, canonical, hashed, scale,
         if codes is not None and scale > 1:
             # scaled filter applies to the emitted sketch stream
             # (models/count.linear_codes_step; count.go:373-375)
-            codes = codes[codes <= np.uint64((1 << 64) - 1)
-                          // np.uint64(scale)]
+            codes = codes[codes <= np.uint64(scaled_max_hash(scale))]
         return codes
     if hashed:
         return native.nthash_windows(packed.bases, k, canonical, scale)
@@ -167,7 +167,7 @@ def count_taxids_host(records, k: int, canonical: bool, hashed: bool,
     codes, pos = res
     taxids = rec_taxids[np.searchsorted(packed.starts, pos, side="right") - 1]
     if scale > 1:  # FracMinHash threshold (count.go:89-98)
-        keep = codes <= np.uint64((1 << 64) - 1) // np.uint64(scale)
+        keep = codes <= np.uint64(scaled_max_hash(scale))
         codes, taxids = codes[keep], taxids[keep]
     uniq, merged = taxdb.lca_reduce(codes, taxids)
     if mode in ("unique", "repeated"):

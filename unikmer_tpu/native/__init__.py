@@ -37,7 +37,14 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib if _lib is not False else None
-    if not os.path.exists(_SO) and not _build():
+    stale = True
+    if os.path.exists(_SO):
+        so_m = os.path.getmtime(_SO)
+        stale = any(
+            os.path.getmtime(os.path.join(_DIR, f)) > so_m
+            for f in ("unikit_native.cpp", "Makefile")
+        )
+    if stale and not _build() and not os.path.exists(_SO):
         _lib = False
         return None
     try:
@@ -134,6 +141,8 @@ def get_lib():
         u8p, i64, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint32, u64p,
         ctypes.c_int32,
     ]
+    lib.scaled_max_hash_u64.restype = ctypes.c_uint64
+    lib.scaled_max_hash_u64.argtypes = [ctypes.c_uint32]
     lib.minimizer_emit_u64.restype = i64
     lib.minimizer_emit_u64.argtypes = [
         u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,

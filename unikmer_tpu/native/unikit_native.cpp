@@ -1525,15 +1525,26 @@ static inline void walk_nthash(const uint8_t* bases, int64_t lo, int64_t hi,
 
 extern "C" {
 
+// The one scaled-MinHash threshold (count.go:98 semantics); exposed so
+// tests can pin native == host == device on the exact constant.
+uint64_t scaled_max_hash_u64(uint32_t scale) {
+    return scale > 1 ? (uint64_t)((double)(~0ULL) / (double)scale) : ~0ULL;
+}
+
 // out must hold up to n uint64; returns the emit count.  scale>1 keeps
-// only hashes <= UINT64_MAX/scale (FracMinHash threshold,
+// only hashes <= scaled_max_hash_u64(scale) (FracMinHash threshold,
 // count.go:89-98).  k in [1, 64].
 int64_t nthash_windows_u64(const uint8_t* bases, int64_t n, int32_t k,
                            int32_t canonical, uint32_t scale, uint64_t* out,
                            int32_t threads) {
     if (k < 1 || k > 64 || n <= 0) return 0;
-    const uint64_t max_hash =
-        scale > 1 ? (~0ULL) / (uint64_t)scale : ~0ULL;
+    // Go computes uint64(float64(^uint64(0)) / float64(scale))
+    // (count.go:98): float64(2^64-1) rounds to 2^64 exactly, so the
+    // double-math threshold differs from integer division by up to a
+    // few hundred (scale=7: 146).  All three engines (device:
+    // ops/nthash.scaled_max_hash, host: models/count_host, native:
+    // here) share this float64 rule.
+    const uint64_t max_hash = scaled_max_hash_u64(scale);
     int t = threads > 0 ? threads
                         : (int)std::thread::hardware_concurrency();
     if (t < 1) t = 1;
