@@ -285,3 +285,34 @@ def test_view_output_formats(tmp_path, genomes):
     gz = tmp_path / "v.txt.gz"
     assert cli(["view", f"{a}.unik", "-o", gz]) == 0
     assert gzip.open(gz, "rt").readline().strip() == k0
+
+
+def test_count_syncmer_impl_compat_cli(tmp_path, genomes):
+    # --syncmer-impl=compat routes to the native host kernel; output is
+    # the sorted distinct compat emission stream
+    from unikmer_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    paths, seqs = genomes
+    out = tmp_path / "compat"
+    assert cli([
+        "count", "-k", 31, "-S", 16, "--syncmer-impl", "compat",
+        paths[0], "-o", out,
+    ]) == 0
+    h, codes, _ = read_unik(f"{out}.unik")
+    assert h.is_hashed and h.is_canonical
+    from unikmer_tpu.io.fastx import pack_files
+
+    packed = pack_files([paths[0]], 31)
+    want = np.unique(native.sketch_emit(packed.bases, 31, 16,
+                                        "syncmer_compat"))
+    assert np.array_equal(np.sort(codes.astype(np.uint64)), want)
+    # edgar (default) differs from compat on real sequence
+    out2 = tmp_path / "edgar"
+    assert cli([
+        "count", "-k", 31, "-S", 16, paths[0], "-o", out2,
+    ]) == 0
+    _, codes2, _ = read_unik(f"{out2}.unik")
+    assert len(codes2) != len(codes) or not np.array_equal(
+        np.sort(codes2), np.sort(codes))

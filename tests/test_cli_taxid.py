@@ -256,3 +256,41 @@ def test_count_linear_parse_taxid(tmp_path, rng, fa):
         "count", "-k", k, "-K", "-l", "-T", "-r", r"taxid=(\d+)",
         bad, "-o", tmp_path / "x",
     ]) != 0
+
+
+def test_count_parse_taxid_with_sketch_routes_device(tmp_path, fa, rng):
+    # regression: the host taxid engine has no sketch kernels; -T with
+    # -W/-S must NOT route there (it would emit plain hashed windows).
+    # With a single record the taxid column is trivial, so -T output
+    # codes must equal the plain syncmer sketch codes.
+    seq = random_dna(rng, 4000).decode()
+    path = fa("one.fa", [("r1 taxid|562", seq)])
+    out_t = tmp_path / "with_taxid"
+    out_p = tmp_path / "plain"
+    env = os.environ.get("UNIKMER_TPU_HOST_COUNT")
+    os.environ["UNIKMER_TPU_HOST_COUNT"] = "1"  # force-tempt host routing
+    try:
+        assert cli([
+            "count", "-k", 21, "-S", 11, "-s", path, "-o", out_t,
+            "-T", "-r", r"taxid\|(\d+)",
+        ]) == 0
+        assert cli([
+            "count", "-k", 21, "-S", 11, "-s", path, "-o", out_p,
+        ]) == 0
+    finally:
+        if env is None:
+            os.environ.pop("UNIKMER_TPU_HOST_COUNT", None)
+        else:
+            os.environ["UNIKMER_TPU_HOST_COUNT"] = env
+    _, codes_t, taxids = read_unik(f"{out_t}.unik")
+    _, codes_p, _ = read_unik(f"{out_p}.unik")
+    assert np.array_equal(np.sort(codes_t), np.sort(codes_p))
+    assert set(np.asarray(taxids).tolist()) == {562}
+
+
+def test_count_compat_syncmer_rejects_parse_taxid(tmp_path, fa, rng):
+    path = fa("one2.fa", [("r1 taxid|562", random_dna(rng, 500).decode())])
+    assert cli([
+        "count", "-k", 21, "-S", 11, "--syncmer-impl", "compat",
+        path, "-o", tmp_path / "x", "-T", "-r", r"taxid\|(\d+)",
+    ]) != 0

@@ -118,6 +118,56 @@ def test_syncmer_mg1655_edgar_count():
     assert len(codes) == 579_624
 
 
+def test_syncmer_compat_degenerate_s_equals_k(rng):
+    # s == k: every valid k-mer is a closed syncmer under any rule
+    from unikmer_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    seq = random_dna(rng, 3000)
+    bases = codec.BASE_LUT[np.frombuffer(seq, np.uint8)]
+    compat = native.sketch_emit(bases, 21, 21, "syncmer_compat")
+    allw = native.nthash_windows(bases, 21, True)
+    assert np.array_equal(compat, allw)
+
+
+def test_syncmer_compat_smoke(rng):
+    # deterministic, emits a strict subset of window hashes, and the
+    # forced-emission rule bounds consecutive selected positions by k-s
+    from unikmer_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    k, s = 31, 16
+    seq = random_dna(rng, 20000)
+    bases = codec.BASE_LUT[np.frombuffer(seq, np.uint8)]
+    compat = native.sketch_emit(bases, k, s, "syncmer_compat")
+    again = native.sketch_emit(bases, k, s, "syncmer_compat")
+    assert np.array_equal(compat, again)
+    allw = native.nthash_windows(bases, k, True)
+    assert 0 < len(compat) < len(allw)
+    assert set(compat.tolist()) <= set(allw.tolist())
+    # density: the forced emission every k-s=15 positions floors the
+    # rate at ~1/15; window argmins roughly double it
+    assert len(compat) / len(allw) > 1.0 / 15.0
+
+
+@pytest.mark.full
+def test_syncmer_mg1655_compat_count():
+    # forensic reconstruction of the reference's closed-syncmer rule
+    # (docs/DIVERGENCES.md §2): 447,951 distinct vs the published
+    # 446,227 (analysis/distance/README.md:5-10) — +0.39% residual from
+    # an unresolvable micro-detail (shenwei356/bio v0.13.3 source is
+    # neither vendored nor fetchable)
+    from unikmer_tpu.models.count_host import count_host
+
+    packed = pack_files([GENOMES["mg1655"]], 31)
+    codes = count_host(packed, 31, True, "distinct", True,
+                       syncmer_s=16, syncmer_impl="compat")
+    assert codes is not None
+    assert len(codes) == 447_951
+
+
 @pytest.mark.full
 def test_fixture_linear_minimizer_amuc():
     # reference info table: count -k 23 -W 5 -H -K -l on A. muciniphila

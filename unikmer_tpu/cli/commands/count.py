@@ -41,6 +41,10 @@ def register(subparsers):
     p.add_argument("-D", "--scale", type=int, default=1, help="scale/down-sample factor")
     p.add_argument("-W", "--minimizer-w", type=int, default=0, help="minimizer window size")
     p.add_argument("-S", "--syncmer-s", type=int, default=0, help="closed syncmer length")
+    p.add_argument("--syncmer-impl", choices=("edgar", "compat"), default="edgar",
+                   help="closed-syncmer rule: 'edgar' (Edgar 2021, the documented "
+                        "definition) or 'compat' (forensic reconstruction of the "
+                        "reference binary's behavior; docs/DIVERGENCES.md §2)")
     p.add_argument("-l", "--linear", action="store_true",
                    help="output k-mers in linear order, duplicate k-mers are not removed")
     p.set_defaults(func=run)
@@ -72,6 +76,14 @@ def run(args) -> int:
         log.warning("flags -H/--hash and -K/--canonical are switched on for sketches")
     if args.minimizer_w > 0 and args.syncmer_s > 0:
         die("flag --minimizer-w and --syncmer-s can not be given simultaneously")
+    if args.syncmer_impl == "compat":
+        if args.syncmer_s <= 0:
+            die("flag --syncmer-impl=compat requires -S/--syncmer-s")
+        from ...models.count_host import supported as _host_supported
+
+        if not _host_supported(k, hashed, args.scale, 0, args.syncmer_s):
+            die("--syncmer-impl=compat needs the native host engine "
+                "(libunikit_native.so); it has no device twin")
     if args.unique and args.repeated:
         die("flag -u/--unique and -d/--repeated are not compatible")
     if args.linear and args.sort:
@@ -159,7 +171,17 @@ def run(args) -> int:
         and not name_res
         and all(_native_ingest_ok(f) for f in files)
     )
-    host_ok = _host_count_wanted(files, k, hashed, args)
+    compat_syncmer = args.syncmer_impl == "compat" and args.syncmer_s > 0
+    # the compat rule exists only in the native host kernel: force host
+    # routing (size caps don't apply — there is no device fallback)
+    host_ok = compat_syncmer or _host_count_wanted(files, k, hashed, args)
+    if args.parse_taxid and (args.minimizer_w > 0 or args.syncmer_s > 0):
+        # the host taxid engine has no sketch kernels (sketch_emit
+        # returns hashes without positions, so per-record taxids can't
+        # be assigned); only the device path handles -T with -W/-S
+        if compat_syncmer:
+            die("--syncmer-impl=compat does not support -T/--parse-taxid")
+        host_ok = False
 
     def pack_all():
         if use_packed_ingest:
@@ -218,13 +240,16 @@ def run(args) -> int:
             else:
                 packed = pack_all()
                 codes = None
-                if host_ok and len(packed.bases) <= _host_max_bases():
+                if host_ok and (compat_syncmer
+                                or len(packed.bases) <= _host_max_bases()):
                     from ...models.count_host import linear_host
 
                     codes = linear_host(packed, k, canonical, hashed,
                                         args.scale, args.minimizer_w,
-                                        args.syncmer_s)
+                                        args.syncmer_s, args.syncmer_impl)
                 if codes is None:
+                    if compat_syncmer:
+                        die("--syncmer-impl=compat failed on the host engine")
                     from ...models.count import count_linear
 
                     codes = count_linear(packed, make_cfg())
@@ -261,12 +286,14 @@ def run(args) -> int:
     if host_ok:
         packed = pack_all()
         codes = None
-        if len(packed.bases) <= _host_max_bases():
+        if compat_syncmer or len(packed.bases) <= _host_max_bases():
             from ...models.count_host import count_host
 
             codes = count_host(packed, k, canonical, mode, hashed,
                                args.scale, args.minimizer_w,
-                               args.syncmer_s)
+                               args.syncmer_s, args.syncmer_impl)
+        if codes is None and compat_syncmer:
+            die("--syncmer-impl=compat failed on the host engine")
         if codes is not None:
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(

@@ -37,18 +37,24 @@ def supported(k: int, hashed: bool, scale: int, minimizer_w: int,
 
 
 def _windows(packed, k, canonical, hashed, scale,
-             minimizer_w=0, syncmer_s=0):
+             minimizer_w=0, syncmer_s=0, syncmer_impl="edgar"):
     if minimizer_w > 0 or syncmer_s > 0:
         # sketch kernels materialize keyed hash arrays (~17-26 B/base vs
         # 8 for plain windows): route to the device streaming path at a
-        # quarter of the plain-window cap
+        # quarter of the plain-window cap.  The compat syncmer exists
+        # ONLY here (no device twin), so it ignores the cap.
         import os
 
         cap = int(os.environ.get("UNIKMER_TPU_HOST_COUNT_MAX_BASES",
                                  str(1 << 28))) // 4
-        if packed.bases.size > cap:
+        if packed.bases.size > cap and syncmer_impl != "compat":
             return None
-        kind = "minimizer" if minimizer_w > 0 else "syncmer"
+        if minimizer_w > 0:
+            kind = "minimizer"
+        elif syncmer_impl == "compat":
+            kind = "syncmer_compat"
+        else:
+            kind = "syncmer"
         codes = native.sketch_emit(packed.bases, k,
                                    minimizer_w or syncmer_s, kind)
         if codes is not None and scale > 1:
@@ -63,21 +69,23 @@ def _windows(packed, k, canonical, hashed, scale,
 
 def linear_host(packed, k: int, canonical: bool, hashed: bool = False,
                 scale: int = 1, minimizer_w: int = 0,
-                syncmer_s: int = 0) -> np.ndarray | None:
+                syncmer_s: int = 0,
+                syncmer_impl: str = "edgar") -> np.ndarray | None:
     """count -l: all valid window codes/hashes in genome order,
     duplicates kept.  None when the native library is unavailable."""
     return _windows(packed, k, canonical, hashed, scale,
-                    minimizer_w, syncmer_s)
+                    minimizer_w, syncmer_s, syncmer_impl)
 
 
 def count_host(packed, k: int, canonical: bool, mode: str = "distinct",
                hashed: bool = False, scale: int = 1, minimizer_w: int = 0,
-               syncmer_s: int = 0) -> np.ndarray | None:
+               syncmer_s: int = 0,
+               syncmer_impl: str = "edgar") -> np.ndarray | None:
     """count: sorted distinct/unique/repeated canonical codes (the
     device pipeline also emits sorted order — docs/DIVERGENCES.md §3).
     None when the native library is unavailable."""
     codes = _windows(packed, k, canonical, hashed, scale,
-                     minimizer_w, syncmer_s)
+                     minimizer_w, syncmer_s, syncmer_impl)
     if codes is None:
         return None
     if len(codes) == 0:

@@ -151,6 +151,10 @@ def get_lib():
     lib.syncmer_emit_u64.argtypes = [
         u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,
     ]
+    lib.syncmer_compat_emit_u64.restype = i64
+    lib.syncmer_compat_emit_u64.argtypes = [
+        u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,
+    ]
     _lib = lib
     return lib
 
@@ -267,6 +271,8 @@ def sketch_emit(bases: np.ndarray, k: int, w_or_s: int,
                 kind: str) -> np.ndarray | None:
     """Linear minimizer/syncmer emission stream (host twins of
     ops/sketch.minimizer_windows / syncmer_windows; canonical ntHash).
+    kind "syncmer_compat" selects the forensic reconstruction of the
+    reference's actual closed-syncmer rule (docs/DIVERGENCES.md §2).
     None -> no native lib."""
     lib = get_lib()
     if lib is None or not (1 <= k <= 64):
@@ -276,7 +282,11 @@ def sketch_emit(bases: np.ndarray, k: int, w_or_s: int,
     if n < k:
         return np.zeros(0, np.uint64)
     out = np.empty(n, np.uint64)
-    fn = lib.minimizer_emit_u64 if kind == "minimizer" else lib.syncmer_emit_u64
+    fn = {
+        "minimizer": lib.minimizer_emit_u64,
+        "syncmer": lib.syncmer_emit_u64,
+        "syncmer_compat": lib.syncmer_compat_emit_u64,
+    }[kind]
     m = fn(_u8p(bases), n, k, w_or_s, _u64p(out))
     if m * 2 < n:
         return out[:m].copy()

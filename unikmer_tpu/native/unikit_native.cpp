@@ -1700,4 +1700,72 @@ int64_t syncmer_emit_u64(const uint8_t* bases, int64_t n, int32_t k,
     return p - out;
 }
 
+// "Compat" closed syncmer: the forensic reconstruction of the
+// reference's actual behavior (docs/DIVERGENCES.md §2; scripts/
+// exp_syncmer_rules.py).  Select every k-position that is the leftmost
+// argmin of ANY sliding window of W = 2(k-s) s-mer hashes (tail
+// windows partial), then force an emission every T = k-s positions
+// between consecutive base selections (and backwards from the first
+// one) — reproducing the reference's gap histogram (flat interior,
+// 166k spike at 15, zero gaps > 15) and 447,951 distinct k-mers on
+// MG1655 k=31 s=16 vs the published 446,227 (+0.39%).
+int64_t syncmer_compat_emit_u64(const uint8_t* bases, int64_t n,
+                                int32_t k, int32_t s, uint64_t* out) {
+    if (k < 1 || k > 64 || s < 1 || s > k || n < k) return 0;
+    const int64_t nk = n - k + 1;
+    const int64_t ns = n - s + 1;
+    std::vector<uint64_t> khash(nk);
+    std::vector<uint8_t> kvalid(nk);
+    nthash_keyed(bases, n, k, khash.data(), kvalid.data());
+    uint64_t* p = out;
+    if (s == k) {  // degenerate: every valid k-mer is a closed syncmer
+        for (int64_t i = 0; i < nk; i++)
+            if (kvalid[i]) *p++ = khash[i];
+        return p - out;
+    }
+    std::vector<uint64_t> shash(ns);
+    std::vector<uint8_t> svalid(ns);
+    nthash_keyed(bases, n, s, shash.data(), svalid.data());
+    for (int64_t j = 0; j < ns; j++)
+        if (!svalid[j]) shash[j] = ~0ULL;
+    const int64_t W = 2 * (int64_t)(k - s);
+    const int64_t T = k - s;
+    // base set: leftmost argmin of every window [t, min(t+W, ns))
+    std::vector<uint8_t> mark(nk, 0);
+    MinDeque dq;
+    int64_t pushed = 0;
+    for (int64_t t = 0; t < ns; t++) {
+        int64_t r = t + W - 1 < ns - 1 ? t + W - 1 : ns - 1;
+        while (pushed <= r) {
+            dq.push(shash[pushed], pushed);
+            pushed++;
+        }
+        dq.drop_before(t);
+        int64_t m = dq.min_index();
+        if (dq.min_value() != ~0ULL && m < nk && kvalid[m]) mark[m] = 1;
+    }
+    int64_t b_first = -1, b_last = -1;
+    for (int64_t i = 0; i < nk; i++)
+        if (mark[i]) {
+            if (b_first < 0) b_first = i;
+            b_last = i;
+        }
+    if (b_first < 0) return 0;
+    // head fills: b_first - m*T for m = 1..(b_first-1)/T, ascending
+    for (int64_t q = b_first - T * ((b_first - 1) / T); q < b_first;
+         q += T)
+        if (kvalid[q]) *p++ = khash[q];
+    // base emissions + interior fills every T since the last base
+    int64_t last_base = -1;
+    for (int64_t i = b_first; i < nk; i++) {
+        if (mark[i]) {
+            *p++ = khash[i];
+            last_base = i;
+        } else if (i < b_last && (i - last_base) % T == 0 && kvalid[i]) {
+            *p++ = khash[i];
+        }
+    }
+    return p - out;
+}
+
 }  // extern "C"
