@@ -316,3 +316,39 @@ def test_count_syncmer_impl_compat_cli(tmp_path, genomes):
     _, codes2, _ = read_unik(f"{out2}.unik")
     assert len(codes2) != len(codes) or not np.array_equal(
         np.sort(codes2), np.sort(codes))
+
+
+def test_grep_spill_path_matches_in_ram(tmp_path, genomes, rng):
+    # UNIKMER_TPU_GREP_MEM_MB tiny -> the sorted/-u/-d sink spills
+    # through extsort chunks; output must match the in-RAM path exactly
+    paths, seqs = genomes
+    a = tmp_path / "a.k15"
+    # -l keeps duplicates so -u/-d modes are non-trivial
+    assert cli(["count", "-k", 15, "-K", "-l", paths[0], "-o", a]) == 0
+    _, all_codes, _ = read_unik(f"{a}.unik")
+    queries = [codec.decode_kmer(int(c), 15) for c in all_codes[:4]]
+    outs = {}
+    for label, env in (("ram", None), ("spill", "0.0001")):
+        for mode_args in (["-s"], ["-u"], ["-d"], []):
+            out = tmp_path / f"{label}{''.join(mode_args)}"
+            old = os.environ.pop("UNIKMER_TPU_GREP_MEM_MB", None)
+            if env is not None:
+                os.environ["UNIKMER_TPU_GREP_MEM_MB"] = env
+            try:
+                assert cli(["grep", "-q", ",".join(queries), "-v",
+                            f"{a}.unik", "-o", out] + mode_args) == 0
+            finally:
+                os.environ.pop("UNIKMER_TPU_GREP_MEM_MB", None)
+                if old is not None:
+                    os.environ["UNIKMER_TPU_GREP_MEM_MB"] = old
+            h, codes, _ = read_unik(f"{out}.unik")
+            outs[(label, tuple(mode_args))] = codes
+            # streamed/merged outputs leave number unknown, like the
+            # reference's writer-channel paths (grep.go:518-539)
+            assert h.number in (-1, len(codes))
+            assert h.is_sorted == bool(mode_args)  # -s/-u/-d set SORTED
+    for mode_args in (("-s",), ("-u",), ("-d",), ()):
+        np.testing.assert_array_equal(
+            outs[("ram", mode_args)], outs[("spill", mode_args)],
+            err_msg=f"mode {mode_args}",
+        )

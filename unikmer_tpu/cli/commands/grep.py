@@ -163,11 +163,9 @@ def run(args) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
 
     query_set = None  # sorted uint64 array, built lazily from first file
-    writer = None
     h0 = None
     has_taxid = False
-    out_codes: list[np.ndarray] = []
-    out_tax: list[np.ndarray] = []
+    sink = None  # single-output funnel (grep.go:518-539 writes as it goes)
     n_total = 0
     out_file = ensure_unik_suffix(args.out_prefix)
 
@@ -191,12 +189,19 @@ def run(args) -> int:
                 else:
                     if not h.has_taxid_info:
                         die(f"no taxids found in file: {file}")
+                if not multi:
+                    sink = _Sink(out_file, opt, h0, has_taxid, args,
+                                 sorted_input=len(files) == 1 and h0.is_sorted)
             elif not args.query_is_taxid and h.k != h0.k:
                 die(f"k-mer length mismatch: {file}")
             if h0 is not h:
                 check_taxid_info_match(h0, h, file, opt)  # grep.go:556-562
 
-            f_codes, f_tax = [], []
+            if multi:
+                base = "stdin" if file == "-" else os.path.basename(file)
+                path = os.path.join(args.out_dir, base + args.out_suffix + unik.EXT)
+                sink = _Sink(path, opt, h, has_taxid, args,
+                             sorted_input=h.is_sorted)
             for codes, taxids in r.iter_blocks():
                 taxids = effective_taxids(r, len(codes), taxids, opt.ignore_taxid)
                 if args.query_is_taxid:
@@ -214,28 +219,20 @@ def run(args) -> int:
                         else np.zeros(len(codes), bool)
                     )
                 hit = ~ok if args.invert_match else ok
-                f_codes.append(codes[hit])
+                t = None
                 if has_taxid:
-                    t = taxids if taxids is not None else np.zeros(len(codes), np.uint32)
-                    f_tax.append(t[hit])
+                    t = (taxids if taxids is not None
+                         else np.zeros(len(codes), np.uint32))[hit]
+                sink.add(codes[hit], t)
 
             if multi:
-                base = "stdin" if file == "-" else os.path.basename(file)
-                path = os.path.join(args.out_dir, base + args.out_suffix + unik.EXT)
-                n = _write_result(
-                    path, opt, h, f_codes, f_tax, has_taxid, args
-                )
+                n = sink.close()
                 n_total += n
                 if opt.verbose:
                     log.info(f"[file {i+1}/{len(files)}] {n} k-mers saved to {path}")
-            else:
-                out_codes.extend(f_codes)
-                out_tax.extend(f_tax)
 
     if not multi:
-        n_total = _write_result(
-            out_file, opt, h0, out_codes, out_tax, has_taxid, args
-        )
+        n_total = sink.close() if sink is not None else 0
         log_saved(opt, n_total, out_file)
     return 0
 
@@ -266,45 +263,153 @@ def _build_query_set(kmer_queries, unik_query_codes, unik_query_hashed, h):
     return arr
 
 
-def _write_result(path, opt, h, code_parts, tax_parts, has_taxid, args):
-    codes = (
-        np.concatenate(code_parts) if code_parts else np.zeros(0, np.uint64)
-    )
-    taxids = (
-        np.concatenate(tax_parts)
-        if has_taxid and tax_parts
-        else (np.zeros(0, np.uint32) if has_taxid else None)
-    )
-    mode = "unique" if args.unique else "repeated" if args.repeated else "none"
-    if args.sort or mode != "none":
-        if taxids is not None:
-            codes, taxids = native.host_sort_kv(codes, taxids)
-        else:
-            codes = native.host_sort(codes)
-        codes, taxids = extsort.collapse_batch(
-            codes, taxids, mode, None, final_round=True
+class _Sink:
+    """Bounded-memory grep result funnel.
+
+    Unsorted mode streams matched blocks straight into the UnikWriter
+    as they arrive (the reference funnels hits through a writer channel,
+    grep.go:518-539, instead of materializing them).  sort/-u/-d modes
+    buffer up to UNIKMER_TPU_GREP_MEM_MB (default 512) of hits; beyond
+    that, sorted chunks spill through pipeline/extsort and the close()
+    finishes with a cascade merge -- RSS stays O(buffer + query set)
+    however large the matched set (e.g. `-v` of a huge input).
+    """
+
+    def __init__(self, path, opt, h, has_taxid, args, sorted_input=False):
+        self.path = path
+        self.opt = opt
+        self.h = h
+        self.has_taxid = has_taxid
+        self.mode = (
+            "unique" if args.unique else "repeated" if args.repeated else "none"
         )
-    flag = 0
-    if args.sort:
-        flag |= unik.SORTED
-    elif opt.compact and not h.is_hashed:
-        flag |= unik.COMPACT
-    if h.is_canonical:
-        flag |= unik.CANONICAL
-    if has_taxid:
-        flag |= unik.INCLUDE_TAXID
-    if h.is_hashed:
-        flag |= unik.HASHED
-    out, _ = out_binary_stream(path)
-    with unik.UnikWriter(
-        out,
-        k=h.k,
-        flag=flag,
-        number=len(codes),
-        max_taxid=opt.max_taxid,
-        compress=opt.compress,
-        compression_level=opt.compression_level,
-        threads=opt.threads,
-    ) as w:
-        w.write_codes(codes, taxids)
-    return len(codes)
+        # -u/-d imply -s (grep.go:99-102)
+        self.collapse = args.sort or self.mode != "none"
+        flag = 0
+        if self.collapse:
+            flag |= unik.SORTED
+        elif sorted_input:
+            # streaming preserves order: a single sorted input yields
+            # sorted output without re-sorting (grep.go:502-504,587-588)
+            flag |= unik.SORTED
+        elif opt.compact and not h.is_hashed:
+            flag |= unik.COMPACT
+        if h.is_canonical:
+            flag |= unik.CANONICAL
+        if has_taxid:
+            flag |= unik.INCLUDE_TAXID
+        if h.is_hashed:
+            flag |= unik.HASHED
+        self.flag = flag
+        self._c: list[np.ndarray] = []
+        self._t: list[np.ndarray] = []
+        self._buffered = 0
+        self._cap = int(
+            float(os.environ.get("UNIKMER_TPU_GREP_MEM_MB", "512")) * (1 << 20)
+        )
+        self._tmp_dir: str | None = None
+        self._chunks: list[str] = []
+        self._writer = None
+        self._n = 0
+        if not self.collapse:
+            self._writer = self._open_writer()
+
+    def _open_writer(self):
+        out, _ = out_binary_stream(self.path)
+        return unik.UnikWriter(
+            out,
+            k=self.h.k,
+            flag=self.flag,
+            max_taxid=self.opt.max_taxid,
+            compress=self.opt.compress,
+            compression_level=self.opt.compression_level,
+            threads=self.opt.threads,
+        )
+
+    def add(self, codes: np.ndarray, taxids: np.ndarray | None) -> None:
+        if len(codes) == 0:
+            return
+        if not self.collapse:
+            self._writer.write_codes(codes, taxids if self.has_taxid else None)
+            self._n += len(codes)
+            return
+        self._c.append(codes)
+        if self.has_taxid:
+            self._t.append(
+                taxids if taxids is not None else np.zeros(len(codes), np.uint32)
+            )
+        self._buffered += codes.nbytes + (
+            taxids.nbytes if taxids is not None else 0
+        )
+        if self._buffered > self._cap:
+            self._spill()
+
+    def _drain(self):
+        codes = (
+            np.concatenate(self._c) if self._c else np.zeros(0, np.uint64)
+        )
+        taxids = (
+            np.concatenate(self._t)
+            if self.has_taxid and self._t
+            else (np.zeros(0, np.uint32) if self.has_taxid else None)
+        )
+        self._c, self._t, self._buffered = [], [], 0
+        return codes, taxids
+
+    def _spill(self) -> None:
+        import tempfile
+
+        if self._tmp_dir is None:
+            self._tmp_dir = tempfile.mkdtemp(prefix="unikmer-tpu-grep-")
+        codes, taxids = self._drain()
+        path = extsort.chunk_file_name(self._tmp_dir, len(self._chunks))
+        extsort.dump_chunk(
+            codes, taxids, path, self.h.k, self.flag, self.mode, None,
+            self.opt, compression_level=1,
+        )
+        self._chunks.append(path)
+
+    def close(self) -> int:
+        if not self.collapse:
+            self._writer.close()
+            return self._n
+        if not self._chunks:
+            # everything fit: one in-RAM sort + collapse + write
+            codes, taxids = self._drain()
+            if taxids is not None:
+                codes, taxids = native.host_sort_kv(codes, taxids)
+            else:
+                codes = native.host_sort(codes)
+            codes, taxids = extsort.collapse_batch(
+                codes, taxids, self.mode, None, final_round=True
+            )
+            out, _ = out_binary_stream(self.path)
+            with unik.UnikWriter(
+                out,
+                k=self.h.k,
+                flag=self.flag,
+                number=len(codes),
+                max_taxid=self.opt.max_taxid,
+                compress=self.opt.compress,
+                compression_level=self.opt.compression_level,
+                threads=self.opt.threads,
+            ) as w:
+                w.write_codes(codes, taxids)
+            return len(codes)
+        if self._c:
+            self._spill()
+        writer = self._open_writer()
+        try:
+            n = extsort.merge_sorted_files(
+                self._chunks,
+                lambda c, t: writer.write_codes(
+                    c, t if self.has_taxid else None
+                ),
+                mode=self.mode,
+                taxdb=None,
+                final_round=True,
+            )
+        finally:
+            writer.close()
+            shutil.rmtree(self._tmp_dir, ignore_errors=True)
+        return n
