@@ -3,6 +3,8 @@ reference's full-genome conformance fixtures (marked full)."""
 
 import collections
 
+import os
+
 import numpy as np
 import pytest
 
@@ -215,3 +217,33 @@ def test_pack2bit_roundtrip_and_count(rng):
     np.testing.assert_array_equal(
         np.asarray(raw_out[: int(raw_n)]),
         np.asarray(want_out[: int(want_n)]))
+
+
+def test_count_stream_spill_matches_in_ram(rng, monkeypatch):
+    """Beyond-RAM spill (UNIKMER_TPU_COUNT_MEM_MB tiny -> extsort chunk
+    files + cascade merge) must reproduce the in-RAM merge exactly for
+    every mode; the spilled result streams in ascending batches."""
+    from unikmer_tpu.models.count import SpilledCount, count_stream
+
+    k = 9
+    seqs = [random_dna(rng, n).decode() for n in (900, 500, 700, 800)]
+    seqs.append(seqs[1][:400])  # cross-chunk duplicates
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode())
+            for i, s in enumerate(seqs)]
+    for mode in ("distinct", "unique", "repeated"):
+        cfg = CountConfig(k=k, canonical=True, mode=mode)
+        want = count_stream(iter(recs), cfg, chunk_bases=512)
+        assert isinstance(want, np.ndarray)
+        monkeypatch.setenv("UNIKMER_TPU_COUNT_MEM_MB", "0.0001")
+        try:
+            got = count_stream(iter(recs), cfg, chunk_bases=512)
+        finally:
+            monkeypatch.delenv("UNIKMER_TPU_COUNT_MEM_MB")
+        assert isinstance(got, SpilledCount), mode
+        parts = []
+        n = got.write_to(parts.append)
+        codes = (np.concatenate(parts) if parts
+                 else np.zeros(0, np.uint64))
+        assert n == len(codes)
+        np.testing.assert_array_equal(codes, want, err_msg=mode)
+        assert not os.path.exists(got.tmp_dir)  # temp cleanup

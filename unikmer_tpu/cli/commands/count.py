@@ -342,7 +342,16 @@ def run(args) -> int:
         codes = count_stream_packed(packed_iter(), cfg)
     else:
         codes = count_stream(records(), cfg)
+    from ...models.count import SpilledCount
+
     out, _ = out_binary_stream(out_file)
+    if isinstance(codes, SpilledCount):
+        # beyond-RAM distinct set: stream the cascade merge straight
+        # into the writer (number left unknown, like sort -m outputs)
+        with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
+            n = codes.write_to(w.write_codes)
+        log_saved(opt, n, out_file)
+        return 0
     with unik.UnikWriter(out, flag=flag, number=len(codes), **writer_kw) as w:
         w.write_codes(codes)
     log_saved(opt, len(codes), out_file)

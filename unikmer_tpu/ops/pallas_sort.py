@@ -71,8 +71,29 @@ def _roll(x, shift: int, axis: int):
     return jnp.concatenate([x[:, n - shift :], x[:, : n - shift]], axis=1)
 
 
-def _bit_clear_mask(rows: int, j: int):
+def _axis_shift(rows: int, j: int, layout: str):
+    """VMEM (axis, shift) realizing an element-distance-j exchange.
+
+    layout 'lane': element i at (i // 128, i % 128) — consecutive
+    elements across lanes; distances < 128 are lane rolls.
+    layout 'sub': element i at (i % rows, i // rows) — consecutive
+    elements down sublanes; distances < rows are SUBLANE rolls (the
+    cheap axis on the VPU), leaving only log2(LANES) lane-roll stages
+    per merge ladder.
+    """
+    if layout == "sub":
+        return (0, j) if j < rows else (1, j // rows)
+    return (1, j) if j < LANES else (0, j // LANES)
+
+
+def _bit_clear_mask(rows: int, j: int, layout: str):
     """(rows, LANES) bool: True where (element_index & j) == 0."""
+    if layout == "sub":
+        if j < rows:
+            r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+            return (r & j) == 0
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        return (c & (j // rows)) == 0
     if j < LANES:
         c = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
         return (c & j) == 0
@@ -80,15 +101,15 @@ def _bit_clear_mask(rows: int, j: int):
     return (r & (j // LANES)) == 0
 
 
-def _exchange(planes, j: int, keep_min):
+def _exchange(planes, j: int, keep_min, layout: str):
     """One compare-exchange stage at distance j.  ``planes`` is a tuple
     of (rows, LANES) arrays: planes[0:2] are the (hi, lo) key planes,
     the rest are value planes moved by the same selects.  ``keep_min``
     is the per-element 'this position keeps the smaller of the pair'
     mask (already accounting for network direction)."""
-    axis = 1 if j < LANES else 0
-    s = j if j < LANES else j // LANES
-    bc = _bit_clear_mask(planes[0].shape[0], j)
+    rows = planes[0].shape[0]
+    axis, s = _axis_shift(rows, j, layout)
+    bc = _bit_clear_mask(rows, j, layout)
     # partner value: i+j where bit j clear (roll left), i-j where set
     partners = tuple(
         jnp.where(bc, _roll(x, -s, axis), _roll(x, s, axis)) for x in planes
@@ -104,14 +125,14 @@ def _exchange(planes, j: int, keep_min):
     return tuple(jnp.where(take_p, p, x) for p, x in zip(partners, planes))
 
 
-def _elem_index(rows: int):
-    """(rows, LANES) int32 global element index r*LANES + c."""
+def _elem_index(rows: int, layout: str):
+    """(rows, LANES) int32 global element index of each VMEM slot."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-    return r * LANES + c
+    return c * rows + r if layout == "sub" else r * LANES + c
 
 
-def _partner_switch(planes, logj, rows: int):
+def _partner_switch(planes, logj, rows: int, layout: str):
     """Partners at distance 2^logj for every plane, with TRACED logj:
     a lax.switch over the log2(n) static-shift branches.  Program size
     is O(log n) instead of O(log^2 n) for the fully unrolled network —
@@ -121,12 +142,11 @@ def _partner_switch(planes, logj, rows: int):
     branches = []
     for lj in range((rows * LANES).bit_length() - 1):
         j = 1 << lj
-        axis = 1 if j < LANES else 0
-        s = j if j < LANES else j // LANES
+        axis, s = _axis_shift(rows, j, layout)
 
         def mk(j=j, axis=axis, s=s):
             def br(pl_):
-                bc = _bit_clear_mask(rows, j)
+                bc = _bit_clear_mask(rows, j, layout)
                 return tuple(
                     jnp.where(bc, _roll(x, -s, axis), _roll(x, s, axis))
                     for x in pl_
@@ -138,12 +158,12 @@ def _partner_switch(planes, logj, rows: int):
     return jax.lax.switch(logj, branches, planes)
 
 
-def _exchange_traced(planes, logj, idx, asc, rows: int):
+def _exchange_traced(planes, logj, idx, asc, rows: int, layout: str):
     """One compare-exchange stage at traced distance j = 2^logj."""
     j = jnp.int32(1) << logj
     bc = (idx & j) == 0
     keep_min = asc == bc
-    partners = _partner_switch(planes, logj, rows)
+    partners = _partner_switch(planes, logj, rows, layout)
     p_lt = jnp.zeros_like(keep_min)
     for x, p in zip(reversed(planes), reversed(partners)):
         p_lt = (p < x) | ((p == x) & p_lt)
@@ -151,7 +171,7 @@ def _exchange_traced(planes, logj, idx, asc, rows: int):
     return tuple(jnp.where(take_p, p, x) for p, x in zip(partners, planes))
 
 
-def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
+def _sort_block_kernel_looped(rows: int, nplanes: int, layout: str, *refs):
     """Full ascending bitonic sort of one (rows, LANES) block with the
     whole stage network as ONE fori_loop of static trip count
     log2(n)*(log2(n)+1)/2 (constant compile-time in block size).
@@ -165,7 +185,7 @@ def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
     n = rows * LANES
     logn = n.bit_length() - 1
     nstages = logn * (logn + 1) // 2
-    idx = _elem_index(rows)
+    idx = _elem_index(rows, layout)
 
     def body(_, carry):
         planes, r_, logj = carry
@@ -173,7 +193,7 @@ def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
         # (idx & n) == 0 is all-True for idx < n, so the final round's
         # all-ascending direction falls out of the same expression
         asc = (idx & kk) == 0
-        planes = _exchange_traced(planes, logj, idx, asc, rows)
+        planes = _exchange_traced(planes, logj, idx, asc, rows, layout)
         logj = logj - 1
         wrap = logj < 0
         r_ = r_ + wrap.astype(jnp.int32)
@@ -188,17 +208,17 @@ def _sort_block_kernel_looped(rows: int, nplanes: int, *refs):
         o[:] = x
 
 
-def _merge_block_kernel_looped(rows: int, nplanes: int, *refs):
+def _merge_block_kernel_looped(rows: int, nplanes: int, layout: str, *refs):
     """Ascending bitonic merge of one already-bitonic block, looped."""
     planes = tuple(r[:] for r in refs[:nplanes])
     outs = refs[nplanes:]
     logn = (rows * LANES).bit_length() - 1
-    idx = _elem_index(rows)
+    idx = _elem_index(rows, layout)
     asc = jnp.ones((rows, LANES), bool)
 
     def stage_body(t, planes):
         return _exchange_traced(planes, jnp.int32(logn - 1) - t, idx, asc,
-                                rows)
+                                rows, layout)
 
     # int32 bounds: with x64 enabled a Python-int fori_loop index is
     # int64, and the i64->i32 convert that lax.switch then needs sends
@@ -212,42 +232,44 @@ def _merge_block_kernel_looped(rows: int, nplanes: int, *refs):
         o[:] = x
 
 
-def _sort_block_kernel(rows: int, nplanes: int, *refs):
+def _sort_block_kernel(rows: int, nplanes: int, layout: str, *refs):
     """Full ascending bitonic sort of one (rows, LANES) block."""
     planes = tuple(r[:] for r in refs[:nplanes])
     outs = refs[nplanes:]
     n = rows * LANES
     kk = 2
     while kk <= n:
-        asc = _bit_clear_mask(rows, kk) if kk < n else jnp.ones(
+        asc = _bit_clear_mask(rows, kk, layout) if kk < n else jnp.ones(
             (rows, LANES), bool
         )
         j = kk // 2
         while j >= 1:
-            keep_min = asc == _bit_clear_mask(rows, j)
-            planes = _exchange(planes, j, keep_min)
+            keep_min = asc == _bit_clear_mask(rows, j, layout)
+            planes = _exchange(planes, j, keep_min, layout)
             j //= 2
         kk *= 2
     for o, x in zip(outs, planes):
         o[:] = x
 
 
-def _merge_block_kernel(rows: int, nplanes: int, *refs):
+def _merge_block_kernel(rows: int, nplanes: int, layout: str, *refs):
     """Ascending bitonic merge (stages j = n/2 .. 1) of one block whose
     contents are already bitonic."""
     planes = tuple(r[:] for r in refs[:nplanes])
     outs = refs[nplanes:]
     j = rows * LANES // 2
     while j >= 1:
-        planes = _exchange(planes, j, _bit_clear_mask(rows, j))
+        planes = _exchange(planes, j, _bit_clear_mask(rows, j, layout),
+                           layout)
         j //= 2
     for o, x in zip(outs, planes):
         o[:] = x
 
 
-def _block_call(kernel, rows: int, nplanes: int, interpret: bool):
+def _block_call(kernel, rows: int, nplanes: int, interpret: bool,
+                layout: str):
     return pl.pallas_call(
-        partial(kernel, rows, nplanes),
+        partial(kernel, rows, nplanes, layout),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
             for _ in range(nplanes)
@@ -286,20 +308,33 @@ def _cross_block_stage(planes, jb: int):
 
 
 def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool,
-                         looped: bool = False):
+                         looped: bool = False, layout: str = "lane"):
     """Run the full blocked network over same-shape int32 planes (first
-    two = key planes).  Returns planes flattened back to 1D."""
+    two = key planes).  Returns planes flattened back to 1D.
+
+    layout 'sub' stores element i of each block at VMEM slot
+    (i % rows, i // rows): one transpose pass on entry/exit trades for
+    all-but-log2(128) exchange stages becoming sublane rolls.  The
+    cross-block machinery is layout-blind — it pairs identical VMEM
+    slots of different blocks, and the region reversal (rev over both
+    in-block axes) maps element e -> B-1-e in either layout.
+    """
     rows = b // LANES
     nb = nn // b
     nplanes = len(planes)
-    planes = tuple(x.reshape(nb, rows, LANES) for x in planes)
+    if layout == "sub":
+        planes = tuple(
+            x.reshape(nb, LANES, rows).transpose(0, 2, 1) for x in planes
+        )
+    else:
+        planes = tuple(x.reshape(nb, rows, LANES) for x in planes)
 
     sort_k = _sort_block_kernel_looped if looped else _sort_block_kernel
     merge_k = _merge_block_kernel_looped if looped else _merge_block_kernel
-    sort_call = _block_call(sort_k, rows, nplanes, interpret)
+    sort_call = _block_call(sort_k, rows, nplanes, interpret, layout)
     planes = jax.lax.map(lambda t: sort_call(*t), planes)
 
-    merge_call = _block_call(merge_k, rows, nplanes, interpret)
+    merge_call = _block_call(merge_k, rows, nplanes, interpret, layout)
     m = 1
     while (1 << m) <= nb:
         planes = tuple(_rev_second_halves(x, m) for x in planes)
@@ -309,6 +344,8 @@ def _bitonic_sort_planes(planes, nn: int, b: int, interpret: bool,
             jb //= 2
         planes = jax.lax.map(lambda t: merge_call(*t), planes)
         m += 1
+    if layout == "sub":
+        planes = tuple(x.transpose(0, 2, 1) for x in planes)
     return tuple(x.reshape(-1) for x in planes)
 
 
@@ -336,10 +373,11 @@ def _padded_size(n: int, block_elems: int):
     return nn, b
 
 
-@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped"))
+@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped",
+                                   "layout"))
 def sort_codes_pallas(
     codes: jnp.ndarray, block_elems: int = 1 << 18, interpret: bool = False,
-    looped: bool = False,
+    looped: bool = False, layout: str = "lane",
 ) -> jnp.ndarray:
     """Ascending sort of a uint64 code array (drop-in for
     jax.lax.sort(codes) in the count pipeline, which pre-pads to a
@@ -352,17 +390,19 @@ def sort_codes_pallas(
         pad = jnp.full((nn - n,), jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
         codes = jnp.concatenate([codes, pad])
     planes = _bitonic_sort_planes(_key_planes(codes), nn, b, interpret,
-                                  looped)
+                                  looped, layout)
     return _codes_from_planes(planes[0], planes[1])[:n]
 
 
-@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped"))
+@partial(jax.jit, static_argnames=("block_elems", "interpret", "looped",
+                                   "layout"))
 def sort_codes_taxids_pallas(
     codes: jnp.ndarray,
     taxids: jnp.ndarray,
     block_elems: int = 1 << 18,
     interpret: bool = False,
     looped: bool = False,
+    layout: str = "lane",
 ):
     """Key+value sort: (sorted codes, co-sorted uint32 taxids) — the
     pallas twin of ops.sort.sort_codes_taxids.  NOT stable in ties
@@ -380,7 +420,7 @@ def sort_codes_taxids_pallas(
         )
     v = jax.lax.bitcast_convert_type(taxids.astype(jnp.uint32), jnp.int32)
     planes = _bitonic_sort_planes(
-        _key_planes(codes) + (v,), nn, b, interpret, looped
+        _key_planes(codes) + (v,), nn, b, interpret, looped, layout
     )
     out_tax = jax.lax.bitcast_convert_type(planes[2], jnp.uint32)
     return _codes_from_planes(planes[0], planes[1])[:n], out_tax[:n]

@@ -18,6 +18,11 @@ Collapse modes (util-sort.go:377-388,519-530):
   'repeated'  final round: codes with >= 2 occurrences, once;
               non-final rounds: write min(count, 2) copies so a later
               round can still detect duplicates
+  'once'      final round: codes occurring EXACTLY once (count -u
+              semantics, count.go:474-480); non-final rounds identical
+              to 'repeated' (capped multiplicity min(count, 2) keeps
+              the ==1 vs >=2 distinction exact across rounds).  Used by
+              the beyond-RAM count spill (models/count.py), codes-only.
 """
 
 from __future__ import annotations
@@ -98,11 +103,11 @@ def collapse_batch(codes, taxids, mode, taxdb, final_round: bool):
         u_codes = codes[first]
     if mode == "unique":
         return u_codes, u_tax
-    # repeated
+    # repeated / once
     run_id = np.cumsum(first) - 1
     counts = np.bincount(run_id)
     if final_round:
-        keep = counts >= 2
+        keep = counts == 1 if mode == "once" else counts >= 2
         return u_codes[keep], None if u_tax is None else u_tax[keep]
     reps = np.minimum(counts, 2)
     out_codes = np.repeat(u_codes, reps)
