@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Multi-device scaling bench for the sharded count pipeline.
+
+Measures the jitted all_to_all sharded build (parallel/sharded.py —
+the engine behind `count --mesh N`) at mesh sizes 1, 2, ..., D and
+prints one JSON line per size:
+
+  {"metric": "mesh_count_distinct", "devices": D, "value": N,
+   "unit": "kmers/s", "scaling_efficiency": E}
+
+where E = throughput(D) / (D * throughput(1)).
+
+Today only one real chip is attached, so the default run uses the
+virtual CPU mesh (UNIKMER_TPU_PLATFORM=cpu + 8 virtual devices) to
+exercise the exact collective program; the day real multi-chip
+hardware appears, run with the default platform and the same script
+reports real ICI-scaled numbers.
+
+Usage: python bench_multichip.py [--devices N] [--size LOG2_BASES]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=0,
+                    help="max mesh size (0 = all attached devices)")
+    ap.add_argument("--size", type=int, default=0,
+                    help="log2 bases per run (0 = 22 on cpu, 25 on tpu)")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if os.environ.get("UNIKMER_TPU_PLATFORM") is None and not os.environ.get(
+        "UNIKMER_TPU_MULTICHIP_REAL"
+    ):
+        # default to the virtual CPU mesh unless explicitly told the
+        # real multi-chip fabric exists (a single tunnel chip cannot
+        # form a mesh > 1 anyway)
+        os.environ["UNIKMER_TPU_PLATFORM"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
+    import numpy as np
+
+    import unikmer_tpu  # noqa: F401  (platform config, hugepage fix)
+    import jax
+
+    from unikmer_tpu.models.count import CountConfig
+    from unikmer_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+    from unikmer_tpu.parallel.sharded import (
+        build_sharded_distinct, pack_host_shards,
+    )
+
+    n_avail = jax.device_count()
+    max_d = args.devices or n_avail
+    max_d = min(max_d, n_avail)
+    log_size = args.size or (25 if jax.default_backend() == "tpu" else 22)
+    size = 1 << log_size
+    k = 23
+    rng = np.random.default_rng(20260819)
+    bases = rng.integers(0, 4, size=size, dtype=np.uint8)
+    cfg = CountConfig(k=k, canonical=True)
+    windows = size - k + 1
+
+    base_kps = None
+    d = 1
+    while d <= max_d:
+        mesh = make_mesh(d)
+        rows = pack_host_shards(bases, d, k)
+        capacity = max(2 * windows // (d * d) + 1, 1024)
+        step = build_sharded_distinct(mesh, cfg, capacity)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dev_rows = jax.device_put(
+            rows, NamedSharding(mesh, P(SHARD_AXIS, None))
+        )
+        out, counts, dropped = step(dev_rows)  # compile + first run
+        assert int(np.asarray(dropped)[0]) == 0, "capacity overflow"
+        total = int(np.asarray(counts).sum())
+        best = 1e9
+        for _ in range(args.reps):
+            t0 = time.time()
+            _, counts, _ = step(dev_rows)
+            int(np.asarray(counts).sum())  # scalar fetch forces execution
+            best = min(best, time.time() - t0)
+        kps = windows / best
+        if base_kps is None:
+            base_kps = kps
+        eff = kps / (d * base_kps)
+        print(json.dumps({
+            "metric": "mesh_count_distinct",
+            "devices": d,
+            "value": round(kps),
+            "unit": "kmers/s",
+            "scaling_efficiency": round(eff, 3),
+        }))
+        print(
+            f"# d={d} distinct={total} best={best*1e3:.1f}ms "
+            f"backend={jax.default_backend()}",
+            file=sys.stderr,
+        )
+        d *= 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

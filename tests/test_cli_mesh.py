@@ -1,0 +1,91 @@
+"""CLI --mesh routing: count/union/inter/diff through the sharded
+engine on the virtual 8-device CPU mesh must match the single-device
+paths byte-for-byte (VERDICT round-1 next #2)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unikmer_tpu.io.unik import UnikReader
+from tests.conftest import random_dna
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+def cli(argv):
+    from unikmer_tpu.cli.main import main
+
+    os.environ["UNIKMER_DB"] = TAXDUMP
+    return main([str(a) for a in argv])
+
+
+def read_codes(path):
+    with UnikReader(path) as r:
+        codes, _ = r.read_all()
+        return np.asarray(codes)
+
+
+@pytest.fixture()
+def genome_files(tmp_path, rng):
+    paths = []
+    shared = random_dna(rng, 1500).decode()
+    for i in range(3):
+        seqs = [shared] + [random_dna(rng, n).decode()
+                           for n in (2000 + 311 * i, 900)]
+        p = tmp_path / f"g{i}.fa"
+        p.write_text("".join(f">s{j}\n{s}\n" for j, s in enumerate(seqs)))
+        paths.append(str(p))
+    return paths
+
+
+@pytest.mark.parametrize("extra", [[], ["-H"], ["-d"], ["-u"],
+                                   ["-H", "-D", "3"]])
+def test_count_mesh_matches_single(tmp_path, genome_files, extra):
+    a = tmp_path / "single"
+    b = tmp_path / "mesh"
+    assert cli(["count", "-k", 21, "-K", "-s", genome_files[0], "-o", a,
+                *extra]) == 0
+    assert cli(["count", "-k", 21, "-K", "-s", genome_files[0], "-o", b,
+                "--mesh", 4, *extra]) == 0
+    np.testing.assert_array_equal(
+        read_codes(f"{a}.unik"), read_codes(f"{b}.unik"))
+
+
+def test_set_ops_mesh_match_single(tmp_path, genome_files):
+    uniks = []
+    for i, g in enumerate(genome_files):
+        out = tmp_path / f"u{i}"
+        assert cli(["count", "-k", 19, "-K", "-s", g, "-o", out]) == 0
+        uniks.append(f"{out}.unik")
+    for op, args in (
+        ("union", ["-s"]),
+        ("inter", []),
+        ("diff", ["-s"]),
+    ):
+        a = tmp_path / f"{op}.single"
+        b = tmp_path / f"{op}.mesh"
+        assert cli([op, *uniks, "-o", a, *args]) == 0
+        assert cli([op, *uniks, "-o", b, "--mesh", 4, *args]) == 0
+        np.testing.assert_array_equal(
+            read_codes(f"{a}.unik"), read_codes(f"{b}.unik"), err_msg=op)
+
+
+def test_mesh_capacity_retry(tmp_path, genome_files, monkeypatch):
+    # a deliberately tiny initial capacity forces the dropped-counter
+    # retry loop (doubling until no overflow)
+    from unikmer_tpu.io.fastx import pack_files
+    from unikmer_tpu.models.count import CountConfig
+    from unikmer_tpu.parallel.sharded import mesh_count_distinct
+
+    packed = pack_files([genome_files[0]], 21)
+    cfg = CountConfig(k=21, canonical=True)
+    want = mesh_count_distinct(packed.bases, cfg, 4)
+    got = mesh_count_distinct(packed.bases, cfg, 4, capacity=16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_count_mesh_too_many_devices_dies(tmp_path, genome_files):
+    out = tmp_path / "x"
+    assert cli(["count", "-k", 21, "-K", genome_files[0], "-o", out,
+                "--mesh", 64]) != 0

@@ -188,6 +188,35 @@ def run(args) -> int:
             return pack_files(files, k, args.circular)
         return pack_records(records(), k, args.circular)
 
+    if (
+        opt.mesh >= 2
+        and not args.linear
+        and not args.parse_taxid
+        and args.minimizer_w == 0
+        and args.syncmer_s == 0
+    ):
+        # --mesh N: range-partitioned sharded build over a device mesh
+        # (parallel/sharded.py all_to_all repartition; SURVEY.md §2.4).
+        # Sketches stay single-device (selection spans w windows, not
+        # halo-segmentable) and -l needs genome order.
+        _ensure_device_env()
+        import jax
+
+        if jax.device_count() < opt.mesh:
+            die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
+                f"found {jax.device_count()}")
+        from ...parallel.sharded import mesh_count_distinct
+
+        packed = pack_all()
+        codes = mesh_count_distinct(packed.bases, make_cfg(), opt.mesh)
+        out, _ = out_binary_stream(out_file)
+        with unik.UnikWriter(
+            out, flag=flag, number=len(codes), **writer_kw
+        ) as w:
+            w.write_codes(codes)
+        log_saved(opt, len(codes), out_file)
+        return 0
+
     if args.linear:
         # re-exec (if the device env must be restored) BEFORE touching
         # the output stream or stdin: UnikWriter's gzip wrapper writes

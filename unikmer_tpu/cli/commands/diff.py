@@ -61,14 +61,20 @@ def run(args) -> int:
             other_codes.append(codes)
             other_tax.append(taxids)
 
-    codes, taxids = sets.subtract(
-        q_codes,
-        q_tax,
-        other_codes,
-        other_tax if has_taxid else None,
-        compare_taxid=args.compare_taxid,
-        taxdb=taxdb,
-    )
+    if q_tax is None and not args.compare_taxid and opt.mesh >= 2:
+        from .union import _mesh_codes
+
+        codes = _mesh_codes("diff", [q_codes] + other_codes, h0, opt)
+        taxids = None
+    else:
+        codes, taxids = sets.subtract(
+            q_codes,
+            q_tax,
+            other_codes,
+            other_tax if has_taxid else None,
+            compare_taxid=args.compare_taxid,
+            taxdb=taxdb,
+        )
     out_file = write_result(
         args.out_prefix, opt, h0, codes, taxids, sort_flag=args.sort
     )

@@ -27,8 +27,13 @@ def run(args) -> int:
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(
         files, opt, require_sorted=True, mix_taxid=args.mix_taxid
     )
-    taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
-    codes, taxids = sets.intersect(code_arrays, taxid_arrays, taxdb)
+    if taxid_arrays is None and opt.mesh >= 2:
+        from .union import _mesh_codes
+
+        codes, taxids = _mesh_codes("inter", code_arrays, headers[0], opt), None
+    else:
+        taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
+        codes, taxids = sets.intersect(code_arrays, taxid_arrays, taxdb)
     out_file = write_result(
         args.out_prefix, opt, headers[0], codes, taxids, sort_flag=True
     )

@@ -24,10 +24,31 @@ def register(subparsers):
 def run(args) -> int:
     opt, files = unik_inputs(args)
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(files, opt)
-    taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
-    codes, taxids = sets.union(code_arrays, taxid_arrays, taxdb)
+    if taxid_arrays is None and opt.mesh >= 2:
+        codes, taxids = _mesh_codes("union", code_arrays, headers[0], opt), None
+    else:
+        taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
+        codes, taxids = sets.union(code_arrays, taxid_arrays, taxdb)
     out_file = write_result(
         args.out_prefix, opt, headers[0], codes, taxids, sort_flag=args.sort
     )
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _mesh_codes(op, code_arrays, h0, opt):
+    """Route a taxid-free set op through the sharded mesh engine
+    (parallel/sharded.mesh_set_op; --mesh N)."""
+    import jax
+
+    from ...utils.log import die
+
+    if jax.device_count() < opt.mesh:
+        die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
+            f"found {jax.device_count()}")
+    from ...parallel.sharded import mesh_set_op
+
+    return mesh_set_op(
+        op, code_arrays, opt.mesh,
+        code_bits=64 if h0.is_hashed else 2 * h0.k,
+    )

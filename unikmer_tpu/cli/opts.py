@@ -31,6 +31,7 @@ class Options:
     data_dir: str = DEFAULT_DATA_DIR
     skip_flag_check: bool = False
     skip_file_check: bool = False
+    mesh: int = 0  # >= 2: shard count/union/inter/diff across N devices
 
 
 def add_global_flags(p: argparse.ArgumentParser) -> None:
@@ -56,6 +57,12 @@ def add_global_flags(p: argparse.ArgumentParser) -> None:
                    help="do not check binary file flags")
     g.add_argument("--skip-file-check", action="store_true",
                    help="skip checking input file existence")
+    g.add_argument("--mesh", type=int,
+                   default=int(os.environ.get("UNIKMER_TPU_MESH", "0")),
+                   help="shard count/union/inter/diff across a device mesh "
+                        "of this many chips (0 = single-device; needs >= N "
+                        "attached devices; no TPU scope: taxid columns, "
+                        "sketches, -l/linear order)")
 
 
 def get_options(args: argparse.Namespace) -> Options:
@@ -79,6 +86,7 @@ def get_options(args: argparse.Namespace) -> Options:
         data_dir=data_dir,
         skip_flag_check=args.skip_flag_check,
         skip_file_check=args.skip_file_check,
+        mesh=args.mesh,
     )
     init_logging(opt.verbose)
     return opt

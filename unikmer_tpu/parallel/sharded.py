@@ -71,7 +71,12 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     (owned codes (D, capacity*D) sentinel-padded sorted, per-shard count,
     dropped count).  Boundary windows are handled by the caller packing
     each row with its own record structure (rows are independent
-    records/slices)."""
+    records/slices).
+
+    cfg.mode drives the collapse: the all_to_all delivers EVERY
+    occurrence of a code to its owner shard (range partition,
+    duplicates included), so unique/repeated multiplicity filters are
+    exact per shard."""
     n_shards = mesh.shape[SHARD_AXIS]
     code_bits = 64 if cfg.hashed else 2 * cfg.k
 
@@ -93,10 +98,10 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
             buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
         )
         mine = recv.reshape(-1)  # n_shards * capacity codes destined here
-        # local sorted distinct collapse (sentinel-aware)
+        # local sorted collapse (sentinel-aware)
         from ..ops.sort import collapse_sorted
 
-        out, n = collapse_sorted(mine, mine != SENT, mode="distinct")
+        out, n = collapse_sorted(mine, mine != SENT, mode=cfg.mode)
         total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
         return out[None], n[None], total_dropped[None]
 
@@ -261,3 +266,87 @@ def pack_host_shards(bases: np.ndarray, n_shards: int, k: int) -> np.ndarray:
         if lo < n:
             out[i, : hi - lo] = bases[lo:hi]
     return out
+
+
+# ---------------------------------------------------------------------
+# Host-facing drivers (the CLI's --mesh entry points)
+# ---------------------------------------------------------------------
+
+
+def _collect_sharded(out, counts) -> np.ndarray:
+    """Fetch a (D, C) sentinel-padded sharded result into one sorted
+    host array (range partition => per-shard prefixes concatenate into
+    the globally sorted set)."""
+    out = np.asarray(out)
+    counts = np.asarray(counts)
+    return np.concatenate(
+        [out[i, : int(counts[i])] for i in range(out.shape[0])]
+    ) if out.shape[0] else np.zeros(0, np.uint64)
+
+
+def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
+                        n_devices: int | None = None,
+                        capacity: int | None = None) -> np.ndarray:
+    """Host driver for `count --mesh N`: flat packed bases -> sorted
+    collapsed codes (cfg.mode) via the all_to_all sharded build.
+    Bucket overflow is detected exactly (dropped counter) and retried
+    with doubled capacity — the analog of the reference's chunk-size
+    retry knob (sort.go -m)."""
+    from .mesh import make_mesh
+
+    mesh = make_mesh(n_devices)
+    d = mesh.shape[SHARD_AXIS]
+    windows = max(len(bases) - cfg.k + 1, 0)
+    if windows == 0:
+        return np.zeros(0, np.uint64)
+    if capacity is None:
+        # expected per (src shard, dst bucket) load is windows/d^2; 2x
+        # slack + floor absorbs skew (2-bit codes are composition-biased)
+        capacity = max(2 * windows // (d * d) + 1, 1024)
+    rows = pack_host_shards(bases, d, cfg.k)
+    while True:
+        step = build_sharded_distinct(mesh, cfg, capacity)
+        out, counts, dropped = step(rows)
+        if int(np.asarray(dropped)[0]) == 0:
+            return _collect_sharded(out, counts)
+        capacity *= 2
+
+
+def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
+                code_bits: int = 64) -> np.ndarray:
+    """Host driver for `union/inter/diff --mesh N` over taxid-free
+    inputs: inputs are deduped, range-partitioned across the mesh, and
+    reduced per shard (union = present in >= 1 set, inter = in all F,
+    diff = first minus union of the rest), with psum totals.  Returns
+    the sorted result codes."""
+    from .mesh import make_mesh
+
+    if op not in ("union", "inter", "diff"):
+        raise ValueError(f"unknown mesh set op: {op}")
+    arrs = [np.unique(np.ascontiguousarray(c, np.uint64)) for c in code_arrays]
+    if not arrs:
+        return np.zeros(0, np.uint64)
+    if op == "diff" and len(arrs) == 1:
+        return arrs[0]
+    mesh = make_mesh(n_devices)
+    d = mesh.shape[SHARD_AXIS]
+    # common static capacity: the max per-shard load over all inputs
+    log_d = int(np.ceil(np.log2(d))) if d > 1 else 0
+    shift = max(code_bits - log_d, 0)
+    cap = 8
+    for a in arrs:
+        if len(a) == 0:
+            continue
+        b = np.minimum(a >> np.uint64(shift), d - 1)
+        cap = max(cap, int(np.bincount(b.astype(np.int64), minlength=d).max()))
+    cap = -(-cap // 8) * 8
+    parts = [partition_host_set(a, d, cap, code_bits) for a in arrs]
+    if op == "diff":
+        rest = np.stack(parts[1:], axis=1)  # (D, F-1, C)
+        u, un, _ = sharded_common(mesh, 1)(rest)
+        out, n, _ = sharded_set_op(mesh, "diff")(parts[0], np.asarray(u))
+        return _collect_sharded(out, n)
+    stacked = np.stack(parts, axis=1)  # (D, F, C)
+    thr = 1 if op == "union" else len(arrs)
+    out, n, _ = sharded_common(mesh, thr)(stacked)
+    return _collect_sharded(out, n)
