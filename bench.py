@@ -15,6 +15,7 @@ block_until_ready does not reliably synchronize, and the dev-tunnel's
 fetch results at PCIe bandwidth).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -90,7 +91,65 @@ def _probe_device_ready(tries: int = 20, wait_s: int = 90) -> bool:
     return False
 
 
+# --all-configs arms (VERDICT round-1 next #8): the hashed / sketch
+# pipelines are first-class in the reference (count.go:85-130) — bench
+# them so regressions on the k>32 path are caught.  The headline
+# metric stays the single 2-bit line (driver contract: ONE json line
+# on the default run).
+CONFIGS = [
+    ("count_encode_canonical_sort_distinct",
+     CountConfig(k=23, canonical=True)),
+    ("count_nthash_canonical_sort_distinct",
+     CountConfig(k=31, canonical=True, hashed=True)),
+    ("count_scaled_s15_sort_distinct",
+     CountConfig(k=31, canonical=True, hashed=True, scale=15)),
+    ("count_minimizer_w15_sort_distinct",
+     CountConfig(k=31, minimizer_w=15)),
+    ("count_syncmer_s16_sort_distinct",
+     CountConfig(k=31, syncmer_s=16)),
+]
+
+
+def _bench_config(name: str, cfg: CountConfig, dev_bases) -> dict:
+    def step(b):
+        out, n = count_step(b, cfg)
+        return n
+
+    f = jax.jit(step)
+    _watchdog(900)
+    t0 = time.time()
+    n = int(np.asarray(f(dev_bases)))  # compile + first run
+    compile_s = time.time() - t0
+    _watchdog(300)  # re-arm: warm reps are ~60-200 ms; 300s is generous
+    times = []
+    for _ in range(REPS):
+        t = time.time()
+        n = int(np.asarray(f(dev_bases)))
+        times.append(time.time() - t)
+    best = min(times)
+    windows = SIZE - cfg.k + 1
+    kps = windows / best
+    print(
+        f"# {name}: backend={jax.default_backend()} distinct={n} "
+        f"windows={windows} best={best*1e3:.1f}ms "
+        f"times_ms={[round(t*1e3,1) for t in times]} "
+        f"compile_first={compile_s:.1f}s",
+        file=sys.stderr,
+    )
+    return {
+        "metric": name,
+        "value": round(kps),
+        "unit": "kmers/s",
+        "vs_baseline": round(kps / BASELINE_KMERS_PER_SEC, 2),
+    }
+
+
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all-configs", action="store_true",
+                    help="also bench the ntHash/scaled/minimizer/syncmer "
+                         "pipelines (one JSON line per config)")
+    args = ap.parse_args()
     if not _probe_device_ready():
         print(
             "# bench: device unresponsive after all probe retries",
@@ -103,43 +162,17 @@ def main() -> int:
     _watchdog(900)
     rng = np.random.default_rng(20260817)
     bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
-    cfg = CountConfig(k=K, canonical=True)
 
     dev_bases = jax.device_put(bases)
     _ = np.asarray(jax.block_until_ready(dev_bases)[:1])
 
-    def step(b):
-        out, n = count_step(b, cfg)
-        return n
-
-    f = jax.jit(step)
-    t0 = time.time()
-    n = int(np.asarray(f(dev_bases)))  # compile + first run
-    compile_s = time.time() - t0
-
-    _watchdog(300)  # re-arm: warm reps are ~60 ms each; 300s is generous
-    times = []
-    for _ in range(REPS):
-        t = time.time()
-        n = int(np.asarray(f(dev_bases)))
-        times.append(time.time() - t)
-    best = min(times)
-    windows = SIZE - K + 1
-    kps = windows / best
-
-    result = {
-        "metric": "count_encode_canonical_sort_distinct",
-        "value": round(kps),
-        "unit": "kmers/s",
-        "vs_baseline": round(kps / BASELINE_KMERS_PER_SEC, 2),
-    }
-    print(json.dumps(result))
-    print(
-        f"# backend={jax.default_backend()} distinct={n} windows={windows} "
-        f"best={best*1e3:.1f}ms times_ms={[round(t*1e3,1) for t in times]} "
-        f"compile_first={compile_s:.1f}s",
-        file=sys.stderr,
-    )
+    configs = CONFIGS if args.all_configs else CONFIGS[:1]
+    results = [_bench_config(name, cfg, dev_bases) for name, cfg in configs]
+    if args.all_configs:
+        for r in results:
+            print(json.dumps(r))
+    else:
+        print(json.dumps(results[0]))  # driver contract: ONE line
     return 0
 
 

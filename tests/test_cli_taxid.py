@@ -294,3 +294,34 @@ def test_count_compat_syncmer_rejects_parse_taxid(tmp_path, fa, rng):
         "count", "-k", 21, "-S", 11, "--syncmer-impl", "compat",
         path, "-o", tmp_path / "x", "-T", "-r", r"taxid\|(\d+)",
     ]) != 0
+
+
+def test_union_taxids_device_matches_host(tmp_path, fa, rng):
+    """union of taxid-carrying files through the on-device compact-table
+    LCA (UNIKMER_TPU_DEVICE_TAXID=1) must equal the host engine."""
+    shared = random_dna(rng, 300).decode()
+    paths = []
+    for i, t in enumerate((511145, 585057, 349741)):
+        s = shared + random_dna(rng, 200 + 37 * i).decode()
+        p = fa(f"u{i}.fa", [(f"r{i} taxid|{t}", s)])
+        out = tmp_path / f"u{i}"
+        assert cli(["count", "-k", 13, "-K", "-s", p, "-o", out,
+                    "-T", "-r", r"taxid\|(\d+)"]) == 0
+        paths.append(f"{out}.unik")
+    results = {}
+    for knob in ("0", "1"):
+        out = tmp_path / f"union{knob}"
+        old = os.environ.pop("UNIKMER_TPU_DEVICE_TAXID", None)
+        os.environ["UNIKMER_TPU_DEVICE_TAXID"] = knob
+        try:
+            assert cli(["union", *paths, "-o", out, "-s"]) == 0
+        finally:
+            os.environ.pop("UNIKMER_TPU_DEVICE_TAXID", None)
+            if old is not None:
+                os.environ["UNIKMER_TPU_DEVICE_TAXID"] = old
+        results[knob] = read_unik(f"{out}.unik")
+    _, c0, t0 = results["0"]
+    _, c1, t1 = results["1"]
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(t0, t1)
+    assert len(set(np.asarray(t0).tolist())) > 1  # LCA actually merged

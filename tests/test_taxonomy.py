@@ -122,3 +122,90 @@ def test_rank(taxdb):
     assert taxdb.rank(562) == "species"
     assert taxdb.rank(561) == "genus"
     assert taxdb.rank(123456789) == ""
+
+
+def test_lca_closure_and_compact_table():
+    from unikmer_tpu.taxonomy.lca import compact_ids, lca_closure
+    from tests.test_cli_taxid import TAXDUMP  # noqa: F401
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    import os
+
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    vocab = np.array([511145, 585057, 349741], np.uint32)
+    closure, tab = lca_closure(taxdb, vocab)
+    assert closure[0] == 0
+    # closure is closed under meet: every table entry indexes closure
+    assert tab.min() >= 0 and tab.max() < len(closure)
+    ids = compact_ids(closure, vocab)
+    # pairwise merges through the table == host lca_pairs
+    for i, a in enumerate(vocab):
+        for j, b in enumerate(vocab):
+            got = closure[tab[ids[i], ids[j]]]
+            want = int(taxdb.lca_pairs(np.array([a]), np.array([b]))[0])
+            assert int(got) == want, (a, b)
+    # identity row/col: LCA(0, x) = x
+    for i in range(len(closure)):
+        assert closure[tab[0, i]] == closure[i]
+        assert closure[tab[i, 0]] == closure[i]
+
+
+def test_count_taxids_device_matches_host_reduce(rng, monkeypatch):
+    """count -T's on-device compact-table LCA collapse must match the
+    host lca_reduce path byte-for-byte for every mode."""
+    import os
+
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    import re
+
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    from tests.conftest import random_dna
+
+    shared = random_dna(rng, 400).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562, 511145)):
+        seq = shared + random_dna(rng, 300 + 41 * i).decode()
+        recs.append(Record(
+            b"r%d taxid|%d" % (i, t), b"", seq.encode()
+        ))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    for mode in ("distinct", "unique", "repeated"):
+        for scale in (1, 3):
+            cfg = CountConfig(k=15, canonical=True, mode=mode,
+                              hashed=scale > 1, scale=scale)
+            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+            want_c, want_t = count_packed_taxids(
+                iter(recs), cfg, re_taxid, taxdb)
+            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+            got_c, got_t = count_packed_taxids(
+                iter(recs), cfg, re_taxid, taxdb)
+            np.testing.assert_array_equal(got_c, want_c, err_msg=f"{mode}")
+            np.testing.assert_array_equal(got_t, want_t, err_msg=f"{mode}")
+
+
+def test_count_taxids_unknown_vocab_falls_back(rng, monkeypatch):
+    # unknown nonzero taxids: order-dependent host rule -> device route
+    # must decline (result equals the host engine exactly)
+    import os
+    import re
+
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import (
+        CountConfig, _device_taxid_route, count_packed_taxids,
+    )
+    from unikmer_tpu.io.fastx import pack_records
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    from tests.conftest import random_dna
+
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    recs = [Record(b"r0 taxid|99999999", b"", random_dna(rng, 300))]
+    packed = pack_records(recs, 15)
+    assert _device_taxid_route(
+        packed, np.array([99999999], np.uint32), taxdb) is None

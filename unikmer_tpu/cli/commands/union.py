@@ -28,12 +28,46 @@ def run(args) -> int:
         codes, taxids = _mesh_codes("union", code_arrays, headers[0], opt), None
     else:
         taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
-        codes, taxids = sets.union(code_arrays, taxid_arrays, taxdb)
+        res = None
+        if taxdb is not None and _device_taxid_wanted(code_arrays):
+            # on-device LCA union through the compact-closure table
+            # (ops/device_sets.union_taxids_compact; falls back to the
+            # host engine on unknown taxids / oversized vocabularies)
+            from ...ops.device_sets import union_taxids_device
+
+            res = union_taxids_device(code_arrays, taxid_arrays, taxdb)
+        if res is not None:
+            codes, taxids = res
+        else:
+            codes, taxids = sets.union(code_arrays, taxid_arrays, taxdb)
     out_file = write_result(
         args.out_prefix, opt, headers[0], codes, taxids, sort_flag=args.sort
     )
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _device_taxid_wanted(code_arrays) -> bool:
+    """Route the taxid-carrying union through the device?
+    UNIKMER_TPU_DEVICE_TAXID: 1 = whenever the closure guards pass,
+    0 = never, auto (default) = only when a real accelerator is
+    attached AND the merged input is large enough that one device
+    program beats the host merge (the dev tunnel's 6 MB/s fetch makes
+    small unions host-bound)."""
+    import os
+
+    knob = os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto")
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    total = sum(len(c) for c in code_arrays)
+    return total >= int(os.environ.get(
+        "UNIKMER_TPU_DEVICE_TAXID_MIN", str(1 << 22)))
 
 
 def _mesh_codes(op, code_arrays, h0, opt):

@@ -381,6 +381,61 @@ def _pipeline_depth() -> int:
     return 1 if jax.default_backend() == "tpu" else 0
 
 
+@partial(jax.jit, static_argnames=("cfg", "rounds", "mode"))
+def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
+                      rounds: int, mode: str):
+    """Jitted: packed bases + per-position COMPACT taxid ids -> sorted
+    LCA-merged (codes, compact ids) dense prefix + count, entirely on
+    device (VERDICT round-1 next #3; reference count.go:377-410).
+
+    Uses the compact-vocabulary LCA table (taxonomy/lca.lca_closure):
+    each merge round is one gather into a (C, C) table, so the whole
+    taxid collapse lives in the same program as encode + sort."""
+    from ..ops.sort import _compact, _run_bounds
+    from ..taxonomy.lca import lca_collapse_compact
+
+    codes, valid = window_codes(bases, cfg)
+    s_codes, ctax, keep, s_valid = lca_collapse_compact(
+        codes, pos_ctax, valid, lca_tab, rounds
+    )
+    if mode in ("unique", "repeated"):
+        # multiplicity = VALID occurrences per code run
+        first, start, end = _run_bounds(s_codes)
+        v = s_valid.astype(jnp.int64)
+        csum = jnp.cumsum(v)
+        count = csum[end - 1] - csum[start] + v[start]
+        keep = keep & (count == 1 if mode == "unique" else count > 1)
+    n = jnp.sum(keep, dtype=jnp.int64)
+    out_c = _compact(s_codes, keep, jnp.uint64(codec.CODE_SENTINEL))
+    out_t = _compact(ctax, keep, jnp.int32(0))
+    return out_c, out_t, n
+
+
+def _device_taxid_route(packed, rec_taxids, taxdb):
+    """Should count -T keep its LCA reduction on device?  Yes when the
+    padded program fits the validated bucket, the taxid vocabulary's
+    meet-closure fits the compact table, and every taxid is known (the
+    unknown-nonzero rule is order-dependent, so only the host engine's
+    deterministic order defines those).  UNIKMER_TPU_DEVICE_TAXID=0
+    forces the host reduction."""
+    if os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto") == "0":
+        return None
+    if _padded_len(max(len(packed.bases), 1)) > (1 << 25):
+        return None  # beyond the validated bucket: segmented host path
+    from ..taxonomy.lca import lca_closure
+
+    vocab = np.unique(rec_taxids)
+    if not np.all(taxdb.has(vocab) | (vocab == 0)):
+        return None
+    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
+    if len(vocab) > cap:
+        return None
+    closure, lca_tab = lca_closure(taxdb, vocab)
+    if len(closure) > 2 * cap:
+        return None
+    return closure, lca_tab
+
+
 def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     """count -T/--parse-taxid: per-record taxids, LCA-merged per code
     (reference count.go:334-344,377-410).
@@ -416,6 +471,28 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     if packed.n_records != len(records):
         kept = [i for i, rec in enumerate(records) if len(rec.seq) >= cfg.k]
         rec_taxids = rec_taxids[kept]
+    route = _device_taxid_route(packed, rec_taxids, taxdb)
+    if route is not None:
+        from ..taxonomy.lca import compact_ids
+
+        closure, lca_tab = route
+        # per-position compact taxid: repeat each record's id over its
+        # base span (windows starting in separators are invalid anyway)
+        rec_ctax = compact_ids(closure, rec_taxids)
+        spans = np.diff(np.append(packed.starts, len(packed.bases)))
+        pos_ctax = np.repeat(rec_ctax, spans)
+        bases = pad_bases(packed.bases)
+        padded_ctax = np.zeros(len(bases), np.int32)
+        padded_ctax[: len(pos_ctax)] = pos_ctax
+        rounds = max(len(bases).bit_length() - 1, 1)
+        out_c, out_t, n = count_taxids_step(
+            bases, jnp.asarray(padded_ctax), jnp.asarray(lca_tab), cfg,
+            rounds, cfg.mode,
+        )
+        n = int(np.asarray(n))
+        codes = np.asarray(out_c)[:n]
+        taxids = closure[np.asarray(out_t)[:n]]
+        return codes, taxids
     codes, pos = linear_codes_all(packed.bases, cfg)
     rec_id = np.searchsorted(packed.starts, pos, side="right") - 1
     taxids = rec_taxids[rec_id]

@@ -148,3 +148,66 @@ def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
     pos = jnp.where(keep, pos, s_codes.shape[0])
     out_t = jnp.zeros(s_codes.shape, jnp.uint32).at[pos].set(s_tax, mode="drop")
     return out_c, out_t, n
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def union_taxids_compact(codes, ctax, lca_tab, rounds: int):
+    """N-way union with LCA-merged COMPACT-id taxid column in ONE
+    program: feed the concatenation of all inputs (SENT padding, ctax 0
+    on padding); the collapse sorts, merges each code run through the
+    (C, C) closure table (one gather per doubling round), and compacts.
+    Returns (codes, compact ids, n).  Device analog of ops/sets.union +
+    taxdb.lca_reduce (union.go:195-202) in TPU-fit form (no tree-walk
+    gathers — see taxonomy/lca.py 'Compact-vocabulary LCA')."""
+    from ..taxonomy.lca import lca_collapse_compact
+
+    valid = codes != SENT
+    s_codes, tax, keep, _ = lca_collapse_compact(
+        codes, ctax, valid, lca_tab, rounds
+    )
+    out_c, n = _compact_mask(s_codes, keep)
+    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
+    pos = jnp.where(keep, pos, s_codes.shape[0])
+    out_t = jnp.zeros(s_codes.shape, jnp.int32).at[pos].set(tax, mode="drop")
+    return out_c, out_t, n
+
+
+def union_taxids_device(code_arrays, taxid_arrays, taxdb):
+    """Host driver for the device taxid union: returns (codes, taxids)
+    or None when the compact-closure guards decline (unknown nonzero
+    taxids — their merge rule is order-dependent and owned by the host
+    engine — or a vocabulary too large for the (C, C) table)."""
+    import os
+
+    from ..taxonomy.lca import compact_ids, lca_closure
+
+    all_tax = np.concatenate(
+        [np.asarray(t, np.uint32) for t in taxid_arrays]
+    ) if taxid_arrays else np.zeros(0, np.uint32)
+    vocab = np.unique(all_tax)
+    if not np.all(taxdb.has(vocab) | (vocab == 0)):
+        return None
+    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
+    if len(vocab) > cap:
+        return None
+    closure, lca_tab = lca_closure(taxdb, vocab)
+    if len(closure) > 2 * cap:
+        return None
+    codes = np.concatenate(
+        [np.asarray(c, np.uint64) for c in code_arrays]
+    ) if code_arrays else np.zeros(0, np.uint64)
+    ctax = compact_ids(closure, all_tax)
+    # pad to the pipeline's pow-2 program quanta (bounded recompiles)
+    from ..models.count import _padded_len
+
+    nn = _padded_len(max(len(codes), 1))
+    pad_c = np.full(nn, np.uint64(SENT), np.uint64)
+    pad_c[: len(codes)] = codes
+    pad_t = np.zeros(nn, np.int32)
+    pad_t[: len(ctax)] = ctax
+    rounds = max(nn.bit_length() - 1, 1)
+    out_c, out_t, n = union_taxids_compact(
+        jnp.asarray(pad_c), jnp.asarray(pad_t), jnp.asarray(lca_tab), rounds
+    )
+    n = int(np.asarray(n))
+    return np.asarray(out_c)[:n], closure[np.asarray(out_t)[:n]]

@@ -31,16 +31,25 @@ from .codec import CODE_SENTINEL
 def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
     """The device u64 sort primitive.  UNIKMER_TPU_PALLAS_SORT=1 routes
     through the VMEM-blocked bitonic kernel (ops/pallas_sort.py) instead
-    of XLA's sort; read at trace time, so set it before first compile."""
+    of XLA's sort; read at trace time, so set it before first compile.
+
+    Stays OFF by default after the round-2 on-chip race: the best
+    kernel (unrolled 2^16 block, sublane-major layout) reaches 48.3 ms
+    vs lax.sort's 50.3 ms at 2^23 but LOSES at the 2^25 bench bucket
+    (196.8 vs 150.1 ms — cross-block rounds grow) — bitonic comparator
+    work is invariant to blocking and XLA's sort already runs its
+    network at ~HBM bandwidth.  Full numbers: docs/BENCH_NOTES.md
+    round-2 sort investigation."""
     if os.environ.get("UNIKMER_TPU_PALLAS_SORT") == "1" and codes.ndim == 1:
         from .pallas_sort import sort_codes_pallas
 
-        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
+        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 16))
         lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
+        layout = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LAYOUT", "sub")
         # CPU has no Mosaic: interpret mode keeps the routing testable
         interp = jax.default_backend() == "cpu"
         return sort_codes_pallas(codes, block_elems=blk, looped=lp,
-                                 interpret=interp)
+                                 layout=layout, interpret=interp)
     return jax.lax.sort(codes)
 
 
@@ -136,9 +145,11 @@ def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
     ):
         from .pallas_sort import sort_codes_taxids_pallas
 
-        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 18))
+        blk = int(os.environ.get("UNIKMER_TPU_PALLAS_SORT_BLOCK", 1 << 16))
         lp = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LOOPED") == "1"
+        layout = os.environ.get("UNIKMER_TPU_PALLAS_SORT_LAYOUT", "sub")
         interp = jax.default_backend() == "cpu"
         return sort_codes_taxids_pallas(codes, taxids, block_elems=blk,
-                                        looped=lp, interpret=interp)
+                                        looped=lp, layout=layout,
+                                        interpret=interp)
     return jax.lax.sort((codes, taxids), num_keys=1)

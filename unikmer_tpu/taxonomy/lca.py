@@ -108,3 +108,86 @@ def lca_collapse_device(codes, taxids, valid, parent, depth,
         tax = jnp.where(same_run, merged, tax)
     keep = first & s_valid
     return s_codes, tax, keep
+
+
+# ---------------------------------------------------------------------
+# Compact-vocabulary LCA: the TPU-fit representation
+# ---------------------------------------------------------------------
+#
+# Tree-walking LCA (above) costs 2*max_depth dependent gathers per
+# merge round — fine on CPU meshes, pathological on this TPU backend
+# (random gather ~85M elem/s).  But a batch's taxid VOCABULARY is tiny
+# (<= #records), and the meet-closure of V nodes in a tree has at most
+# 2V-1 members (the LCA of any set equals the LCA of one PAIR of its
+# extremal members, so the all-pairs meet set is closed under meet).
+# Precompute the closure's all-pairs LCA table on host once; every
+# device merge round is then ONE gather into a (C, C) table instead of
+# 2*max_depth tree steps.  Reference analog: the mt[code]=LCA(...) map
+# loops (count.go:405-410, union.go:195-202).
+
+
+def lca_closure(taxdb, taxids):
+    """(closure uint32 sorted (0 first), lca_tab int32 (C, C)) for the
+    taxid vocabulary ``taxids``.  lca_tab[i, j] = compact id of
+    LCA(closure[i], closure[j]) with the host identity/unknown
+    semantics (0 identity; unknown -> 0)."""
+    vocab = np.unique(
+        np.concatenate([np.asarray(taxids, np.uint32).reshape(-1),
+                        np.zeros(1, np.uint32)])
+    )
+    ii, jj = np.meshgrid(vocab, vocab, indexing="ij")
+    pair_lca = taxdb.lca_pairs(ii.reshape(-1), jj.reshape(-1))
+    closure = np.unique(np.concatenate([vocab, pair_lca]))
+    ci, cj = np.meshgrid(closure, closure, indexing="ij")
+    tab = taxdb.lca_pairs(ci.reshape(-1), cj.reshape(-1))
+    ids = np.searchsorted(closure, tab).astype(np.int32)
+    return closure, ids.reshape(len(closure), len(closure))
+
+
+def compact_ids(closure: np.ndarray, taxids: np.ndarray) -> np.ndarray:
+    """Map taxids (all members of the vocabulary) to compact ids."""
+    return np.searchsorted(closure, np.asarray(taxids, np.uint32)).astype(
+        np.int32
+    )
+
+
+@jax.jit
+def lca_pairs_compact(ca, cb, lca_tab):
+    """Elementwise LCA over COMPACT ids: one gather."""
+    c = lca_tab.shape[0]
+    return lca_tab.reshape(-1)[ca.astype(jnp.int32) * c + cb.astype(jnp.int32)]
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int):
+    """Device sorted-distinct collapse with LCA-merged COMPACT-id taxid
+    column: the TPU-fit twin of lca_collapse_device (one table gather
+    per doubling round; rounds = ceil(log2(n)) is always convergent).
+
+    Returns (sorted codes, merged compact ids, keep mask, valid mask)
+    aligned to the sorted order.
+    """
+    invalid = (~valid).astype(jnp.uint8)
+    s_codes, s_inv, s_tax = jax.lax.sort(
+        (codes, invalid, ctax.astype(jnp.int32)), num_keys=2
+    )
+    s_valid = s_inv == 0
+    n = codes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    tax = jnp.where(s_valid, s_tax, 0)
+    c = lca_tab.shape[0]
+    flat = lca_tab.reshape(-1)
+    for r in range(rounds):
+        d = 1 << r
+        if d >= n:
+            break
+        shifted = jnp.concatenate([tax[d:], jnp.zeros((d,), tax.dtype)])
+        same_run = jnp.concatenate(
+            [start[d:] == start[:-d], jnp.zeros((d,), bool)]
+        )
+        merged = flat[tax * c + shifted]
+        tax = jnp.where(same_run, merged, tax)
+    keep = first & s_valid
+    return s_codes, tax, keep, s_valid
