@@ -71,6 +71,20 @@ def test_set_ops_mesh_match_single(tmp_path, genome_files):
             read_codes(f"{a}.unik"), read_codes(f"{b}.unik"), err_msg=op)
 
 
+def test_common_mesh_matches_single(tmp_path, genome_files):
+    uniks = []
+    for i, g in enumerate(genome_files):
+        out = tmp_path / f"c{i}"
+        assert cli(["count", "-k", 17, "-K", "-s", g, "-o", out]) == 0
+        uniks.append(f"{out}.unik")
+    a = tmp_path / "common.single"
+    b = tmp_path / "common.mesh"
+    assert cli(["common", *uniks, "-n", 2, "-o", a]) == 0
+    assert cli(["common", *uniks, "-n", 2, "-o", b, "--mesh", 4]) == 0
+    np.testing.assert_array_equal(
+        read_codes(f"{a}.unik"), read_codes(f"{b}.unik"))
+
+
 def test_mesh_capacity_retry(tmp_path, genome_files, monkeypatch):
     # a deliberately tiny initial capacity forces the dropped-counter
     # retry loop (doubling until no overflow)

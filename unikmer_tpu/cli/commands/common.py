@@ -56,7 +56,14 @@ def run(args) -> int:
                 )
             else:
                 code_arrays[i] = native.host_sort(code_arrays[i])
-    codes, taxids = sets.common(code_arrays, taxid_arrays, threshold, taxdb)
+    if taxid_arrays is None and opt.mesh >= 2:
+        from .union import _mesh_codes
+
+        codes, taxids = _mesh_codes(
+            "common", code_arrays, headers[0], opt, threshold=threshold
+        ), None
+    else:
+        codes, taxids = sets.common(code_arrays, taxid_arrays, threshold, taxdb)
     out_file = write_result(
         args.out_prefix, opt, headers[0], codes, taxids, sort_flag=True
     )

@@ -70,7 +70,7 @@ def _device_taxid_wanted(code_arrays) -> bool:
         "UNIKMER_TPU_DEVICE_TAXID_MIN", str(1 << 22)))
 
 
-def _mesh_codes(op, code_arrays, h0, opt):
+def _mesh_codes(op, code_arrays, h0, opt, threshold=None):
     """Route a taxid-free set op through the sharded mesh engine
     (parallel/sharded.mesh_set_op; --mesh N)."""
     import jax
@@ -85,4 +85,5 @@ def _mesh_codes(op, code_arrays, h0, opt):
     return mesh_set_op(
         op, code_arrays, opt.mesh,
         code_bits=64 if h0.is_hashed else 2 * h0.k,
+        threshold=threshold,
     )

@@ -313,15 +313,16 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
 
 
 def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
-                code_bits: int = 64) -> np.ndarray:
-    """Host driver for `union/inter/diff --mesh N` over taxid-free
-    inputs: inputs are deduped, range-partitioned across the mesh, and
-    reduced per shard (union = present in >= 1 set, inter = in all F,
-    diff = first minus union of the rest), with psum totals.  Returns
-    the sorted result codes."""
+                code_bits: int = 64,
+                threshold: int | None = None) -> np.ndarray:
+    """Host driver for `union/inter/diff/common --mesh N` over
+    taxid-free inputs: inputs are deduped, range-partitioned across the
+    mesh, and reduced per shard (union = present in >= 1 set, inter =
+    in all F, common = in >= threshold, diff = first minus union of the
+    rest), with psum totals.  Returns the sorted result codes."""
     from .mesh import make_mesh
 
-    if op not in ("union", "inter", "diff"):
+    if op not in ("union", "inter", "diff", "common"):
         raise ValueError(f"unknown mesh set op: {op}")
     arrs = [np.unique(np.ascontiguousarray(c, np.uint64)) for c in code_arrays]
     if not arrs:
@@ -347,6 +348,8 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
         out, n, _ = sharded_set_op(mesh, "diff")(parts[0], np.asarray(u))
         return _collect_sharded(out, n)
     stacked = np.stack(parts, axis=1)  # (D, F, C)
-    thr = 1 if op == "union" else len(arrs)
+    thr = (1 if op == "union"
+           else len(arrs) if op == "inter"
+           else int(threshold))
     out, n, _ = sharded_common(mesh, thr)(stacked)
     return _collect_sharded(out, n)
