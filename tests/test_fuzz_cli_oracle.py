@@ -219,6 +219,28 @@ def _op_extsort_roundtrip(cli_, rng, tmp, pool, i):
     return f"{out}.unik", set(pool[j][1])
 
 
+def _op_mesh_setop(cli_, rng, tmp, pool, i):
+    """Sharded mesh route (--mesh 4 on the virtual 8-CPU mesh) of a
+    random set op must match the Python-set oracle like the host route."""
+    op = ["union", "inter", "diff"][int(rng.integers(0, 3))]
+    m = int(rng.integers(2, min(3, len(pool)) + 1))
+    picks = rng.choice(len(pool), size=m, replace=False)
+    out = tmp / f"m{i}"
+    argv = [op, *[pool[j][0] for j in picks], "-o", out, "--mesh", 4]
+    if op != "inter":
+        argv.append("-s")
+    assert cli_(argv) == 0
+    if op == "union":
+        want = set().union(*[pool[j][1] for j in picks])
+    elif op == "inter":
+        want = set.intersection(*[set(pool[j][1]) for j in picks])
+    else:
+        want = set(pool[picks[0]][1])
+        for j in picks[1:]:
+            want -= pool[j][1]
+    return f"{out}.unik", want
+
+
 _OPS = [
     _op_union,
     _op_inter,
@@ -227,6 +249,7 @@ _OPS = [
     _op_grep,
     _op_concat_sort,
     _op_extsort_roundtrip,
+    _op_mesh_setop,
 ]
 
 

@@ -158,25 +158,34 @@ def lca_pairs_compact(ca, cb, lca_tab):
     return lca_tab.reshape(-1)[ca.astype(jnp.int32) * c + cb.astype(jnp.int32)]
 
 
+_VALID_BIT = 1 << 30  # packed alongside compact ids (closure << 2^23)
+
+
 @partial(jax.jit, static_argnames=("rounds",))
 def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int):
     """Device sorted-distinct collapse with LCA-merged COMPACT-id taxid
     column: the TPU-fit twin of lca_collapse_device (one table gather
     per doubling round; rounds = ceil(log2(n)) is always convergent).
 
+    ONE sort key only: the validity bit rides packed inside the i32
+    payload (compact ids are tiny), because every extra TPU sort
+    operand/key multiplies AOT compile time (ops/sort.py).  A run's
+    first slot may then be an invalid entry, so 'keep' tests
+    run-has-any-valid instead of first-slot validity.
+
     Returns (sorted codes, merged compact ids, keep mask, valid mask)
     aligned to the sorted order.
     """
-    invalid = (~valid).astype(jnp.uint8)
-    s_codes, s_inv, s_tax = jax.lax.sort(
-        (codes, invalid, ctax.astype(jnp.int32)), num_keys=2
+    payload = jnp.where(
+        valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
-    s_valid = s_inv == 0
+    s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
+    s_valid = s_pay >= jnp.int32(_VALID_BIT)
     n = codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    tax = jnp.where(s_valid, s_tax, 0)
+    tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
     c = lca_tab.shape[0]
     flat = lca_tab.reshape(-1)
     for r in range(rounds):
@@ -189,5 +198,13 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int):
         )
         merged = flat[tax * c + shifted]
         tax = jnp.where(same_run, merged, tax)
-    keep = first & s_valid
+    # any valid member in the run? (cumsum difference over run bounds)
+    v = s_valid.astype(jnp.int32)
+    csum = jnp.cumsum(v)
+    last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
+    end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
+    )[::-1]
+    run_valid = csum[end - 1] - csum[start] + v[start]
+    keep = first & (run_valid > 0)
     return s_codes, tax, keep, s_valid
