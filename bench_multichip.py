@@ -81,13 +81,13 @@ def main() -> int:
         dev_rows = jax.device_put(
             rows, NamedSharding(mesh, P(SHARD_AXIS, None))
         )
-        out, counts, dropped = step(dev_rows)  # compile + first run
+        out, counts, dropped, _sent = step(dev_rows)  # compile + first run
         assert int(np.asarray(dropped)[0]) == 0, "capacity overflow"
         total = int(np.asarray(counts).sum())
         best = 1e9
         for _ in range(args.reps):
             t0 = time.time()
-            _, counts, _ = step(dev_rows)
+            _, counts, _, _ = step(dev_rows)
             int(np.asarray(counts).sum())  # scalar fetch forces execution
             best = min(best, time.time() - t0)
         kps = windows / best

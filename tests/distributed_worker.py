@@ -30,7 +30,7 @@ def main():
 
     mesh = Mesh(np.array(jax.devices()), (SHARD_AXIS,))
     cfg = CountConfig(k=11, canonical=True)
-    out, counts, dropped = sharded_count_distinct(
+    out, counts, dropped, _sent = sharded_count_distinct(
         [fa0, fa1], cfg, mesh, capacity=2048, row_len=4096
     )
     shards = {}

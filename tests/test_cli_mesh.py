@@ -103,3 +103,24 @@ def test_count_mesh_too_many_devices_dies(tmp_path, genome_files):
     out = tmp_path / "x"
     assert cli(["count", "-k", 21, "-K", genome_files[0], "-o", out,
                 "--mesh", 64]) != 0
+
+
+def test_mesh_sentinel_code_exact(tmp_path, rng):
+    # a 32-base poly-T run at k=32 non-canonical encodes to 2^64-1 ==
+    # the padding sentinel; the mesh path must keep it exactly like the
+    # single-device path's collision accounting (ops/sort)
+    seq = random_dna(rng, 500).decode() + "T" * 40 + random_dna(rng, 200).decode()
+    p = tmp_path / "polyt.fa"
+    p.write_text(f">s\n{seq}\n")
+    a = tmp_path / "single"
+    b = tmp_path / "mesh"
+    assert cli(["count", "-k", 32, "-s", str(p), "-o", a]) == 0
+    assert cli(["count", "-k", 32, "-s", str(p), "-o", b, "--mesh", 4]) == 0
+    ca, cb = read_codes(f"{a}.unik"), read_codes(f"{b}.unik")
+    assert ca[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)  # poly-T present
+    np.testing.assert_array_equal(ca, cb)
+    # and through the set ops
+    u = tmp_path / "u"
+    assert cli(["union", f"{a}.unik", f"{b}.unik", "-s", "-o", u,
+                "--mesh", 4]) == 0
+    np.testing.assert_array_equal(read_codes(f"{u}.unik"), ca)

@@ -36,7 +36,7 @@ def test_sharded_count_distinct_end_to_end(tmp_path, rng):
     p.write_text(f">g\n{seq}\n")
     mesh = make_mesh(8)
     cfg = CountConfig(k=13, canonical=True)
-    out, counts, dropped = distributed.sharded_count_distinct(
+    out, counts, dropped, _sent = distributed.sharded_count_distinct(
         [str(p)], cfg, mesh, capacity=2048
     )
     assert int(np.asarray(dropped)[0]) == 0

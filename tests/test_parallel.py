@@ -39,7 +39,7 @@ def test_sharded_distinct_matches_bruteforce(rng, mesh, canonical):
     cfg = CountConfig(k=k, canonical=canonical)
     capacity = 2048
     step = build_sharded_distinct(mesh, cfg, capacity)
-    out, counts, dropped = step(rows)
+    out, counts, dropped, _sent = step(rows)
     out = np.asarray(out)
     counts = np.asarray(counts)
     assert int(np.asarray(dropped)[0]) == 0
@@ -59,7 +59,7 @@ def test_sharded_distinct_hashed(rng, mesh):
     rows = pack_host_shards(bases, 8, k)
     cfg = CountConfig(k=k, canonical=True, hashed=True)
     step = build_sharded_distinct(mesh, cfg, 2048)
-    out, counts, dropped = step(rows)
+    out, counts, dropped, _sent = step(rows)
     assert int(np.asarray(dropped)[0]) == 0
     # compare against single-device count
     from unikmer_tpu.models.count import count_packed
@@ -80,7 +80,7 @@ def test_capacity_overflow_detected(rng, mesh):
     bases = codec.BASE_LUT[np.frombuffer(seq, np.uint8)]
     rows = pack_host_shards(bases, 8, k)
     step = build_sharded_distinct(mesh, CountConfig(k=k), 16)  # tiny capacity
-    out, counts, dropped = step(rows)
+    out, counts, dropped, _sent = step(rows)
     assert int(np.asarray(dropped)[0]) > 0
 
 

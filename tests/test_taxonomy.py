@@ -174,18 +174,25 @@ def test_count_taxids_device_matches_host_reduce(rng, monkeypatch):
             b"r%d taxid|%d" % (i, t), b"", seq.encode()
         ))
     re_taxid = re.compile(rb"taxid\|(\d+)")
-    for mode in ("distinct", "unique", "repeated"):
-        for scale in (1, 3):
-            cfg = CountConfig(k=15, canonical=True, mode=mode,
-                              hashed=scale > 1, scale=scale)
-            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
-            want_c, want_t = count_packed_taxids(
-                iter(recs), cfg, re_taxid, taxdb)
-            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
-            got_c, got_t = count_packed_taxids(
-                iter(recs), cfg, re_taxid, taxdb)
-            np.testing.assert_array_equal(got_c, want_c, err_msg=f"{mode}")
-            np.testing.assert_array_equal(got_t, want_t, err_msg=f"{mode}")
+    cfgs = [
+        CountConfig(k=15, canonical=True, mode=mode, hashed=scale > 1,
+                    scale=scale)
+        for mode in ("distinct", "unique", "repeated")
+        for scale in (1, 3)
+    ]
+    # sketch + scaled: the device step must apply the scaled filter to
+    # the EMITTED sketch stream (count.go:373-375)
+    cfgs.append(CountConfig(k=15, minimizer_w=5, scale=3))
+    cfgs.append(CountConfig(k=15, syncmer_s=8, scale=3))
+    for cfg in cfgs:
+        monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+        want_c, want_t = count_packed_taxids(
+            iter(recs), cfg, re_taxid, taxdb)
+        monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+        got_c, got_t = count_packed_taxids(
+            iter(recs), cfg, re_taxid, taxdb)
+        np.testing.assert_array_equal(got_c, want_c, err_msg=str(cfg))
+        np.testing.assert_array_equal(got_t, want_t, err_msg=str(cfg))
 
 
 def test_count_taxids_unknown_vocab_falls_back(rng, monkeypatch):

@@ -190,6 +190,16 @@ class KmerSet:
             # unique/repeated need cross-chunk multiplicities: exact
             # capped-multiplicity host merge, then re-upload
             codes = count_stream_packed([packed], cfg)
+            from .models.count import SpilledCount
+
+            if isinstance(codes, SpilledCount):
+                # beyond-RAM spill engaged: materialize the merged
+                # result (a KmerSet is device-resident by definition —
+                # peak RSS here equals the pre-spill behavior)
+                parts: list = []
+                codes.write_to(parts.append)
+                codes = (np.concatenate(parts) if parts
+                         else np.zeros(0, np.uint64))
             return cls.from_codes(codes, k, canonical=cfg.canonical,
                                   hashed=cfg.hashed, scale=scale,
                                   taxdb=taxdb, assume_sorted_unique=True)

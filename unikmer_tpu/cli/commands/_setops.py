@@ -104,3 +104,20 @@ def write_result(
     ) as w:
         w.write_codes(codes, taxids)
     return out_file
+
+
+def mesh_codes(op, code_arrays, h0, opt, threshold=None):
+    """Route a taxid-free set op through the sharded mesh engine
+    (parallel/sharded.mesh_set_op; --mesh N)."""
+    import jax
+
+    if jax.device_count() < opt.mesh:
+        die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
+            f"found {jax.device_count()}")
+    from ...parallel.sharded import mesh_set_op
+
+    return mesh_set_op(
+        op, code_arrays, opt.mesh,
+        code_bits=64 if h0.is_hashed else 2 * h0.k,
+        threshold=threshold,
+    )

@@ -57,9 +57,9 @@ def run(args) -> int:
             else:
                 code_arrays[i] = native.host_sort(code_arrays[i])
     if taxid_arrays is None and opt.mesh >= 2:
-        from .union import _mesh_codes
+        from ._setops import mesh_codes
 
-        codes, taxids = _mesh_codes(
+        codes, taxids = mesh_codes(
             "common", code_arrays, headers[0], opt, threshold=threshold
         ), None
     else:

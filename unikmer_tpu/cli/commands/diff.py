@@ -62,9 +62,9 @@ def run(args) -> int:
             other_tax.append(taxids)
 
     if q_tax is None and not args.compare_taxid and opt.mesh >= 2:
-        from .union import _mesh_codes
+        from ._setops import mesh_codes
 
-        codes = _mesh_codes("diff", [q_codes] + other_codes, h0, opt)
+        codes = mesh_codes("diff", [q_codes] + other_codes, h0, opt)
         taxids = None
     else:
         codes, taxids = sets.subtract(

@@ -28,9 +28,9 @@ def run(args) -> int:
         files, opt, require_sorted=True, mix_taxid=args.mix_taxid
     )
     if taxid_arrays is None and opt.mesh >= 2:
-        from .union import _mesh_codes
+        from ._setops import mesh_codes
 
-        codes, taxids = _mesh_codes("inter", code_arrays, headers[0], opt), None
+        codes, taxids = mesh_codes("inter", code_arrays, headers[0], opt), None
     else:
         taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
         codes, taxids = sets.intersect(code_arrays, taxid_arrays, taxdb)

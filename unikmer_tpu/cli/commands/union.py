@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from ...ops import sets
 from ._common import add_files_arg, log_saved, new_command, unik_inputs
-from ._setops import load_inputs, maybe_taxonomy, write_result
+from ._setops import load_inputs, maybe_taxonomy, mesh_codes, write_result
 
 
 def register(subparsers):
@@ -23,13 +23,20 @@ def register(subparsers):
 
 def run(args) -> int:
     opt, files = unik_inputs(args)
+    route_device = _device_taxid_requested(files)
+    if route_device:
+        # restore the relay pool (launcher starts union dial-free) —
+        # may re-exec; must happen before any input is consumed
+        from .count import _ensure_device_env
+
+        _ensure_device_env()
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(files, opt)
     if taxid_arrays is None and opt.mesh >= 2:
-        codes, taxids = _mesh_codes("union", code_arrays, headers[0], opt), None
+        codes, taxids = mesh_codes("union", code_arrays, headers[0], opt), None
     else:
         taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
         res = None
-        if taxdb is not None and _device_taxid_wanted(code_arrays):
+        if taxdb is not None and route_device and _backend_is_device():
             # on-device LCA union through the compact-closure table
             # (ops/device_sets.union_taxids_compact; falls back to the
             # host engine on unknown taxids / oversized vocabularies)
@@ -47,13 +54,14 @@ def run(args) -> int:
     return 0
 
 
-def _device_taxid_wanted(code_arrays) -> bool:
-    """Route the taxid-carrying union through the device?
-    UNIKMER_TPU_DEVICE_TAXID: 1 = whenever the closure guards pass,
-    0 = never, auto (default) = only when a real accelerator is
-    attached AND the merged input is large enough that one device
-    program beats the host merge (the dev tunnel's 6 MB/s fetch makes
-    small unions host-bound)."""
+def _device_taxid_requested(files) -> bool:
+    """Pre-jax routing decision for the device taxid union, taken
+    BEFORE inputs are read (a launcher re-exec must not lose consumed
+    stdin).  UNIKMER_TPU_DEVICE_TAXID: 1 = yes (closure guards may
+    still host-fall-back), 0 = never, auto (default) = only for inputs
+    totaling >= UNIKMER_TPU_DEVICE_TAXID_MIN_MB (default 32) of .unik
+    bytes — the dev tunnel's 6 MB/s fetch makes small unions
+    host-bound."""
     import os
 
     knob = os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto")
@@ -61,29 +69,17 @@ def _device_taxid_wanted(code_arrays) -> bool:
         return False
     if knob == "1":
         return True
-    import jax
-
-    if jax.default_backend() == "cpu":
+    if any(f == "-" for f in files):
+        return False  # stdin cannot survive a re-exec
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
         return False
-    total = sum(len(c) for c in code_arrays)
-    return total >= int(os.environ.get(
-        "UNIKMER_TPU_DEVICE_TAXID_MIN", str(1 << 22)))
+    return total >= float(os.environ.get(
+        "UNIKMER_TPU_DEVICE_TAXID_MIN_MB", "32")) * (1 << 20)
 
 
-def _mesh_codes(op, code_arrays, h0, opt, threshold=None):
-    """Route a taxid-free set op through the sharded mesh engine
-    (parallel/sharded.mesh_set_op; --mesh N)."""
+def _backend_is_device() -> bool:
     import jax
 
-    from ...utils.log import die
-
-    if jax.device_count() < opt.mesh:
-        die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
-            f"found {jax.device_count()}")
-    from ...parallel.sharded import mesh_set_op
-
-    return mesh_set_op(
-        op, code_arrays, opt.mesh,
-        code_bits=64 if h0.is_hashed else 2 * h0.k,
-        threshold=threshold,
-    )
+    return jax.default_backend() != "cpu"

@@ -395,6 +395,11 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
     from ..taxonomy.lca import lca_collapse_compact
 
     codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        # sketch branches return from window_codes before the scaled
+        # filter (count.go:373-375): apply it here like count_step does
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
     s_codes, ctax, keep, s_valid = lca_collapse_compact(
         codes, pos_ctax, valid, lca_tab, rounds
     )
@@ -422,18 +427,9 @@ def _device_taxid_route(packed, rec_taxids, taxdb):
         return None
     if _padded_len(max(len(packed.bases), 1)) > (1 << 25):
         return None  # beyond the validated bucket: segmented host path
-    from ..taxonomy.lca import lca_closure
+    from ..taxonomy.lca import closure_for_vocab
 
-    vocab = np.unique(rec_taxids)
-    if not np.all(taxdb.has(vocab) | (vocab == 0)):
-        return None
-    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
-    if len(vocab) > cap:
-        return None
-    closure, lca_tab = lca_closure(taxdb, vocab)
-    if len(closure) > 2 * cap:
-        return None
-    return closure, lca_tab
+    return closure_for_vocab(taxdb, rec_taxids)
 
 
 def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):

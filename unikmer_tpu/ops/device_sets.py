@@ -177,30 +177,30 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
     or None when the compact-closure guards decline (unknown nonzero
     taxids — their merge rule is order-dependent and owned by the host
     engine — or a vocabulary too large for the (C, C) table)."""
-    import os
-
-    from ..taxonomy.lca import compact_ids, lca_closure
+    from ..taxonomy.lca import closure_for_vocab, compact_ids
 
     all_tax = np.concatenate(
         [np.asarray(t, np.uint32) for t in taxid_arrays]
     ) if taxid_arrays else np.zeros(0, np.uint32)
-    vocab = np.unique(all_tax)
-    if not np.all(taxdb.has(vocab) | (vocab == 0)):
+    route = closure_for_vocab(taxdb, all_tax)
+    if route is None:
         return None
-    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
-    if len(vocab) > cap:
-        return None
-    closure, lca_tab = lca_closure(taxdb, vocab)
-    if len(closure) > 2 * cap:
-        return None
+    closure, lca_tab = route
     codes = np.concatenate(
         [np.asarray(c, np.uint64) for c in code_arrays]
     ) if code_arrays else np.zeros(0, np.uint64)
+    if len(codes) and codes.max() == SENT:
+        # a REAL all-ones code is indistinguishable from padding in the
+        # device program (sentinel-only masking is forbidden to lose
+        # codes — CLAUDE.md invariant): the host engine owns this case
+        return None
     ctax = compact_ids(closure, all_tax)
     # pad to the pipeline's pow-2 program quanta (bounded recompiles)
     from ..models.count import _padded_len
 
     nn = _padded_len(max(len(codes), 1))
+    if nn > (1 << 25):
+        return None  # beyond the validated bucket (2^26 hangs, CLAUDE.md)
     pad_c = np.full(nn, np.uint64(SENT), np.uint64)
     pad_c[: len(codes)] = codes
     pad_t = np.zeros(nn, np.int32)
@@ -209,5 +209,7 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
     out_c, out_t, n = union_taxids_compact(
         jnp.asarray(pad_c), jnp.asarray(pad_t), jnp.asarray(lca_tab), rounds
     )
-    n = int(np.asarray(n))
+    from ..models.count import _fetch_scalar_watchdog
+
+    n = _fetch_scalar_watchdog(n)
     return np.asarray(out_c)[:n], closure[np.asarray(out_t)[:n]]

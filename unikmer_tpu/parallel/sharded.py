@@ -103,14 +103,21 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
 
         out, n = collapse_sorted(mine, mine != SENT, mode=cfg.mode)
         total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
-        return out[None], n[None], total_dropped[None]
+        # a REAL all-ones code (e.g. poly-T at k=32 non-canonical, or a
+        # 2^-64 hash) is indistinguishable from padding in the exchange:
+        # count it exactly so the host driver can re-append it (the
+        # single-device path's sentinel-collision accounting, ops/sort)
+        n_sent = jnp.sum(valid & (codes == SENT), dtype=jnp.int64)
+        total_sent = jax.lax.psum(n_sent, SHARD_AXIS)
+        return out[None], n[None], total_dropped[None], total_sent[None]
 
     step = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=P(SHARD_AXIS, None),
-            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+                       P(SHARD_AXIS)),
         )
     )
     return step
@@ -306,9 +313,19 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
     rows = pack_host_shards(bases, d, cfg.k)
     while True:
         step = build_sharded_distinct(mesh, cfg, capacity)
-        out, counts, dropped = step(rows)
+        out, counts, dropped, n_sent = step(rows)
         if int(np.asarray(dropped)[0]) == 0:
-            return _collect_sharded(out, counts)
+            res = _collect_sharded(out, counts)
+            ns = int(np.asarray(n_sent)[0])
+            if ns > 0 and (
+                cfg.mode == "distinct"
+                or (cfg.mode == "unique" and ns == 1)
+                or (cfg.mode == "repeated" and ns > 1)
+            ):
+                # re-append the real all-ones code (max value: the tail
+                # of the globally sorted result)
+                res = np.concatenate([res, np.array([SENT], np.uint64)])
+            return res
         capacity *= 2
 
 
@@ -327,8 +344,22 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
     arrs = [np.unique(np.ascontiguousarray(c, np.uint64)) for c in code_arrays]
     if not arrs:
         return np.zeros(0, np.uint64)
+    # the all-ones code doubles as the device padding sentinel: strip it,
+    # resolve its membership on host exactly, re-append at the tail
+    has_sent = [len(a) > 0 and a[-1] == SENT for a in arrs]
+    arrs = [a[:-1] if h else a for a, h in zip(arrs, has_sent)]
+    if op == "union":
+        sent_in = any(has_sent)
+    elif op == "inter":
+        sent_in = all(has_sent)
+    elif op == "common":
+        sent_in = sum(has_sent) >= int(threshold)
+    else:
+        sent_in = has_sent[0] and not any(has_sent[1:])
     if op == "diff" and len(arrs) == 1:
-        return arrs[0]
+        out = arrs[0]
+        return (np.concatenate([out, np.array([SENT], np.uint64)])
+                if sent_in else out)
     mesh = make_mesh(n_devices)
     d = mesh.shape[SHARD_AXIS]
     # common static capacity: the max per-shard load over all inputs
@@ -346,10 +377,14 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
         rest = np.stack(parts[1:], axis=1)  # (D, F-1, C)
         u, un, _ = sharded_common(mesh, 1)(rest)
         out, n, _ = sharded_set_op(mesh, "diff")(parts[0], np.asarray(u))
-        return _collect_sharded(out, n)
-    stacked = np.stack(parts, axis=1)  # (D, F, C)
-    thr = (1 if op == "union"
-           else len(arrs) if op == "inter"
-           else int(threshold))
-    out, n, _ = sharded_common(mesh, thr)(stacked)
-    return _collect_sharded(out, n)
+        res = _collect_sharded(out, n)
+    else:
+        stacked = np.stack(parts, axis=1)  # (D, F, C)
+        thr = (1 if op == "union"
+               else len(arrs) if op == "inter"
+               else int(threshold))
+        out, n, _ = sharded_common(mesh, thr)(stacked)
+        res = _collect_sharded(out, n)
+    if sent_in:
+        res = np.concatenate([res, np.array([SENT], np.uint64)])
+    return res

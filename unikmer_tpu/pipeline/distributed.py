@@ -93,8 +93,8 @@ def sharded_count_distinct(files: list[str], cfg, mesh, capacity: int,
     case, where hosts cannot infer each other's input sizes.
 
     Returns (codes_per_shard (D, C*D) sentinel-padded sorted, counts (D,),
-    dropped); with multiple processes each host addresses only its own
-    shards of the result.
+    dropped, n_sent_real); with multiple processes each host addresses
+    only its own shards of the result.
     """
     import jax
 

@@ -208,3 +208,25 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int):
     run_valid = csum[end - 1] - csum[start] + v[start]
     keep = first & (run_valid > 0)
     return s_codes, tax, keep, s_valid
+
+
+def closure_for_vocab(taxdb, taxids):
+    """(closure, lca_tab) for a taxid vocabulary, or None when the
+    compact representation cannot own the semantics: unknown NONZERO
+    taxids (the host engine's unknown-merge rule is order-dependent,
+    taxdump.lca_pairs), or a vocabulary/meet-closure beyond
+    UNIKMER_TPU_TAXID_VOCAB_MAX (default 4096 / 2x for the closure).
+    The single admission guard shared by count -T and the taxid union
+    device routes."""
+    import os
+
+    vocab = np.unique(np.asarray(taxids, np.uint32).reshape(-1))
+    if not np.all(taxdb.has(vocab) | (vocab == 0)):
+        return None
+    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
+    if len(vocab) > cap:
+        return None
+    closure, lca_tab = lca_closure(taxdb, vocab)
+    if len(closure) > 2 * cap:
+        return None
+    return closure, lca_tab
