@@ -121,7 +121,8 @@ class KmerSet:
         dev = _pad_codes_device(codes, cap)
         if not assume_sorted_unique:
             valid = jnp.arange(cap) < len(codes)
-            dev, n = collapse_sorted(dev, valid, mode="distinct")
+            dev, n = collapse_sorted(dev, valid, mode="distinct",
+                                     code_bits=64 if hashed else 2 * k)
             n = int(n)
         else:
             n = len(codes)
@@ -351,7 +352,8 @@ class KmerSet:
             )
             return KmerSet(c, n, self.k, taxids=t, taxdb=taxdb,
                            **self._flags_kw()).compact()
-        c, n = device_sets.union(self._codes, other._codes)
+        c, n = device_sets.union(self._codes, other._codes,
+                                 code_bits=64 if self.hashed else 2 * self.k)
         return KmerSet(c, n, self.k, taxdb=self._taxdb,
                        **self._flags_kw()).compact()
 
@@ -439,7 +441,8 @@ class KmerSet:
             c, _ = host_sets.union([s.to_numpy() for s in sets])
             return first._from_host(c, None)
         merged = jnp.concatenate([s._codes for s in sets])
-        c, n = collapse_sorted(merged, merged != _SENT, mode="distinct")
+        c, n = collapse_sorted(merged, merged != _SENT, mode="distinct",
+                               code_bits=64 if first.hashed else 2 * first.k)
         return KmerSet(c, n, first.k, taxdb=first._taxdb,
                        **first._flags_kw()).compact()
 
@@ -472,7 +475,8 @@ class KmerSet:
             ])
             for s in sets
         ])
-        c, n = device_sets.common(stacked, threshold)
+        c, n = device_sets.common(
+            stacked, threshold, code_bits=64 if first.hashed else 2 * first.k)
         return KmerSet(c, n, first.k, taxdb=first._taxdb,
                        **first._flags_kw()).compact()
 

@@ -43,6 +43,12 @@ class CountConfig:
     mode: str = "distinct"  # distinct | unique | repeated
 
     @property
+    def code_bits(self) -> int:
+        """Static bound on code values: 2k for the 2-bit codec, 64 for
+        hashed (lets the device sort pick its narrow split width)."""
+        return 64 if self.hashed else 2 * self.k
+
+    @property
     def segmentable(self) -> bool:
         """Whether windows are a pure per-position function of k bases
         (then k-1-overlap record segmentation partitions them exactly).
@@ -101,7 +107,8 @@ def count_step(bases: jnp.ndarray, cfg: CountConfig):
     if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
         max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
         valid = valid & (codes <= max_hash)
-    return collapse_sorted(codes, valid, mode=cfg.mode)
+    return collapse_sorted(codes, valid, mode=cfg.mode,
+                           code_bits=cfg.code_bits)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -35,11 +35,14 @@ def _compact_mask(values: jnp.ndarray, keep: jnp.ndarray):
     return out, jnp.sum(keep, dtype=jnp.int64)
 
 
-@jax.jit
-def union(a: jnp.ndarray, b: jnp.ndarray):
+@partial(jax.jit, static_argnames=("code_bits",))
+def union(a: jnp.ndarray, b: jnp.ndarray, code_bits: int = 64):
     """Union of two padded sorted sets -> (codes, n) with capacity
-    len(a)+len(b)."""
-    merged = jax.lax.sort(jnp.concatenate([a, b]))
+    len(a)+len(b).  ``code_bits`` bounds real member values (sentinel
+    padding aside) so the sort can pick its narrow split width."""
+    from .sort import _sort_u64
+
+    merged = _sort_u64(jnp.concatenate([a, b]), code_bits=code_bits)
     first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
     keep = first & (merged != SENT)
     return _compact_mask(merged, keep)
@@ -61,11 +64,13 @@ def subtract(a: jnp.ndarray, b: jnp.ndarray):
     return _compact_mask(a, keep)
 
 
-@partial(jax.jit, static_argnames=("threshold",))
-def common(sets: jnp.ndarray, threshold: int):
+@partial(jax.jit, static_argnames=("threshold", "code_bits"))
+def common(sets: jnp.ndarray, threshold: int, code_bits: int = 64):
     """Codes appearing in >= threshold of the stacked padded sets
     (sets: (F, C)) -> (codes, n) with capacity F*C."""
-    merged = jax.lax.sort(sets.reshape(-1))
+    from .sort import _sort_u64
+
+    merged = _sort_u64(sets.reshape(-1), code_bits=code_bits)
     first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
     idx = jnp.arange(merged.shape[0], dtype=jnp.int64)
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))

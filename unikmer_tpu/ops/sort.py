@@ -28,18 +28,66 @@ import numpy as np
 from .codec import CODE_SENTINEL
 
 
-def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
+def _sort_u64_split(codes: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Sort u64 values as a 2-key (hi, lo) variadic sort and recombine.
+
+    XLA's TPU sort is HBM-bandwidth-bound (docs/BENCH_NOTES.md round-2
+    investigation: ~870 GB/s effective), so narrower sort operands are
+    directly faster: (u32, u32) moves the same 8 B/elem but the 2-key
+    comparator is cheaper in practice (+5% measured at 2^25); (u16, u32)
+    moves 6 B/elem.  width=32 is exact for ALL u64 inputs.  width=16
+    truncates hi to 16 bits, so it is exact only when every input is
+    either < 2^47 (hi <= 0x7FFF) or the all-ones CODE_SENTINEL (hi
+    truncates to 0xFFFF, still the maximum, restored on recombine) —
+    callers gate it on code_bits < 48 (2-bit codec, k <= 23)."""
+    shift = jnp.uint64(32)
+    hi = (codes >> shift).astype(jnp.uint16 if width == 16 else jnp.uint32)
+    lo = codes.astype(jnp.uint32)
+    h, l = jax.lax.sort((hi, lo), num_keys=2)
+    out = (h.astype(jnp.uint64) << shift) | l.astype(jnp.uint64)
+    if width == 16:
+        sent_img = (jnp.uint64(0xFFFF) << shift) | jnp.uint64(0xFFFFFFFF)
+        out = jnp.where(out == sent_img, jnp.uint64(CODE_SENTINEL), out)
+    return out
+
+
+def _split_width(code_bits: int, split) -> int:
+    """Resolve the split-sort decision: 0 = plain u64 lax.sort, 16/32 =
+    variadic split width.  ``split=None`` reads UNIKMER_TPU_SORT_SPLIT
+    at trace time: '0' off, '16'/'32' forced (16 demotes to 32 when
+    code_bits don't guarantee the u16 domain), 'auto'/unset = split on
+    TPU only (CPU's variadic sort is slower)."""
+    if split is None:
+        env = os.environ.get("UNIKMER_TPU_SORT_SPLIT", "auto")
+        if env == "0":
+            return 0
+        if env in ("16", "32"):
+            split = int(env)
+        elif jax.default_backend() == "tpu":
+            split = 16
+        else:
+            return 0
+    if split == 16 and not (0 < code_bits < 48):
+        split = 32
+    return int(split)
+
+
+def _sort_u64(codes: jnp.ndarray, code_bits: int = 64,
+              split=None) -> jnp.ndarray:
     """The device u64 sort primitive.  UNIKMER_TPU_PALLAS_SORT=1 routes
     through the VMEM-blocked bitonic kernel (ops/pallas_sort.py) instead
     of XLA's sort; read at trace time, so set it before first compile.
 
-    Stays OFF by default after the round-2 on-chip race: the best
+    Pallas stays OFF by default after the round-2 on-chip race: the best
     kernel (unrolled 2^16 block, sublane-major layout) reaches 48.3 ms
     vs lax.sort's 50.3 ms at 2^23 but LOSES at the 2^25 bench bucket
     (196.8 vs 150.1 ms — cross-block rounds grow) — bitonic comparator
     work is invariant to blocking and XLA's sort already runs its
     network at ~HBM bandwidth.  Full numbers: docs/BENCH_NOTES.md
-    round-2 sort investigation."""
+    round-2 sort investigation.
+
+    The default TPU path is the split 2-key sort (see _sort_u64_split);
+    ``code_bits`` (static) tells it when the narrow u16 hi key is safe."""
     if os.environ.get("UNIKMER_TPU_PALLAS_SORT") == "1" and codes.ndim == 1:
         from .pallas_sort import sort_codes_pallas
 
@@ -50,6 +98,9 @@ def _sort_u64(codes: jnp.ndarray) -> jnp.ndarray:
         interp = jax.default_backend() == "cpu"
         return sort_codes_pallas(codes, block_elems=blk, looped=lp,
                                  layout=layout, interpret=interp)
+    width = _split_width(code_bits, split) if codes.ndim == 1 else 0
+    if width:
+        return _sort_u64_split(codes, width)
     return jax.lax.sort(codes)
 
 
@@ -83,14 +134,20 @@ def _compact(values: jnp.ndarray, keep: jnp.ndarray, fill):
     return out
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinct"):
+@partial(jax.jit, static_argnames=("mode", "code_bits", "split"))
+def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinct",
+                    code_bits: int = 64, split=None):
     """Sort + collapse a masked code array.
 
     mode:
       'distinct'  keep one copy of every distinct code (count default)
       'unique'    keep codes that occur exactly once  (count -u)
       'repeated'  keep one copy of codes occurring >1 time (count -d)
+
+    ``code_bits`` (static) bounds the real code values (2*k for the
+    2-bit codec, 64 for hashed) so the sort can pick the narrow split
+    width; ``split`` overrides the UNIKMER_TPU_SORT_SPLIT routing
+    (experiments/tests only).
 
     Returns (compacted, n): ``compacted`` holds the kept codes in
     ascending order as a dense prefix of length ``n`` (tail is
@@ -103,7 +160,7 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
     n_tail = jnp.sum(~valid, dtype=jnp.int64) + n_sent_real
     n_head = codes.shape[0] - n_tail  # non-sentinel real codes
 
-    s = _sort_u64(keyed)
+    s = _sort_u64(keyed, code_bits=code_bits, split=split)
     idx = jnp.arange(codes.shape[0], dtype=jnp.int64)
     in_head = idx < n_head
 

@@ -50,7 +50,9 @@ def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
     shift = jnp.uint64(max(code_bits - log_d, 0))
     n = codes.shape[0]
     keyed = jnp.where(valid, codes, SENT)
-    s = jax.lax.sort(keyed)
+    from ..ops.sort import _sort_u64
+
+    s = _sort_u64(keyed, code_bits=code_bits)
     n_valid = jnp.sum(valid & (codes != SENT), dtype=jnp.int64)
     idx = jnp.arange(n, dtype=jnp.int64)
     is_real = idx < n_valid
@@ -101,7 +103,8 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
         # local sorted collapse (sentinel-aware)
         from ..ops.sort import collapse_sorted
 
-        out, n = collapse_sorted(mine, mine != SENT, mode=cfg.mode)
+        out, n = collapse_sorted(mine, mine != SENT, mode=cfg.mode,
+                                 code_bits=cfg.code_bits)
         total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
         # a REAL all-ones code (e.g. poly-T at k=32 non-canonical, or a
         # 2^-64 hash) is indistinguishable from padding in the exchange:
@@ -123,7 +126,7 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     return step
 
 
-def sharded_union_counts(mesh: Mesh):
+def sharded_union_counts(mesh: Mesh, code_bits: int = 64):
     """Jitted: two aligned sharded sorted sets -> per-shard union counts
     and total (psum).  Demonstrates the per-shard merge + collective
     pattern used by distributed set ops."""
@@ -133,7 +136,8 @@ def sharded_union_counts(mesh: Mesh):
 
         a, b = a_row[0], b_row[0]
         merged = jnp.concatenate([a, b])
-        out, n = collapse_sorted(merged, merged != SENT, mode="distinct")
+        out, n = collapse_sorted(merged, merged != SENT, mode="distinct",
+                                 code_bits=code_bits)
         total = jax.lax.psum(n, SHARD_AXIS)
         return out[None], n[None], total[None]
 
@@ -147,7 +151,7 @@ def sharded_union_counts(mesh: Mesh):
     )
 
 
-def sharded_set_op(mesh: Mesh, op: str):
+def sharded_set_op(mesh: Mesh, op: str, code_bits: int = 64):
     """Jitted per-shard merge-join over two aligned range-partitioned
     sorted sets: op in {'union','inter','diff'}.  Returns
     (per-shard padded result, per-shard count, psum total) — the
@@ -161,7 +165,7 @@ def sharded_set_op(mesh: Mesh, op: str):
     def local(a_row, b_row):
         a, b = a_row[0], b_row[0]
         if op == "union":
-            out, n = device_sets.union(a, b)
+            out, n = device_sets.union(a, b, code_bits=code_bits)
         elif op == "inter":
             out, n = device_sets.intersect(a, b)
         else:
@@ -179,13 +183,13 @@ def sharded_set_op(mesh: Mesh, op: str):
     )
 
 
-def sharded_common(mesh: Mesh, threshold: int):
+def sharded_common(mesh: Mesh, threshold: int, code_bits: int = 64):
     """Jitted: stacked aligned sharded sets (D, F, C) -> per-shard codes
     present in >= threshold of the F sets + psum total (cmd/common)."""
     from ..ops import device_sets
 
     def local(rows):
-        out, n = device_sets.common(rows[0], threshold)
+        out, n = device_sets.common(rows[0], threshold, code_bits=code_bits)
         total = jax.lax.psum(n, SHARD_AXIS)
         return out[None], n[None], total[None]
 
@@ -375,15 +379,16 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
     parts = [partition_host_set(a, d, cap, code_bits) for a in arrs]
     if op == "diff":
         rest = np.stack(parts[1:], axis=1)  # (D, F-1, C)
-        u, un, _ = sharded_common(mesh, 1)(rest)
-        out, n, _ = sharded_set_op(mesh, "diff")(parts[0], np.asarray(u))
+        u, un, _ = sharded_common(mesh, 1, code_bits)(rest)
+        out, n, _ = sharded_set_op(mesh, "diff", code_bits)(
+            parts[0], np.asarray(u))
         res = _collect_sharded(out, n)
     else:
         stacked = np.stack(parts, axis=1)  # (D, F, C)
         thr = (1 if op == "union"
                else len(arrs) if op == "inter"
                else int(threshold))
-        out, n, _ = sharded_common(mesh, thr)(stacked)
+        out, n, _ = sharded_common(mesh, thr, code_bits)(stacked)
         res = _collect_sharded(out, n)
     if sent_in:
         res = np.concatenate([res, np.array([SENT], np.uint64)])
