@@ -63,10 +63,14 @@ def _split_width(code_bits: int, split) -> int:
             return 0
         if env in ("16", "32"):
             split = int(env)
-        elif jax.default_backend() == "tpu":
-            split = 16
         else:
-            return 0
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except RuntimeError:  # backend init failure (e.g. no tunnel):
+                on_tpu = False    # tracing must still work; sort stays plain
+            if not on_tpu:
+                return 0
+            split = 16
     if split == 16 and not (0 < code_bits < 48):
         split = 32
     return int(split)
