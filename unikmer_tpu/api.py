@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .ops import device_sets
 from .ops.codec import CODE_SENTINEL
-from .ops.sort import collapse_sorted
+from .ops.sort import collapse_sorted, sort_code_bits
 from .models.count import (
     CountConfig, _fetch_scalar_watchdog, _padded_len, _stream_chunk_bases,
     count_step_ingress, count_stream_packed, pad_bases, split_packed,
@@ -122,7 +122,7 @@ class KmerSet:
         if not assume_sorted_unique:
             valid = jnp.arange(cap) < len(codes)
             dev, n = collapse_sorted(dev, valid, mode="distinct",
-                                     code_bits=64 if hashed else 2 * k)
+                                     code_bits=sort_code_bits(k, hashed))
             n = int(n)
         else:
             n = len(codes)
@@ -353,7 +353,7 @@ class KmerSet:
             return KmerSet(c, n, self.k, taxids=t, taxdb=taxdb,
                            **self._flags_kw()).compact()
         c, n = device_sets.union(self._codes, other._codes,
-                                 code_bits=64 if self.hashed else 2 * self.k)
+                                 code_bits=sort_code_bits(self.k, self.hashed))
         return KmerSet(c, n, self.k, taxdb=self._taxdb,
                        **self._flags_kw()).compact()
 
@@ -442,7 +442,7 @@ class KmerSet:
             return first._from_host(c, None)
         merged = jnp.concatenate([s._codes for s in sets])
         c, n = collapse_sorted(merged, merged != _SENT, mode="distinct",
-                               code_bits=64 if first.hashed else 2 * first.k)
+                               code_bits=sort_code_bits(first.k, first.hashed))
         return KmerSet(c, n, first.k, taxdb=first._taxdb,
                        **first._flags_kw()).compact()
 
@@ -476,7 +476,7 @@ class KmerSet:
             for s in sets
         ])
         c, n = device_sets.common(
-            stacked, threshold, code_bits=64 if first.hashed else 2 * first.k)
+            stacked, threshold, code_bits=sort_code_bits(first.k, first.hashed))
         return KmerSet(c, n, first.k, taxdb=first._taxdb,
                        **first._flags_kw()).compact()
 

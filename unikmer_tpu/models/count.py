@@ -44,9 +44,12 @@ class CountConfig:
 
     @property
     def code_bits(self) -> int:
-        """Static bound on code values: 2k for the 2-bit codec, 64 for
-        hashed (lets the device sort pick its narrow split width)."""
-        return 64 if self.hashed else 2 * self.k
+        """Normalized static sort hint (ops/sort.sort_code_bits): 2k
+        for narrow-splittable 2-bit configs, else 64.  NOT the true
+        value width — partitioning code computes that itself."""
+        from ..ops.sort import sort_code_bits
+
+        return sort_code_bits(self.k, self.hashed)
 
     @property
     def segmentable(self) -> bool:

@@ -51,6 +51,16 @@ def _sort_u64_split(codes: jnp.ndarray, width: int) -> jnp.ndarray:
     return out
 
 
+def sort_code_bits(k: int, hashed: bool) -> int:
+    """Normalized static sort hint for a (k, hashed) config: 2k when
+    that enables the narrow u16 split (2k < 48), else 64.  Callers pass
+    this (not the raw bit width) as the jit-static ``code_bits`` so
+    every config that compiles to the same sort shares one cache entry
+    (e.g. non-hashed k=24..32 all resolve to 64/width-32)."""
+    bits = 64 if hashed else 2 * k
+    return bits if 0 < bits < 48 else 64
+
+
 def _split_width(code_bits: int, split) -> int:
     """Resolve the split-sort decision: 0 = plain u64 lax.sort, 16/32 =
     variadic split width.  ``split=None`` reads UNIKMER_TPU_SORT_SPLIT
