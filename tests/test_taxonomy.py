@@ -216,3 +216,68 @@ def test_count_taxids_unknown_vocab_falls_back(rng, monkeypatch):
     packed = pack_records(recs, 15)
     assert _device_taxid_route(
         packed, np.array([99999999], np.uint32), taxdb) is None
+
+
+def test_compressed_taxid_fetch_matches_raw(rng, monkeypatch):
+    """The compressed taxid egress (u32-delta codes + u16 compact ids)
+    must be byte-identical to the raw fetch for count -T and the device
+    taxid union (UNIKMER_TPU_COMPRESS_TAXID_FETCH forces the programs
+    on CPU)."""
+    import os
+    import re
+
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+    from unikmer_tpu.ops.device_sets import union_taxids_device
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+    from tests.conftest import random_dna
+
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    shared = random_dna(rng, 400).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562)):
+        seq = shared + random_dna(rng, 250 + 31 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+    for cfg in (CountConfig(k=15, canonical=True),
+                CountConfig(k=15, canonical=True, mode="repeated"),
+                CountConfig(k=15, canonical=True, hashed=True)):
+        monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "0")
+        want_c, want_t = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+        monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "1")
+        got_c, got_t = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+        np.testing.assert_array_equal(got_c, want_c, err_msg=str(cfg))
+        np.testing.assert_array_equal(got_t, want_t, err_msg=str(cfg))
+
+    # device taxid union: hashed codes overflow the u32-delta exception
+    # list on tiny sets? no — exceptions cover up to 2^16 big deltas and
+    # the raw re-run fallback owns the rest; compare both engines
+    ca = np.unique(rng.integers(0, 1 << 30, 4000, dtype=np.uint64))
+    cb = np.unique(rng.integers(0, 1 << 30, 4000, dtype=np.uint64))
+    ta = np.full(len(ca), 511145, np.uint32)
+    tb = np.full(len(cb), 585057, np.uint32)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "0")
+    want = union_taxids_device([ca, cb], [ta, tb], taxdb)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "1")
+    got = union_taxids_device([ca, cb], [ta, tb], taxdb)
+    assert want is not None and got is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+    # exception-overflow fallback: sparse 63-bit codes make every delta
+    # big; with _MAX_EXC patched tiny the z-path must re-run raw and
+    # still match
+    import unikmer_tpu.models.count as mc
+
+    monkeypatch.setattr(mc, "_MAX_EXC", 4)
+    sparse = np.unique(rng.integers(0, 1 << 62, 300, dtype=np.uint64))
+    ts = np.full(len(sparse), 562, np.uint32)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "0")
+    want = union_taxids_device([sparse], [ts], taxdb)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "1")
+    got = union_taxids_device([sparse], [ts], taxdb)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])

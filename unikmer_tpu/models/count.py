@@ -426,6 +426,55 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
     return out_c, out_t, n
 
 
+@partial(jax.jit, static_argnames=("cfg", "rounds", "mode"))
+def _count_taxids_step_z(bases, pos_ctax, lca_tab, cfg: CountConfig,
+                         rounds: int, mode: str):
+    """count_taxids_step + compressed egress: u32-delta codes (exact;
+    exception list for deltas >= 2^32) and u16 compact taxid ids — the
+    taxid twin of _count_step_packed_result.  A raw fetch of the padded
+    2^24 u64+i32 buffers is 30-60 min over the ~6 MB/s dev tunnel (the
+    2026-08-19 chip run died there); this is ~4x less egress."""
+    out_c, out_t, n = count_taxids_step(bases, pos_ctax, lca_tab, cfg,
+                                        rounds, mode)
+    small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
+    return small, exc_idx, exc_val, n_exc, n, out_t.astype(jnp.uint16)
+
+
+def use_compressed_taxid_fetch(space_bits: int, padded_len: int,
+                               n_closure: int) -> bool:
+    """Compressed taxid-result egress pays when code deltas usually fit
+    u32 (same heuristic as count_packed_dispatch) and compact ids fit
+    u16.  UNIKMER_TPU_COMPRESS_TAXID_FETCH=0/1 forces (1 lets CPU tests
+    exercise the compressed programs)."""
+    knob = os.environ.get("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "auto")
+    if knob == "0":
+        return False
+    if n_closure > 0xFFFF:
+        return False
+    if knob == "1":
+        return True
+    return (
+        jax.default_backend() != "cpu"
+        and space_bits - (max(padded_len, 2).bit_length() - 1) <= 30
+    )
+
+
+def fetch_taxid_result(z, raw_fn, closure):
+    """Materialize a compressed taxid-result tuple; ``raw_fn()`` is the
+    uncompressed re-run fallback for exception-list overflow (mirrors
+    count_packed_fetch)."""
+    small, exc_idx, exc_val, n_exc, n, t16 = z
+    if _fetch_scalar_watchdog(n_exc) > _MAX_EXC:
+        out_c, out_t, nn = raw_fn()
+        nn = _fetch_scalar_watchdog(nn)
+        return (np.asarray(out_c[:nn]),
+                closure[np.asarray(out_t[:nn]).astype(np.int64)])
+    n = int(n)
+    codes = _decode_packed_result(small, exc_idx, exc_val, int(n_exc), n)
+    taxids = closure[np.asarray(t16[:n]).astype(np.int64)]
+    return codes, taxids
+
+
 def _device_taxid_route(packed, rec_taxids, taxdb):
     """Should count -T keep its LCA reduction on device?  Yes when the
     padded program fits the validated bucket, the taxid vocabulary's
@@ -491,14 +540,22 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
         padded_ctax = np.zeros(len(bases), np.int32)
         padded_ctax[: len(pos_ctax)] = pos_ctax
         rounds = max(len(bases).bit_length() - 1, 1)
-        out_c, out_t, n = count_taxids_step(
-            bases, jnp.asarray(padded_ctax), jnp.asarray(lca_tab), cfg,
-            rounds, cfg.mode,
-        )
-        n = int(np.asarray(n))
-        codes = np.asarray(out_c)[:n]
-        taxids = closure[np.asarray(out_t)[:n]]
-        return codes, taxids
+        dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
+
+        def raw():
+            return count_taxids_step(bases, dctax, dtab, cfg, rounds,
+                                     cfg.mode)
+
+        if use_compressed_taxid_fetch(
+            64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
+        ):
+            z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds,
+                                     cfg.mode)
+            return fetch_taxid_result(z, raw, closure)
+        out_c, out_t, n = raw()
+        n = _fetch_scalar_watchdog(n)
+        return (np.asarray(out_c[:n]),
+                closure[np.asarray(out_t[:n]).astype(np.int64)])
     codes, pos = linear_codes_all(packed.bases, cfg)
     rec_id = np.searchsorted(packed.starts, pos, side="right") - 1
     taxids = rec_taxids[rec_id]
