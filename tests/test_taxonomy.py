@@ -281,3 +281,55 @@ def test_compressed_taxid_fetch_matches_raw(rng, monkeypatch):
     got = union_taxids_device([sparse], [ts], taxdb)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_compressed_taxid_ingress_matches_raw(rng, monkeypatch):
+    """The compressed host->device ingress (u32-delta codes + sparse
+    step exceptions + u16 compact ids) must be byte-identical to the raw
+    upload for the device taxid union, in both egress modes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from unikmer_tpu.ops.device_sets import (
+        SENT, _decode_u64_ingress, _encode_u64_ingress, union_taxids_device,
+    )
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+
+    # roundtrip property across delta regimes (dense sorted, sparse
+    # all-exception, sentinel padding tail)
+    dense = np.sort(rng.integers(0, 1 << 30, 5000, dtype=np.uint64))
+    sparse = np.sort(rng.integers(0, 1 << 62, 300, dtype=np.uint64))
+    padded = np.full(8192, np.uint64(SENT), np.uint64)
+    padded[:5000] = dense
+    for arr in (dense, sparse, padded):
+        enc = _encode_u64_ingress(arr)
+        assert enc is not None
+        got = np.asarray(
+            _decode_u64_ingress(*(jnp.asarray(x) for x in enc))
+        ).astype(np.uint64)
+        np.testing.assert_array_equal(got, arr)
+
+    # decliner: unsorted wide-space data has ~every delta >= 2^32
+    wild = rng.integers(0, 1 << 63, 70000, dtype=np.uint64)
+    assert _encode_u64_ingress(wild) is None
+
+    # end-to-end: forced ingress vs raw upload, both egress modes
+    taxdb = load_taxonomy(
+        os.path.join(os.path.dirname(__file__), "data", "taxdump")
+    )
+    ca = np.unique(rng.integers(0, 1 << 30, 4000, dtype=np.uint64))
+    cb = np.unique(rng.integers(0, 1 << 30, 4000, dtype=np.uint64))
+    ta = np.full(len(ca), 511145, np.uint32)
+    tb = np.full(len(cb), 585057, np.uint32)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_INGRESS", "0")
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "0")
+    want = union_taxids_device([ca, cb], [ta, tb], taxdb)
+    assert want is not None
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_INGRESS", "1")
+    for fetch in ("0", "1"):
+        monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", fetch)
+        got = union_taxids_device([ca, cb], [ta, tb], taxdb)
+        assert got is not None
+        np.testing.assert_array_equal(got[0], want[0], err_msg=fetch)
+        np.testing.assert_array_equal(got[1], want[1], err_msg=fetch)

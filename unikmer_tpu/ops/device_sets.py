@@ -16,6 +16,7 @@ sharded pipelines already reserve the sentinel, see parallel/sharded).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -177,6 +178,74 @@ def union_taxids_compact(codes, ctax, lca_tab, rounds: int):
     return out_c, out_t, n
 
 
+_INGRESS_EXC = 1 << 16
+
+
+def use_compressed_taxid_ingress() -> bool:
+    """Compressed host->device ingress pays on tunnel-attached backends
+    (~35 MB/s up); the encoder itself declines (returns None) when the
+    data doesn't delta-compress.  UNIKMER_TPU_COMPRESS_TAXID_INGRESS=0/1
+    forces (1 lets CPU tests exercise the ingress programs)."""
+    knob = os.environ.get("UNIKMER_TPU_COMPRESS_TAXID_INGRESS", "auto")
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _encode_u64_ingress(pad_c: np.ndarray):
+    """Host-side u32-delta encoding of an arbitrary u64 array for cheap
+    host->device transfer: (small u32, exc_idx i64, exc_step u64) where
+    exceptions carry absolute resets as a step function (mod-2^64 exact;
+    the mirror of models/count._decode_packed_result).  Returns None
+    when the exception list would overflow (e.g. sparse hashed codes) —
+    caller uploads raw."""
+    nn = len(pad_c)
+    with np.errstate(over="ignore"):
+        delta = np.diff(pad_c, prepend=pad_c[:1] * 0)
+    big = np.flatnonzero(delta >= (1 << 32))
+    if len(big) > _INGRESS_EXC:
+        return None
+    small = delta.copy()
+    small[big] = 0
+    small = small.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        base = np.cumsum(small, dtype=np.uint64)
+        corr = pad_c[big] - base[big]
+        step = corr - np.concatenate([np.zeros(1, np.uint64), corr[:-1]])
+    exc_idx = np.full(_INGRESS_EXC, nn, np.int64)
+    exc_idx[: len(big)] = big
+    exc_step = np.zeros(_INGRESS_EXC, np.uint64)
+    exc_step[: len(big)] = step
+    return small, exc_idx, exc_step
+
+
+def _decode_u64_ingress(small, exc_idx, exc_step):
+    """Device twin of _encode_u64_ingress (runs inside the jitted
+    program: one u64 cumsum + one sparse scatter-add + one more cumsum)."""
+    base = jnp.cumsum(small.astype(jnp.uint64))
+    step = jnp.zeros_like(base).at[exc_idx].add(exc_step, mode="drop")
+    return base + jnp.cumsum(step)
+
+
+@partial(jax.jit, static_argnames=("rounds", "z_out"))
+def _union_taxids_ingress_z(small, exc_idx, exc_step, t16, lca_tab,
+                            rounds: int, z_out: bool):
+    """One program: compressed-ingress decode -> N-way LCA union ->
+    (optionally) compressed egress.  Ingress: u32-delta codes + sparse
+    step exceptions + u16 compact ids (~2x less host->device than the
+    raw u64+i32 upload over the 35 MB/s dev tunnel)."""
+    codes = _decode_u64_ingress(small, exc_idx, exc_step)
+    ctax = t16.astype(jnp.int32)
+    if z_out:
+        return _union_taxids_compact_z(codes, ctax, lca_tab, rounds)
+    return union_taxids_compact(codes, ctax, lca_tab, rounds)
+
+
 @partial(jax.jit, static_argnames=("rounds",))
 def _union_taxids_compact_z(codes, ctax, lca_tab, rounds: int):
     """union_taxids_compact + compressed egress (u32-delta codes, u16
@@ -228,16 +297,34 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
         use_compressed_taxid_fetch,
     )
 
-    dc, dt, dtab = jnp.asarray(pad_c), jnp.asarray(pad_t), jnp.asarray(lca_tab)
+    dtab = jnp.asarray(lca_tab)
 
     def raw():
-        return union_taxids_compact(dc, dt, dtab, rounds)
+        # lazy upload: only pays the raw u64+i32 transfer when actually
+        # taken (direct route or exception-overflow re-run)
+        return union_taxids_compact(
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds)
 
     space_bits = int(codes.max()).bit_length() if len(codes) else 1
-    if use_compressed_taxid_fetch(space_bits, nn, len(closure)):
-        z = _union_taxids_compact_z(dc, dt, dtab, rounds)
+    z_out = use_compressed_taxid_fetch(space_bits, nn, len(closure))
+    enc = None
+    if len(closure) <= 0xFFFF and use_compressed_taxid_ingress():
+        enc = _encode_u64_ingress(pad_c)
+    if enc is not None:
+        small, exc_idx, exc_step = enc
+        res = _union_taxids_ingress_z(
+            jnp.asarray(small), jnp.asarray(exc_idx),
+            jnp.asarray(exc_step), jnp.asarray(pad_t.astype(np.uint16)),
+            dtab, rounds, z_out)
+        if z_out:
+            return fetch_taxid_result(res, raw, closure)
+        out_c, out_t, n = res
+    elif z_out:
+        z = _union_taxids_compact_z(
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds)
         return fetch_taxid_result(z, raw, closure)
-    out_c, out_t, n = raw()
+    else:
+        out_c, out_t, n = raw()
     n = _fetch_scalar_watchdog(n)
     return (np.asarray(out_c[:n]),
             closure[np.asarray(out_t[:n]).astype(np.int64)])
