@@ -12,6 +12,26 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 
+# VMA exhaustion guard: every cached CPU executable holds mmap'd code/
+# trampoline pages (a single pallas-interpret sort: ~1,200 VMAs), and a
+# full suite run accumulates past the kernel's vm.max_map_count (65,530
+# here), after which ANY mmap inside XLA fails and the process
+# segfaults/aborts at a state-dependent spot (observed in compile,
+# serialize, and deserialize alike — diagnosed by sampling
+# /proc/self/maps, 39 -> 63,060 right before the crash).  Clearing
+# jax's caches releases the executables and their pages.  Short-lived
+# CLI processes never get close; only many-program processes like this
+# suite need the guard.
+_VMA_GUARD_LIMIT = 30_000
+
+
+def _n_vmas() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no guard needed
+        return 0
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -55,6 +75,15 @@ def pytest_collection_modifyitems(config, items):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "full: full-genome conformance fixtures")
+
+
+@pytest.fixture(autouse=True)
+def _vma_guard():
+    """Release cached executables before the VMA count hits the kernel
+    limit (see the vm.max_map_count note above)."""
+    yield
+    if _n_vmas() > _VMA_GUARD_LIMIT:
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

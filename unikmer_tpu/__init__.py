@@ -41,16 +41,17 @@ def _configure_jax() -> None:
 
     # Persistent compilation cache: the CLI spawns a fresh process per
     # command, so XLA programs (20-40 s first compile on TPU) must be
-    # reused across runs.
+    # reused across runs.  UNIKMER_TPU_CACHE=0 (or empty) disables it.
     _cache_dir = _os.environ.get(
         "UNIKMER_TPU_CACHE", _os.path.expanduser("~/.cache/unikmer_tpu/xla")
     )
-    try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax_config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except (OSError, AttributeError):  # read-only fs / older jax: non-fatal
-        pass
+    if _cache_dir and _cache_dir != "0":
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except (OSError, AttributeError):  # read-only fs / older jax: non-fatal
+            pass
 
     # Optional platform override (e.g. UNIKMER_TPU_PLATFORM=cpu) — the
     # environment may force a platform via JAX_PLATFORMS before this runs.

@@ -33,8 +33,11 @@ def _build() -> bool:
 
 
 def get_lib():
-    """The loaded library, or None when unavailable."""
+    """The loaded library, or None when unavailable (or disabled via
+    UNIKMER_TPU_NO_NATIVE=1 — every caller has a numpy fallback)."""
     global _lib
+    if os.environ.get("UNIKMER_TPU_NO_NATIVE") == "1":
+        return None
     if _lib is not None:
         return _lib if _lib is not False else None
     stale = True
