@@ -1,0 +1,72 @@
+#!/bin/bash
+# Chip validation of the round-2 compressed device-taxid egress routes
+# (docs/BENCH_NOTES.md "raw taxid-result fetch is unusable"): the
+# device LCA union (union UNIKMER_TPU_DEVICE_TAXID=1) and device
+# count -T, both of which now fetch u32-delta codes + u16 compact ids.
+# Ground truth: the jax-free host engine + the README union fixtures
+# (number 6,872,728; view -t md5 4c038832209278840d4d75944b29219c).
+#
+# DEVICE DISCIPLINE (CLAUDE.md): runs device processes sequentially,
+# never wraps them in external `timeout`, never kills them — a killed
+# pending op wedges the chip for ~45 min.
+set -e
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+export UNIKMER_DB=/root/repo/tests/data/taxdump
+T=${1:-/tmp/chipval_taxid}
+OLD=/root/reference/testdata/old
+FIX_MD5=4c038832209278840d4d75944b29219c
+mkdir -p "$T"
+
+echo "== host-engine counts (jax-free) =="
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
+  "$OLD/Ecoli-IAI39.fasta.gz" -o "$T/iai39.k23" -t 585057
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
+  "$OLD/Ecoli-MG1655.fasta.gz" -o "$T/mg1655.k23" -t 511145
+
+echo "== host union (oracle) =="
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu union \
+  "$T/iai39.k23.unik" "$T/mg1655.k23.unik" -s -o "$T/union_host"
+bin/unikmer-tpu view -t "$T/union_host.unik" > "$T/union_host.txt"
+HOST_MD5=$(md5sum < "$T/union_host.txt" | cut -d' ' -f1)
+echo "host union md5: $HOST_MD5 (fixture $FIX_MD5)"
+
+echo "== DEVICE union (compressed taxid egress) =="
+t0=$SECONDS
+UNIKMER_TPU_DEVICE_TAXID=1 \
+  python -m unikmer_tpu.cli.main union --verbose \
+  "$T/iai39.k23.unik" "$T/mg1655.k23.unik" -s -o "$T/union_dev" \
+  2> "$T/union_dev.log" || { tail -30 "$T/union_dev.log"; exit 1; }
+echo "device union wall: $((SECONDS - t0)) s"
+bin/unikmer-tpu view -t "$T/union_dev.unik" > "$T/union_dev.txt"
+DEV_MD5=$(md5sum < "$T/union_dev.txt" | cut -d' ' -f1)
+echo "device union md5: $DEV_MD5"
+[ "$DEV_MD5" = "$HOST_MD5" ] && [ "$DEV_MD5" = "$FIX_MD5" ] \
+  && echo "UNION: EXACT" || { echo "UNION: MISMATCH"; exit 1; }
+
+echo "== count -T input (taxid headers) =="
+{ zcat "$OLD/Ecoli-IAI39.fasta.gz" | sed 's/^>\(.*\)/>\1 taxid|585057/';
+  zcat "$OLD/Ecoli-MG1655.fasta.gz" | sed 's/^>\(.*\)/>\1 taxid|511145/';
+} > "$T/both_taxid.fa"
+
+echo "== host count -T (oracle) =="
+UNIKMER_TPU_HOST_COUNT=1 UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu \
+  count -k 23 -K -s -T -r 'taxid\|(\d+)' \
+  "$T/both_taxid.fa" -o "$T/countT_host"
+bin/unikmer-tpu view -t "$T/countT_host.unik" > "$T/countT_host.txt"
+CT_HOST_MD5=$(md5sum < "$T/countT_host.txt" | cut -d' ' -f1)
+
+echo "== DEVICE count -T (compressed taxid egress) =="
+t0=$SECONDS
+UNIKMER_TPU_HOST_COUNT=0 UNIKMER_TPU_DEVICE_TAXID=1 \
+  python -m unikmer_tpu.cli.main count --verbose -k 23 -K -s \
+  -T -r 'taxid\|(\d+)' "$T/both_taxid.fa" -o "$T/countT_dev" \
+  2> "$T/countT_dev.log" || { tail -30 "$T/countT_dev.log"; exit 1; }
+echo "device count -T wall: $((SECONDS - t0)) s"
+bin/unikmer-tpu view -t "$T/countT_dev.unik" > "$T/countT_dev.txt"
+CT_DEV_MD5=$(md5sum < "$T/countT_dev.txt" | cut -d' ' -f1)
+echo "count -T host/dev md5: $CT_HOST_MD5 / $CT_DEV_MD5"
+[ "$CT_DEV_MD5" = "$CT_HOST_MD5" ] \
+  && echo "COUNT-T: EXACT" || { echo "COUNT-T: MISMATCH"; exit 1; }
+
+echo "ALL CHIP TAXID VALIDATIONS PASSED"
