@@ -540,6 +540,12 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
         padded_ctax = np.zeros(len(bases), np.int32)
         padded_ctax[: len(pos_ctax)] = pos_ctax
         rounds = max(len(bases).bit_length() - 1, 1)
+        if jax.default_backend() != "cpu":
+            # tunnel-attached chips occasionally drop a process's first
+            # large dispatch (fetch hangs forever); establish the
+            # session with a watchdogged tiny round-trip first, like
+            # every non-taxid count dispatch does
+            _warm_device_session()
         dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
 
         def raw():

@@ -293,10 +293,16 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
     pad_t[: len(ctax)] = ctax
     rounds = max(nn.bit_length() - 1, 1)
     from ..models.count import (
-        _fetch_scalar_watchdog, fetch_taxid_result,
+        _fetch_scalar_watchdog, _warm_device_session, fetch_taxid_result,
         use_compressed_taxid_fetch,
     )
 
+    if jax.default_backend() != "cpu":
+        # watchdogged tiny round-trip before the first big upload: the
+        # tunnel drops occasional first dispatches (fetch hangs forever,
+        # observed 2026-08-20 on this very route), and without it the
+        # CLI freezes with no diagnostic
+        _warm_device_session()
     dtab = jnp.asarray(lca_tab)
 
     def raw():
