@@ -30,6 +30,14 @@ UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu union \
 bin/unikmer-tpu view -t "$T/union_host.unik" > "$T/union_host.txt"
 HOST_MD5=$(md5sum < "$T/union_host.txt" | cut -d' ' -f1)
 echo "host union md5: $HOST_MD5 (fixture $FIX_MD5)"
+# fail fast BEFORE any device run: a host regression or stale fixture
+# must not consume a device session (chip wedge = ~45 min lockout)
+[ "$HOST_MD5" = "$FIX_MD5" ] || { echo "host oracle != fixture"; exit 1; }
+# device sections run `python -m unikmer_tpu.cli.main` directly (not
+# bin/unikmer-tpu) so the caller's PALLAS_AXON_POOL_IPS reaches jax —
+# the launcher strips it for device-free subcommands and union is
+# routed dynamically.  Require it up front:
+[ -n "$PALLAS_AXON_POOL_IPS" ] || { echo "PALLAS_AXON_POOL_IPS not set"; exit 1; }
 
 echo "== DEVICE union (compressed taxid egress) =="
 t0=$SECONDS

@@ -306,9 +306,10 @@ def _warm_device_session() -> None:
     On tunnel-attached chips a process's first large dispatch is
     occasionally dropped (the fetch then hangs forever); a small
     device_put + readback first establishes the session the way
-    bench.py does, which has never exhibited the hang."""
+    bench.py does, which has never exhibited the hang.  No-op on the
+    cpu backend so call sites need no guard of their own."""
     global _session_warm
-    if _session_warm:
+    if _session_warm or jax.default_backend() == "cpu":
         return
     x = jax.device_put(np.zeros(8, np.float32))
     # the round-trip itself hangs when the link is already wedged —
@@ -540,12 +541,11 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
         padded_ctax = np.zeros(len(bases), np.int32)
         padded_ctax[: len(pos_ctax)] = pos_ctax
         rounds = max(len(bases).bit_length() - 1, 1)
-        if jax.default_backend() != "cpu":
-            # tunnel-attached chips occasionally drop a process's first
-            # large dispatch (fetch hangs forever); establish the
-            # session with a watchdogged tiny round-trip first, like
-            # every non-taxid count dispatch does
-            _warm_device_session()
+        # tunnel-attached chips occasionally drop a process's first
+        # large dispatch (fetch hangs forever); establish the session
+        # with a watchdogged tiny round-trip first, like every
+        # non-taxid count dispatch does (no-op on cpu)
+        _warm_device_session()
         dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
 
         def raw():

@@ -297,12 +297,11 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
         use_compressed_taxid_fetch,
     )
 
-    if jax.default_backend() != "cpu":
-        # watchdogged tiny round-trip before the first big upload: the
-        # tunnel drops occasional first dispatches (fetch hangs forever,
-        # observed 2026-08-20 on this very route), and without it the
-        # CLI freezes with no diagnostic
-        _warm_device_session()
+    # watchdogged tiny round-trip before the first big upload: the
+    # tunnel drops occasional first dispatches (fetch hangs forever,
+    # observed 2026-08-20 on this very route), and without it the
+    # CLI freezes with no diagnostic (no-op on cpu)
+    _warm_device_session()
     dtab = jnp.asarray(lca_tab)
 
     def raw():
