@@ -392,18 +392,20 @@ def _pipeline_depth() -> int:
     return 1 if jax.default_backend() == "tpu" else 0
 
 
-@partial(jax.jit, static_argnames=("cfg", "rounds", "mode"))
+@partial(jax.jit, static_argnames=("cfg", "rounds", "mode", "kind"))
 def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
-                      rounds: int, mode: str):
+                      rounds: int, mode: str, kind: str = "table"):
     """Jitted: packed bases + per-position COMPACT taxid ids -> sorted
     LCA-merged (codes, compact ids) dense prefix + count, entirely on
     device (VERDICT round-1 next #3; reference count.go:377-410).
 
-    Uses the compact-vocabulary LCA table (taxonomy/lca.lca_closure):
-    each merge round is one gather into a (C, C) table, so the whole
-    taxid collapse lives in the same program as encode + sort."""
+    ``kind`` picks the vocabulary LCA representation (taxonomy/lca.py):
+    "table" = (C, C) closure table, one gather per merge round (small
+    vocabularies); "paths" = (C, Dp) path matrix, gather-free merge
+    rounds (large vocabularies).  Either way the whole taxid collapse
+    lives in the same program as encode + sort."""
     from ..ops.sort import _compact, _run_bounds
-    from ..taxonomy.lca import lca_collapse_compact
+    from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
     codes, valid = window_codes(bases, cfg)
     if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
@@ -411,7 +413,8 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
         # filter (count.go:373-375): apply it here like count_step does
         max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
         valid = valid & (codes <= max_hash)
-    s_codes, ctax, keep, s_valid = lca_collapse_compact(
+    collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
+    s_codes, ctax, keep, s_valid = collapse(
         codes, pos_ctax, valid, lca_tab, rounds
     )
     if mode in ("unique", "repeated"):
@@ -427,30 +430,32 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
     return out_c, out_t, n
 
 
-@partial(jax.jit, static_argnames=("cfg", "rounds", "mode"))
+@partial(jax.jit, static_argnames=("cfg", "rounds", "mode", "kind"))
 def _count_taxids_step_z(bases, pos_ctax, lca_tab, cfg: CountConfig,
-                         rounds: int, mode: str):
+                         rounds: int, mode: str, kind: str = "table"):
     """count_taxids_step + compressed egress: u32-delta codes (exact;
-    exception list for deltas >= 2^32) and u16 compact taxid ids — the
-    taxid twin of _count_step_packed_result.  A raw fetch of the padded
-    2^24 u64+i32 buffers is 30-60 min over the ~6 MB/s dev tunnel (the
-    2026-08-19 chip run died there); this is ~4x less egress."""
+    exception list for deltas >= 2^32) and u16 compact taxid ids (u32
+    when the vocabulary structure outgrows u16) — the taxid twin of
+    _count_step_packed_result.  A raw fetch of the padded 2^24 u64+i32
+    buffers is 30-60 min over the ~6 MB/s dev tunnel (the 2026-08-19
+    chip run died there); this is ~4x less egress."""
     out_c, out_t, n = count_taxids_step(bases, pos_ctax, lca_tab, cfg,
-                                        rounds, mode)
+                                        rounds, mode, kind)
     small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
-    return small, exc_idx, exc_val, n_exc, n, out_t.astype(jnp.uint16)
+    wide = lca_tab.shape[0] > 0xFFFF
+    return (small, exc_idx, exc_val, n_exc, n,
+            out_t.astype(jnp.uint32 if wide else jnp.uint16))
 
 
 def use_compressed_taxid_fetch(space_bits: int, padded_len: int,
                                n_closure: int) -> bool:
     """Compressed taxid-result egress pays when code deltas usually fit
-    u32 (same heuristic as count_packed_dispatch) and compact ids fit
-    u16.  UNIKMER_TPU_COMPRESS_TAXID_FETCH=0/1 forces (1 lets CPU tests
+    u32 (same heuristic as count_packed_dispatch); compact ids ride as
+    u16, or u32 for large vocabulary structures.
+    UNIKMER_TPU_COMPRESS_TAXID_FETCH=0/1 forces (1 lets CPU tests
     exercise the compressed programs)."""
     knob = os.environ.get("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "auto")
     if knob == "0":
-        return False
-    if n_closure > 0xFFFF:
         return False
     if knob == "1":
         return True
@@ -478,18 +483,19 @@ def fetch_taxid_result(z, raw_fn, closure):
 
 def _device_taxid_route(packed, rec_taxids, taxdb):
     """Should count -T keep its LCA reduction on device?  Yes when the
-    padded program fits the validated bucket, the taxid vocabulary's
-    meet-closure fits the compact table, and every taxid is known (the
-    unknown-nonzero rule is order-dependent, so only the host engine's
-    deterministic order defines those).  UNIKMER_TPU_DEVICE_TAXID=0
-    forces the host reduction."""
+    padded program fits the validated bucket, the tiered vocabulary
+    admission accepts (closure table for small vocabularies, path
+    matrix for large — taxonomy/lca.device_lca_plan), and every taxid
+    is known (the unknown-nonzero rule is order-dependent, so only the
+    host engine's deterministic order defines those).
+    UNIKMER_TPU_DEVICE_TAXID=0 forces the host reduction."""
     if os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto") == "0":
         return None
     if _padded_len(max(len(packed.bases), 1)) > (1 << 25):
         return None  # beyond the validated bucket: segmented host path
-    from ..taxonomy.lca import closure_for_vocab
+    from ..taxonomy.lca import device_lca_plan
 
-    return closure_for_vocab(taxdb, rec_taxids)
+    return device_lca_plan(taxdb, rec_taxids)
 
 
 def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
@@ -531,7 +537,7 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     if route is not None:
         from ..taxonomy.lca import compact_ids
 
-        closure, lca_tab = route
+        kind, closure, lca_tab = route
         # per-position compact taxid: repeat each record's id over its
         # base span (windows starting in separators are invalid anyway)
         rec_ctax = compact_ids(closure, rec_taxids)
@@ -550,13 +556,13 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
 
         def raw():
             return count_taxids_step(bases, dctax, dtab, cfg, rounds,
-                                     cfg.mode)
+                                     cfg.mode, kind)
 
         if use_compressed_taxid_fetch(
             64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
         ):
             z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds,
-                                     cfg.mode)
+                                     cfg.mode, kind)
             return fetch_taxid_result(z, raw, closure)
         out_c, out_t, n = raw()
         n = _fetch_scalar_watchdog(n)

@@ -156,19 +156,23 @@ def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
     return out_c, out_t, n
 
 
-@partial(jax.jit, static_argnames=("rounds",))
-def union_taxids_compact(codes, ctax, lca_tab, rounds: int):
+@partial(jax.jit, static_argnames=("rounds", "kind"))
+def union_taxids_compact(codes, ctax, lca_tab, rounds: int,
+                         kind: str = "table"):
     """N-way union with LCA-merged COMPACT-id taxid column in ONE
     program: feed the concatenation of all inputs (SENT padding, ctax 0
     on padding); the collapse sorts, merges each code run through the
-    (C, C) closure table (one gather per doubling round), and compacts.
+    vocabulary LCA structure, and compacts.  ``kind`` picks the merge
+    representation: "table" = (C, C) closure table (one gather per
+    doubling round, small vocabularies) or "paths" = (C, Dp) path
+    matrix (gather-free rounds, large vocabularies) — taxonomy/lca.py.
     Returns (codes, compact ids, n).  Device analog of ops/sets.union +
-    taxdb.lca_reduce (union.go:195-202) in TPU-fit form (no tree-walk
-    gathers — see taxonomy/lca.py 'Compact-vocabulary LCA')."""
-    from ..taxonomy.lca import lca_collapse_compact
+    taxdb.lca_reduce (union.go:195-202) in TPU-fit form."""
+    from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
     valid = codes != SENT
-    s_codes, tax, keep, _ = lca_collapse_compact(
+    collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
+    s_codes, tax, keep, _ = collapse(
         codes, ctax, valid, lca_tab, rounds
     )
     out_c, n = _compact_mask(s_codes, keep)
@@ -232,46 +236,52 @@ def _decode_u64_ingress(small, exc_idx, exc_step):
     return base + jnp.cumsum(step)
 
 
-@partial(jax.jit, static_argnames=("rounds", "z_out"))
-def _union_taxids_ingress_z(small, exc_idx, exc_step, t16, lca_tab,
-                            rounds: int, z_out: bool):
+@partial(jax.jit, static_argnames=("rounds", "z_out", "kind"))
+def _union_taxids_ingress_z(small, exc_idx, exc_step, tin, lca_tab,
+                            rounds: int, z_out: bool,
+                            kind: str = "table"):
     """One program: compressed-ingress decode -> N-way LCA union ->
     (optionally) compressed egress.  Ingress: u32-delta codes + sparse
-    step exceptions + u16 compact ids (~2x less host->device than the
-    raw u64+i32 upload over the 35 MB/s dev tunnel)."""
+    step exceptions + u16/u32 compact ids (~2x less host->device than
+    the raw u64+i32 upload over the 35 MB/s dev tunnel)."""
     codes = _decode_u64_ingress(small, exc_idx, exc_step)
-    ctax = t16.astype(jnp.int32)
+    ctax = tin.astype(jnp.int32)
     if z_out:
-        return _union_taxids_compact_z(codes, ctax, lca_tab, rounds)
-    return union_taxids_compact(codes, ctax, lca_tab, rounds)
+        return _union_taxids_compact_z(codes, ctax, lca_tab, rounds, kind)
+    return union_taxids_compact(codes, ctax, lca_tab, rounds, kind)
 
 
-@partial(jax.jit, static_argnames=("rounds",))
-def _union_taxids_compact_z(codes, ctax, lca_tab, rounds: int):
+@partial(jax.jit, static_argnames=("rounds", "kind"))
+def _union_taxids_compact_z(codes, ctax, lca_tab, rounds: int,
+                            kind: str = "table"):
     """union_taxids_compact + compressed egress (u32-delta codes, u16
-    compact ids): a raw fetch of the padded 2^24 u64+i32 buffers is
-    30-60 min over the ~6 MB/s dev tunnel."""
-    out_c, out_t, n = union_taxids_compact(codes, ctax, lca_tab, rounds)
+    compact ids — u32 when the vocabulary structure outgrows u16): a
+    raw fetch of the padded 2^24 u64+i32 buffers is 30-60 min over the
+    ~6 MB/s dev tunnel."""
+    out_c, out_t, n = union_taxids_compact(codes, ctax, lca_tab, rounds,
+                                           kind)
     from ..models.count import _compress_result
 
     small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
-    return small, exc_idx, exc_val, n_exc, n, out_t.astype(jnp.uint16)
+    wide = lca_tab.shape[0] > 0xFFFF
+    return (small, exc_idx, exc_val, n_exc, n,
+            out_t.astype(jnp.uint32 if wide else jnp.uint16))
 
 
 def union_taxids_device(code_arrays, taxid_arrays, taxdb):
     """Host driver for the device taxid union: returns (codes, taxids)
-    or None when the compact-closure guards decline (unknown nonzero
-    taxids — their merge rule is order-dependent and owned by the host
-    engine — or a vocabulary too large for the (C, C) table)."""
-    from ..taxonomy.lca import closure_for_vocab, compact_ids
+    or None when the tiered admission declines (unknown nonzero taxids
+    — their merge rule is order-dependent and owned by the host engine
+    — or a path matrix too deep; taxonomy/lca.device_lca_plan)."""
+    from ..taxonomy.lca import compact_ids, device_lca_plan
 
     all_tax = np.concatenate(
         [np.asarray(t, np.uint32) for t in taxid_arrays]
     ) if taxid_arrays else np.zeros(0, np.uint32)
-    route = closure_for_vocab(taxdb, all_tax)
+    route = device_lca_plan(taxdb, all_tax)
     if route is None:
         return None
-    closure, lca_tab = route
+    kind, closure, lca_tab = route
     codes = np.concatenate(
         [np.asarray(c, np.uint64) for c in code_arrays]
     ) if code_arrays else np.zeros(0, np.uint64)
@@ -308,25 +318,26 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
         # lazy upload: only pays the raw u64+i32 transfer when actually
         # taken (direct route or exception-overflow re-run)
         return union_taxids_compact(
-            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds)
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind)
 
     space_bits = int(codes.max()).bit_length() if len(codes) else 1
     z_out = use_compressed_taxid_fetch(space_bits, nn, len(closure))
     enc = None
-    if len(closure) <= 0xFFFF and use_compressed_taxid_ingress():
+    if use_compressed_taxid_ingress():
         enc = _encode_u64_ingress(pad_c)
     if enc is not None:
         small, exc_idx, exc_step = enc
+        id_np = np.uint16 if len(closure) <= 0xFFFF else np.uint32
         res = _union_taxids_ingress_z(
             jnp.asarray(small), jnp.asarray(exc_idx),
-            jnp.asarray(exc_step), jnp.asarray(pad_t.astype(np.uint16)),
-            dtab, rounds, z_out)
+            jnp.asarray(exc_step), jnp.asarray(pad_t.astype(id_np)),
+            dtab, rounds, z_out, kind)
         if z_out:
             return fetch_taxid_result(res, raw, closure)
         out_c, out_t, n = res
     elif z_out:
         z = _union_taxids_compact_z(
-            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds)
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind)
         return fetch_taxid_result(z, raw, closure)
     else:
         out_c, out_t, n = raw()

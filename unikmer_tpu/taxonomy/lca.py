@@ -216,8 +216,7 @@ def closure_for_vocab(taxdb, taxids):
     taxids (the host engine's unknown-merge rule is order-dependent,
     taxdump.lca_pairs), or a vocabulary/meet-closure beyond
     UNIKMER_TPU_TAXID_VOCAB_MAX (default 4096 / 2x for the closure).
-    The single admission guard shared by count -T and the taxid union
-    device routes."""
+    The small-vocabulary tier of :func:`device_lca_plan`."""
     import os
 
     vocab = np.unique(np.asarray(taxids, np.uint32).reshape(-1))
@@ -230,3 +229,172 @@ def closure_for_vocab(taxdb, taxids):
     if len(closure) > 2 * cap:
         return None
     return closure, lca_tab
+
+
+# ---------------------------------------------------------------------
+# Path-matrix LCA: the LARGE-vocabulary tier
+# ---------------------------------------------------------------------
+#
+# The (C, C) closure table is O(C^2) memory AND O(V^2) host pair-LCAs to
+# build, so it caps out around 4k taxids — real metagenomic -T workloads
+# carry 10^4..10^6 (the reference loads the full NCBI dump,
+# unikmer/cmd/util.go:119-171).  This tier scales: each meet-closure
+# member gets its root-down path of CLOSURE ancestors, depth-aligned by
+# closure-depth; LCA of two nodes = deepest common entry of their paths
+# — a pure elementwise compare + prefix-AND over a (n, D) block, no
+# gathers inside the merge rounds at all (ONE row-gather total to fetch
+# each element's path).  Host prep is O(V * tree_depth) via the sorted-
+# path adjacency closure (the meet-closure of a vocabulary = vocabulary
+# plus the LCAs of lexicographically ADJACENT root-paths), never O(V^2).
+
+
+def _root_paths(taxdb, vocab):
+    """(V, Dfull) int64 matrix of root-down ancestor taxids (-1 pad)
+    for KNOWN nonzero ``vocab`` entries (depths are contiguous in
+    taxdump: depth(parent) = depth(node) - 1)."""
+    v = np.asarray(vocab, np.int64)
+    if len(v) == 0:
+        return np.full((0, 1), -1, np.int64)
+    depth = taxdb.depth.astype(np.int64)
+    parent = taxdb.parent.astype(np.int64)
+    D = int(depth[v].max()) + 1
+    paths = np.full((len(v), D), -1, np.int64)
+    rows = np.arange(len(v))
+    cur = v.copy()
+    for _ in range(D):
+        d = depth[cur]
+        ok = (cur > 0) & (d >= 0)
+        paths[rows[ok], d[ok]] = cur[ok]
+        nxt = parent[cur]
+        cur = np.where(ok & (nxt != cur), nxt, 0)
+    return paths
+
+
+def path_tables(taxdb, taxids):
+    """(anc uint32 sorted (0 first), path_tab (C, Dp) int32) for an
+    arbitrarily large KNOWN taxid vocabulary.
+
+    ``anc`` is the vocabulary's meet-closure (every possible LCA of any
+    subset of the vocabulary, plus 0); ``path_tab[i]`` is closure member
+    i's closure-ancestors root-down as indices into ``anc`` (including
+    itself last; -1 pad; row 0 = taxid 0 = all -1).  LCA(anc[i], anc[j])
+    = anc[deepest common entry of path_tab[i], path_tab[j]].
+    """
+    vocab = np.unique(
+        np.concatenate([np.asarray(taxids, np.uint32).reshape(-1),
+                        np.zeros(1, np.uint32)])
+    )
+    vz = vocab[vocab != 0]
+    if len(vz) == 0:
+        return vocab, np.full((1, 1), -1, np.int32)
+    fp = _root_paths(taxdb, vz)
+    # sorted-path adjacency closure: DFS (lexicographic root-path) order
+    # makes every pairwise LCA the LCA of some ADJACENT pair, and that
+    # is just the common-prefix tail of adjacent path rows
+    order = np.lexsort(fp.T[::-1])
+    sfp = fp[order]
+    if len(sfp) > 1:
+        eq = sfp[1:] == sfp[:-1]
+        cpd = np.cumprod(eq, axis=1).sum(axis=1)  # common-prefix depth
+        good = cpd > 0  # 0 only for forest inputs; root meet then
+        adj = sfp[np.flatnonzero(good), cpd[good] - 1]
+    else:
+        adj = np.zeros(0, np.int64)
+    closure = np.unique(np.concatenate([vz.astype(np.int64), adj]))
+    anc = np.concatenate([np.zeros(1, np.int64), closure]).astype(np.uint64)
+    anc = np.unique(anc).astype(np.uint32)  # 0 first (sorted)
+    # prune each closure member's full path to closure-only entries,
+    # left-packed: entry j = its closure-ancestor of closure-depth j
+    afp = _root_paths(taxdb, closure)
+    member = np.isin(afp, closure)
+    Dp = max(int(member.sum(axis=1).max()), 1)
+    tab = np.full((len(anc), Dp), -1, np.int32)
+    rws, cls = np.nonzero(member)
+    pos = (np.cumsum(member, axis=1) - 1)[rws, cls]
+    ids = np.searchsorted(anc, afp[rws, cls]).astype(np.int32)
+    # closure row r is anc row r+1 (anc[0] is taxid 0)
+    tab[rws + 1, pos] = ids
+    return anc, tab
+
+
+@partial(jax.jit, static_argnames=("rounds",))
+def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int):
+    """Sorted-distinct collapse with LCA-merged taxids for LARGE
+    vocabularies: the path-matrix twin of lca_collapse_compact.
+
+    ``cids`` are indices into the ``anc`` array of path_tables (0 =
+    taxid 0); the returned taxid column is likewise anc indices.  Merge
+    rounds run on the (n, Dp) path block with pure elementwise
+    compare/prefix ops (VPU-shaped; zero gathers after the single
+    initial row gather).  Same one-key sort discipline as the compact
+    collapse (valid bit packed into the i32 payload, ops/sort.py).
+    """
+    payload = jnp.where(
+        valid, cids.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
+    )
+    s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
+    s_valid = s_pay >= jnp.int32(_VALID_BIT)
+    n = codes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    ids = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
+    P = path_tab[ids]  # (n, Dp) — the only gather
+    D = path_tab.shape[1]
+    for r in range(rounds):
+        d = 1 << r
+        if d >= n:
+            break
+        Pq = jnp.concatenate([P[d:], jnp.full((d, D), -1, P.dtype)])
+        same_run = jnp.concatenate(
+            [start[d:] == start[:-d], jnp.zeros((d,), bool)]
+        )
+        # meet = common prefix; empty path (taxid 0) is the identity
+        diverged = jnp.cumsum((P != Pq).astype(jnp.int32), axis=1) > 0
+        merged = jnp.where(diverged, jnp.int32(-1), P)
+        merged = jnp.where(P[:, :1] < 0, Pq, merged)
+        merged = jnp.where(Pq[:, :1] < 0, P, merged)
+        P = jnp.where(same_run[:, None], merged, P)
+    depth_cnt = jnp.sum((P >= 0).astype(jnp.int32), axis=1)
+    out = jnp.where(
+        depth_cnt > 0,
+        P[idx, jnp.maximum(depth_cnt - 1, 0)],
+        jnp.int32(0),
+    )
+    v = s_valid.astype(jnp.int32)
+    csum = jnp.cumsum(v)
+    last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
+    end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
+    )[::-1]
+    run_valid = csum[end - 1] - csum[start] + v[start]
+    keep = first & (run_valid > 0)
+    return s_codes, out, keep, s_valid
+
+
+def device_lca_plan(taxdb, taxids):
+    """Tiered admission for the device taxid routes: ('table',
+    closure, lca_tab) for small vocabularies (one (C, C)-table gather
+    per merge round — cheapest), ('paths', anc, path_tab) for large
+    ones (O(V*depth) host prep, gather-free merge rounds), or None when
+    the device cannot own the semantics (unknown NONZERO taxids: their
+    merge rule is order-dependent, owned by the host engine) or the
+    path block would not fit (UNIKMER_TPU_TAXID_PATH_DEPTH_MAX).
+    """
+    import os
+
+    vocab = np.unique(np.asarray(taxids, np.uint32).reshape(-1))
+    if not np.all(taxdb.has(vocab) | (vocab == 0)):
+        return None
+    cap = int(os.environ.get("UNIKMER_TPU_TAXID_VOCAB_MAX", "4096"))
+    if len(vocab) <= cap:
+        closure, lca_tab = lca_closure(taxdb, vocab)
+        if len(closure) <= 2 * cap:
+            return ("table", closure, lca_tab)
+    anc, path_tab = path_tables(taxdb, vocab)
+    if len(anc) >= _VALID_BIT:  # ids must fit beside the packed bit
+        return None
+    dcap = int(os.environ.get("UNIKMER_TPU_TAXID_PATH_DEPTH_MAX", "48"))
+    if path_tab.shape[1] > dcap:
+        return None
+    return ("paths", anc, path_tab)
