@@ -85,6 +85,49 @@ def test_common_mesh_matches_single(tmp_path, genome_files):
         read_codes(f"{a}.unik"), read_codes(f"{b}.unik"))
 
 
+def read_codes_taxids(path):
+    with UnikReader(path) as r:
+        codes, taxids = r.read_all()
+        if taxids is None and r.header.has_global_taxid:
+            taxids = np.full(len(codes), r.header.global_taxid, np.uint32)
+        return np.asarray(codes), np.asarray(taxids)
+
+
+@pytest.fixture()
+def taxid_uniks(tmp_path, genome_files):
+    uniks = []
+    for g, t in zip(genome_files, (511145, 585057, 349741)):
+        out = tmp_path / f"t{t}"
+        assert cli(["count", "-k", 19, "-K", "-s", g, "-o", out,
+                    "-t", t]) == 0
+        uniks.append(f"{out}.unik")
+    return uniks
+
+
+@pytest.mark.parametrize("vocab_cap", [None, "0"])
+def test_taxid_set_ops_mesh_match_single(tmp_path, taxid_uniks,
+                                         monkeypatch, vocab_cap):
+    """union/inter/diff/common --mesh over taxid-carrying inputs must
+    byte-match the host engine, through BOTH vocabulary LCA tiers
+    (closure table; vocab_cap=0 forces the path matrix)."""
+    if vocab_cap is not None:
+        monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", vocab_cap)
+    for op, args in (
+        ("union", ["-s"]),
+        ("inter", []),
+        ("diff", ["-s"]),
+        ("common", ["-n", 2]),
+    ):
+        a = tmp_path / f"{op}{bool(vocab_cap)}.single"
+        b = tmp_path / f"{op}{bool(vocab_cap)}.mesh"
+        assert cli([op, *taxid_uniks, "-o", a, *args]) == 0
+        assert cli([op, *taxid_uniks, "-o", b, "--mesh", 4, *args]) == 0
+        ca, ta = read_codes_taxids(f"{a}.unik")
+        cb, tb = read_codes_taxids(f"{b}.unik")
+        np.testing.assert_array_equal(ca, cb, err_msg=op)
+        np.testing.assert_array_equal(ta, tb, err_msg=op)
+
+
 def test_mesh_capacity_retry(tmp_path, genome_files, monkeypatch):
     # a deliberately tiny initial capacity forces the dropped-counter
     # retry loop (doubling until no overflow)

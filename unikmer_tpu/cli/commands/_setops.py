@@ -121,3 +121,24 @@ def mesh_codes(op, code_arrays, h0, opt, threshold=None):
         code_bits=64 if h0.is_hashed else 2 * h0.k,
         threshold=threshold,
     )
+
+
+def mesh_codes_taxids(op, code_arrays, taxid_arrays, h0, opt,
+                      threshold=None):
+    """Route a TAXID-carrying set op through the sharded mesh engine
+    (parallel/sharded.mesh_set_op_taxids; --mesh N).  Returns (codes,
+    taxids) or None when the tiered vocabulary admission declines —
+    callers then fall back to the host engine."""
+    import jax
+
+    if jax.device_count() < opt.mesh:
+        die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
+            f"found {jax.device_count()}")
+    from ...parallel.sharded import mesh_set_op_taxids
+
+    taxdb = maybe_taxonomy(opt, True)
+    return mesh_set_op_taxids(
+        op, code_arrays, taxid_arrays, taxdb, opt.mesh,
+        code_bits=64 if h0.is_hashed else 2 * h0.k,
+        threshold=threshold,
+    )

@@ -62,6 +62,11 @@ def run(args) -> int:
         codes, taxids = mesh_codes(
             "common", code_arrays, headers[0], opt, threshold=threshold
         ), None
+    elif taxid_arrays is not None and opt.mesh >= 2 and (
+        res := _mesh_taxids(
+            code_arrays, taxid_arrays, headers[0], opt, threshold)
+    ) is not None:
+        codes, taxids = res
     else:
         codes, taxids = sets.common(code_arrays, taxid_arrays, threshold, taxdb)
     out_file = write_result(
@@ -69,3 +74,10 @@ def run(args) -> int:
     )
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _mesh_taxids(code_arrays, taxid_arrays, h0, opt, threshold):
+    from ._setops import mesh_codes_taxids
+
+    return mesh_codes_taxids("common", code_arrays, taxid_arrays, h0, opt,
+                             threshold=threshold)

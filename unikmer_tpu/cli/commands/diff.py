@@ -7,6 +7,8 @@ is its descendant, diff.go:360-366,405-409).
 
 from __future__ import annotations
 
+import numpy as np
+
 from ...ops import sets
 from ...utils.log import die
 from ._common import add_files_arg, effective_taxids, log_saved, new_command, open_reader, unik_inputs
@@ -66,6 +68,16 @@ def run(args) -> int:
 
         codes = mesh_codes("diff", [q_codes] + other_codes, h0, opt)
         taxids = None
+    elif (q_tax is not None and not args.compare_taxid and opt.mesh >= 2
+          and (res := _mesh_taxids(
+              [q_codes] + other_codes,
+              [q_tax] + [
+                  t if t is not None else np.zeros(len(c), np.uint32)
+                  for c, t in zip(other_codes, other_tax)
+              ], h0, opt)) is not None):
+        # mesh diff keeps the query's taxids (diff.go:379-454); the
+        # --compare-taxid ancestor rule stays host-owned
+        codes, taxids = res
     else:
         codes, taxids = sets.subtract(
             q_codes,
@@ -80,3 +92,9 @@ def run(args) -> int:
     )
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _mesh_taxids(code_arrays, taxid_arrays, h0, opt):
+    from ._setops import mesh_codes_taxids
+
+    return mesh_codes_taxids("diff", code_arrays, taxid_arrays, h0, opt)

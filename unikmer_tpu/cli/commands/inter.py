@@ -31,6 +31,10 @@ def run(args) -> int:
         from ._setops import mesh_codes
 
         codes, taxids = mesh_codes("inter", code_arrays, headers[0], opt), None
+    elif taxid_arrays is not None and opt.mesh >= 2 and (
+        res := _mesh_taxids(code_arrays, taxid_arrays, headers[0], opt)
+    ) is not None:
+        codes, taxids = res
     else:
         taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
         codes, taxids = sets.intersect(code_arrays, taxid_arrays, taxdb)
@@ -39,3 +43,9 @@ def run(args) -> int:
     )
     log_saved(opt, len(codes), out_file)
     return 0
+
+
+def _mesh_taxids(code_arrays, taxid_arrays, h0, opt):
+    from ._setops import mesh_codes_taxids
+
+    return mesh_codes_taxids("inter", code_arrays, taxid_arrays, h0, opt)

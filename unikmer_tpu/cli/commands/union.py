@@ -7,7 +7,9 @@ from __future__ import annotations
 
 from ...ops import sets
 from ._common import add_files_arg, log_saved, new_command, unik_inputs
-from ._setops import load_inputs, maybe_taxonomy, mesh_codes, write_result
+from ._setops import (
+    load_inputs, maybe_taxonomy, mesh_codes, mesh_codes_taxids, write_result,
+)
 
 
 def register(subparsers):
@@ -33,6 +35,11 @@ def run(args) -> int:
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(files, opt)
     if taxid_arrays is None and opt.mesh >= 2:
         codes, taxids = mesh_codes("union", code_arrays, headers[0], opt), None
+    elif taxid_arrays is not None and opt.mesh >= 2 and (
+        res := mesh_codes_taxids(
+            "union", code_arrays, taxid_arrays, headers[0], opt)
+    ) is not None:
+        codes, taxids = res
     else:
         taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
         res = None

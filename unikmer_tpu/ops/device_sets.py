@@ -156,30 +156,44 @@ def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
     return out_c, out_t, n
 
 
-@partial(jax.jit, static_argnames=("rounds", "kind"))
-def union_taxids_compact(codes, ctax, lca_tab, rounds: int,
-                         kind: str = "table"):
-    """N-way union with LCA-merged COMPACT-id taxid column in ONE
-    program: feed the concatenation of all inputs (SENT padding, ctax 0
-    on padding); the collapse sorts, merges each code run through the
-    vocabulary LCA structure, and compacts.  ``kind`` picks the merge
-    representation: "table" = (C, C) closure table (one gather per
-    doubling round, small vocabularies) or "paths" = (C, Dp) path
-    matrix (gather-free rounds, large vocabularies) — taxonomy/lca.py.
-    Returns (codes, compact ids, n).  Device analog of ops/sets.union +
-    taxdb.lca_reduce (union.go:195-202) in TPU-fit form."""
+@partial(jax.jit, static_argnames=("rounds", "kind", "threshold"))
+def setop_taxids_compact(codes, ctax, lca_tab, rounds: int,
+                         kind: str = "table", threshold: int = 1):
+    """Threshold set algebra with LCA-merged COMPACT-id taxid column in
+    ONE program: feed the concatenation of all (per-input deduped)
+    inputs (SENT padding, ctax 0 on padding); the collapse sorts,
+    merges each code run through the vocabulary LCA structure, and
+    keeps runs with >= threshold valid members — threshold 1 = union,
+    F = intersection, n = `common -n` (inter.go:228-249,
+    common.go:262-267).  ``kind`` picks the merge representation:
+    "table" = (C, C) closure table (one gather per doubling round,
+    small vocabularies) or "paths" = (C, Dp) path matrix (gather-free
+    rounds, large vocabularies) — taxonomy/lca.py.
+    Returns (codes, compact ids, n)."""
     from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
     valid = codes != SENT
     collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
-    s_codes, tax, keep, _ = collapse(
+    s_codes, tax, keep, s_valid = collapse(
         codes, ctax, valid, lca_tab, rounds
     )
-    out_c, n = _compact_mask(s_codes, keep)
-    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
-    pos = jnp.where(keep, pos, s_codes.shape[0])
-    out_t = jnp.zeros(s_codes.shape, jnp.int32).at[pos].set(tax, mode="drop")
+    if threshold > 1:
+        from .sort import _run_bounds
+
+        first, start, end = _run_bounds(s_codes)
+        v = s_valid.astype(jnp.int64)
+        csum = jnp.cumsum(v)
+        count = csum[end - 1] - csum[start] + v[start]
+        keep = keep & (count >= threshold)
+    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0))
     return out_c, out_t, n
+
+
+def union_taxids_compact(codes, ctax, lca_tab, rounds: int,
+                         kind: str = "table"):
+    """N-way LCA union (threshold 1) — device analog of ops/sets.union
+    + taxdb.lca_reduce (union.go:195-202) in TPU-fit form."""
+    return setop_taxids_compact(codes, ctax, lca_tab, rounds, kind, 1)
 
 
 _INGRESS_EXC = 1 << 16

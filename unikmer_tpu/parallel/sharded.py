@@ -233,6 +233,61 @@ def sharded_union_taxids(mesh: Mesh, max_depth: int):
     )
 
 
+def sharded_setop_taxids(mesh: Mesh, threshold: int, rounds: int,
+                         kind: str):
+    """Jitted threshold set algebra over stacked taxid-carrying sharded
+    sets: (D, F, C) codes + (D, F, C) i32 compact ids + replicated
+    vocabulary LCA structure (closure table or path matrix,
+    taxonomy/lca.device_lca_plan) -> per-shard (codes, compact ids,
+    count) + psum total.  threshold 1/F/n = union/inter/common with
+    exact LCA taxid merging (SURVEY.md §2.4 mapping)."""
+    from ..ops import device_sets
+
+    def local(c_rows, t_rows, tab):
+        codes = c_rows[0].reshape(-1)
+        ids = t_rows[0].reshape(-1).astype(jnp.int32)
+        out_c, out_t, n = device_sets.setop_taxids_compact(
+            codes, ids, tab, rounds, kind, threshold
+        )
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return out_c[None], out_t[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None, None),
+                      P(None, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                       P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
+def sharded_diff_taxids(mesh: Mesh):
+    """Jitted per-shard subtraction keeping the first set's taxids
+    (diff.go:379-454; the query's taxid column rides through)."""
+    from ..ops import device_sets
+
+    def local(a_row, ta_row, u_row):
+        c, t, n = device_sets.subtract_with_taxids(
+            a_row[0], ta_row[0], u_row[0]
+        )
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return c[None], t[None], n[None], total[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                      P(SHARD_AXIS, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                       P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
 def partition_host_set(codes: np.ndarray, n_shards: int, capacity: int,
                        code_bits: int = 64, taxids: np.ndarray | None = None):
     """Range-partition a sorted host set into the (D, capacity) sharded
@@ -284,6 +339,22 @@ def pack_host_shards(bases: np.ndarray, n_shards: int, k: int) -> np.ndarray:
 # ---------------------------------------------------------------------
 
 
+def _cap_quantum(cap: int, n_shards: int) -> int:
+    """Round a per-shard capacity up to a bounded set of bucket sizes so
+    real-TPU meshes reuse compiled programs instead of compiling one per
+    novel input size (the count pipelines' _pad_quantum discipline: this
+    backend has a pathological compile cliff on mid-size ~2^16..2^20
+    sorts, and every novel static shape is a fresh multi-minute AOT
+    compile).  On TPU the floor is the validated bucket split across the
+    mesh; elsewhere a small power-of-two floor keeps tests fast."""
+    floor = ((1 << 23) // max(n_shards, 1)
+             if jax.default_backend() == "tpu" else 1024)
+    q = floor
+    while q < cap:
+        q *= 2
+    return q
+
+
 def _collect_sharded(out, counts) -> np.ndarray:
     """Fetch a (D, C) sentinel-padded sharded result into one sorted
     host array (range partition => per-shard prefixes concatenate into
@@ -312,8 +383,9 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
         return np.zeros(0, np.uint64)
     if capacity is None:
         # expected per (src shard, dst bucket) load is windows/d^2; 2x
-        # slack + floor absorbs skew (2-bit codes are composition-biased)
-        capacity = max(2 * windows // (d * d) + 1, 1024)
+        # slack + floor absorbs skew (2-bit codes are composition-biased);
+        # quantized so compiled programs are reused across input sizes
+        capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
     rows = pack_host_shards(bases, d, cfg.k)
     while True:
         step = build_sharded_distinct(mesh, cfg, capacity)
@@ -375,7 +447,7 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
             continue
         b = np.minimum(a >> np.uint64(shift), d - 1)
         cap = max(cap, int(np.bincount(b.astype(np.int64), minlength=d).max()))
-    cap = -(-cap // 8) * 8
+    cap = _cap_quantum(cap, d)
     parts = [partition_host_set(a, d, cap, code_bits) for a in arrs]
     if op == "diff":
         rest = np.stack(parts[1:], axis=1)  # (D, F-1, C)
@@ -393,3 +465,123 @@ def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
     if sent_in:
         res = np.concatenate([res, np.array([SENT], np.uint64)])
     return res
+
+
+def _collect_sharded_taxids(out_c, out_t, counts):
+    """(codes, compact ids) concatenated from per-shard prefixes."""
+    out_c, out_t = np.asarray(out_c), np.asarray(out_t)
+    counts = np.asarray(counts)
+    if out_c.shape[0] == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    codes = np.concatenate(
+        [out_c[i, : int(counts[i])] for i in range(out_c.shape[0])]
+    )
+    ids = np.concatenate(
+        [out_t[i, : int(counts[i])] for i in range(out_c.shape[0])]
+    ).astype(np.int64)
+    return codes, ids
+
+
+def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
+                       taxdb, n_devices: int | None = None,
+                       code_bits: int = 64,
+                       threshold: int | None = None):
+    """Host driver for `union/inter/diff/common --mesh N` over
+    TAXID-carrying inputs: per-file LCA dedup on host, range partition
+    with the compact-id column, then one threshold collapse per shard
+    through the replicated vocabulary LCA structure (closure table or
+    path matrix — taxonomy/lca.device_lca_plan).  diff keeps the first
+    file's taxids (diff.go:379-454) via a sharded subtract against the
+    union of the rest.  Returns (codes, taxids) or None when the tiered
+    admission declines (unknown nonzero taxids fall back to the host
+    engine, whose deterministic order owns their merge rule)."""
+    from ..taxonomy.lca import compact_ids, device_lca_plan
+    from .mesh import make_mesh
+
+    if op not in ("union", "inter", "diff", "common"):
+        raise ValueError(f"unknown mesh taxid set op: {op}")
+    all_tax = np.concatenate(
+        [np.asarray(t, np.uint32) for t in taxid_arrays]
+    ) if taxid_arrays else np.zeros(0, np.uint32)
+    plan = device_lca_plan(taxdb, all_tax)
+    if plan is None:
+        return None
+    kind, closure, lca_tab = plan
+    # per-file LCA dedup: threshold counts are file-presence counts
+    arrs = []
+    for c, t in zip(code_arrays, taxid_arrays):
+        uc, ut = taxdb.lca_reduce(
+            np.asarray(c, np.uint64), np.asarray(t, np.uint32)
+        )
+        arrs.append((uc, ut))
+    if not arrs:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    # the all-ones code doubles as the device padding sentinel: strip
+    # it, resolve its membership AND merged taxid on host, re-append
+    has_sent = [len(a) > 0 and a[-1] == SENT for a, _ in arrs]
+    sent_tax = [t[-1] for (a, t), h in zip(arrs, has_sent) if h]
+    arrs = [(a[:-1], t[:-1]) if h else (a, t)
+            for (a, t), h in zip(arrs, has_sent)]
+    nf = len(arrs)
+    if op == "union":
+        sent_in = any(has_sent)
+    elif op == "inter":
+        sent_in = all(has_sent)
+    elif op == "common":
+        sent_in = sum(has_sent) >= int(threshold)
+    else:
+        sent_in = has_sent[0] and not any(has_sent[1:])
+    if sent_in:
+        if op == "diff":
+            sent_merged = np.uint32(sent_tax[0])
+        else:
+            sent_merged = np.uint32(0)
+            for t in sent_tax:
+                sent_merged = taxdb.lca_pairs(
+                    np.array([sent_merged]), np.array([t])
+                )[0]
+    if op == "diff" and nf == 1:
+        res_c, res_t = arrs[0]
+        if sent_in:
+            res_c = np.concatenate([res_c, np.array([SENT], np.uint64)])
+            res_t = np.concatenate([res_t, np.array([sent_merged], np.uint32)])
+        return res_c, res_t
+    mesh = make_mesh(n_devices)
+    d = mesh.shape[SHARD_AXIS]
+    log_d = int(np.ceil(np.log2(d))) if d > 1 else 0
+    shift = max(code_bits - log_d, 0)
+    cap = 8
+    for a, _ in arrs:
+        if len(a) == 0:
+            continue
+        b = np.minimum(a >> np.uint64(shift), d - 1)
+        cap = max(cap, int(np.bincount(b.astype(np.int64), minlength=d).max()))
+    cap = _cap_quantum(cap, d)
+    parts = [
+        partition_host_set(a, d, cap, code_bits,
+                           taxids=compact_ids(closure, t).astype(np.uint32))
+        for a, t in arrs
+    ]
+    rounds = max(nf.bit_length(), 1)
+    if op == "diff":
+        rest = np.stack([p[0] for p in parts[1:]], axis=1)  # (D, F-1, C)
+        u, un, _ = sharded_common(mesh, 1, code_bits)(rest)
+        out_c, out_t, n, _ = sharded_diff_taxids(mesh)(
+            parts[0][0], parts[0][1], np.asarray(u)
+        )
+        codes, ids = _collect_sharded_taxids(out_c, out_t, n)
+    else:
+        thr = (1 if op == "union"
+               else nf if op == "inter"
+               else int(threshold))
+        sc = np.stack([p[0] for p in parts], axis=1)  # (D, F, C)
+        st = np.stack([p[1] for p in parts], axis=1).astype(np.int32)
+        out_c, out_t, n, _ = sharded_setop_taxids(mesh, thr, rounds, kind)(
+            sc, st, lca_tab
+        )
+        codes, ids = _collect_sharded_taxids(out_c, out_t, n)
+    taxids = closure[ids].astype(np.uint32)
+    if sent_in:
+        codes = np.concatenate([codes, np.array([SENT], np.uint64)])
+        taxids = np.concatenate([taxids, np.array([sent_merged], np.uint32)])
+    return codes, taxids
