@@ -119,14 +119,27 @@ def test_collapse_paths_equals_collapse_compact(rng):
     c = jnp.asarray(codes)
     v = jnp.asarray(valid)
     rounds = 8
-    cc, tc, kc, vc = lca_collapse_compact(c, ids, v, jnp.asarray(ctab), rounds)
-    cp, tp, kp, vp = lca_collapse_paths(c, ids, v, jnp.asarray(ptab), rounds)
-    np.testing.assert_array_equal(np.asarray(cc), np.asarray(cp))
-    np.testing.assert_array_equal(np.asarray(kc), np.asarray(kp))
-    keep = np.asarray(kc)
-    np.testing.assert_array_equal(
-        closure[np.asarray(tc)[keep]], anc[np.asarray(tp)[keep]]
-    )
+    # code_bits=64 takes the two-operand sort; 8 packs (code, valid,
+    # id) into one u64 key (lca._collapse_sort) — results must agree
+    ref = None
+    for cb in (64, 8):
+        cc, tc, kc, vc = lca_collapse_compact(
+            c, ids, v, jnp.asarray(ctab), rounds, cb)
+        cp, tp, kp, vp = lca_collapse_paths(
+            c, ids, v, jnp.asarray(ptab), rounds, cb)
+        np.testing.assert_array_equal(np.asarray(kc), np.asarray(kp))
+        keep = np.asarray(kc)
+        np.testing.assert_array_equal(
+            np.asarray(cc)[keep], np.asarray(cp)[keep])
+        np.testing.assert_array_equal(
+            closure[np.asarray(tc)[keep]], anc[np.asarray(tp)[keep]]
+        )
+        got = (np.asarray(cc)[keep], closure[np.asarray(tc)[keep]])
+        if ref is None:
+            ref = got
+        else:
+            np.testing.assert_array_equal(ref[0], got[0])
+            np.testing.assert_array_equal(ref[1], got[1])
 
 
 def test_device_lca_plan_tiers(monkeypatch, rng):

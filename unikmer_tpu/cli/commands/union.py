@@ -49,7 +49,10 @@ def run(args) -> int:
             # host engine on unknown taxids / oversized vocabularies)
             from ...ops.device_sets import union_taxids_device
 
-            res = union_taxids_device(code_arrays, taxid_arrays, taxdb)
+            h0 = headers[0]
+            res = union_taxids_device(
+                code_arrays, taxid_arrays, taxdb,
+                code_bits=64 if h0.is_hashed else 2 * h0.k)
         if res is not None:
             codes, taxids = res
         else:

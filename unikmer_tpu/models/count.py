@@ -413,9 +413,17 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
         # filter (count.go:373-375): apply it here like count_step does
         max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
         valid = valid & (codes <= max_hash)
+    # static bound on VALID code values: lets the collapse pack the
+    # taxid id into a single-operand sort key (lca._collapse_sort)
+    if not cfg.hashed:
+        cb = 2 * cfg.k
+    elif cfg.scale > 1:
+        cb = int(scaled_max_hash(cfg.scale)).bit_length()
+    else:
+        cb = 64
     collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
     s_codes, ctax, keep, s_valid = collapse(
-        codes, pos_ctax, valid, lca_tab, rounds
+        codes, pos_ctax, valid, lca_tab, rounds, cb
     )
     if mode in ("unique", "repeated"):
         # multiplicity = VALID occurrences per code run

@@ -156,9 +156,11 @@ def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
     return out_c, out_t, n
 
 
-@partial(jax.jit, static_argnames=("rounds", "kind", "threshold"))
+@partial(jax.jit, static_argnames=("rounds", "kind", "threshold",
+                                   "code_bits"))
 def setop_taxids_compact(codes, ctax, lca_tab, rounds: int,
-                         kind: str = "table", threshold: int = 1):
+                         kind: str = "table", threshold: int = 1,
+                         code_bits: int = 64):
     """Threshold set algebra with LCA-merged COMPACT-id taxid column in
     ONE program: feed the concatenation of all (per-input deduped)
     inputs (SENT padding, ctax 0 on padding); the collapse sorts,
@@ -175,7 +177,7 @@ def setop_taxids_compact(codes, ctax, lca_tab, rounds: int,
     valid = codes != SENT
     collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
     s_codes, tax, keep, s_valid = collapse(
-        codes, ctax, valid, lca_tab, rounds
+        codes, ctax, valid, lca_tab, rounds, code_bits
     )
     if threshold > 1:
         from .sort import _run_bounds
@@ -190,10 +192,11 @@ def setop_taxids_compact(codes, ctax, lca_tab, rounds: int,
 
 
 def union_taxids_compact(codes, ctax, lca_tab, rounds: int,
-                         kind: str = "table"):
+                         kind: str = "table", code_bits: int = 64):
     """N-way LCA union (threshold 1) — device analog of ops/sets.union
     + taxdb.lca_reduce (union.go:195-202) in TPU-fit form."""
-    return setop_taxids_compact(codes, ctax, lca_tab, rounds, kind, 1)
+    return setop_taxids_compact(codes, ctax, lca_tab, rounds, kind, 1,
+                                code_bits)
 
 
 _INGRESS_EXC = 1 << 16
@@ -250,10 +253,10 @@ def _decode_u64_ingress(small, exc_idx, exc_step):
     return base + jnp.cumsum(step)
 
 
-@partial(jax.jit, static_argnames=("rounds", "z_out", "kind"))
+@partial(jax.jit, static_argnames=("rounds", "z_out", "kind", "code_bits"))
 def _union_taxids_ingress_z(small, exc_idx, exc_step, tin, lca_tab,
                             rounds: int, z_out: bool,
-                            kind: str = "table"):
+                            kind: str = "table", code_bits: int = 64):
     """One program: compressed-ingress decode -> N-way LCA union ->
     (optionally) compressed egress.  Ingress: u32-delta codes + sparse
     step exceptions + u16/u32 compact ids (~2x less host->device than
@@ -261,19 +264,21 @@ def _union_taxids_ingress_z(small, exc_idx, exc_step, tin, lca_tab,
     codes = _decode_u64_ingress(small, exc_idx, exc_step)
     ctax = tin.astype(jnp.int32)
     if z_out:
-        return _union_taxids_compact_z(codes, ctax, lca_tab, rounds, kind)
-    return union_taxids_compact(codes, ctax, lca_tab, rounds, kind)
+        return _union_taxids_compact_z(codes, ctax, lca_tab, rounds, kind,
+                                       code_bits)
+    return union_taxids_compact(codes, ctax, lca_tab, rounds, kind,
+                                code_bits)
 
 
-@partial(jax.jit, static_argnames=("rounds", "kind"))
+@partial(jax.jit, static_argnames=("rounds", "kind", "code_bits"))
 def _union_taxids_compact_z(codes, ctax, lca_tab, rounds: int,
-                            kind: str = "table"):
+                            kind: str = "table", code_bits: int = 64):
     """union_taxids_compact + compressed egress (u32-delta codes, u16
     compact ids — u32 when the vocabulary structure outgrows u16): a
     raw fetch of the padded 2^24 u64+i32 buffers is 30-60 min over the
     ~6 MB/s dev tunnel."""
     out_c, out_t, n = union_taxids_compact(codes, ctax, lca_tab, rounds,
-                                           kind)
+                                           kind, code_bits)
     from ..models.count import _compress_result
 
     small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
@@ -282,11 +287,16 @@ def _union_taxids_compact_z(codes, ctax, lca_tab, rounds: int,
             out_t.astype(jnp.uint32 if wide else jnp.uint16))
 
 
-def union_taxids_device(code_arrays, taxid_arrays, taxdb):
+def union_taxids_device(code_arrays, taxid_arrays, taxdb,
+                        code_bits: int = 64):
     """Host driver for the device taxid union: returns (codes, taxids)
     or None when the tiered admission declines (unknown nonzero taxids
     — their merge rule is order-dependent and owned by the host engine
-    — or a path matrix too deep; taxonomy/lca.device_lca_plan)."""
+    — or a path matrix too deep; taxonomy/lca.device_lca_plan).
+
+    ``code_bits`` is the HEADER-derived static bound on code values
+    (2k for 2-bit codes, 64 for hashes) — it keys the jitted programs,
+    so it must not be data-derived."""
     from ..taxonomy.lca import compact_ids, device_lca_plan
 
     all_tax = np.concatenate(
@@ -328,13 +338,15 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
     _warm_device_session()
     dtab = jnp.asarray(lca_tab)
 
+    space_bits = int(codes.max()).bit_length() if len(codes) else 1
+
     def raw():
         # lazy upload: only pays the raw u64+i32 transfer when actually
         # taken (direct route or exception-overflow re-run)
         return union_taxids_compact(
-            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind)
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind,
+            code_bits)
 
-    space_bits = int(codes.max()).bit_length() if len(codes) else 1
     z_out = use_compressed_taxid_fetch(space_bits, nn, len(closure))
     enc = None
     if use_compressed_taxid_ingress():
@@ -345,13 +357,14 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb):
         res = _union_taxids_ingress_z(
             jnp.asarray(small), jnp.asarray(exc_idx),
             jnp.asarray(exc_step), jnp.asarray(pad_t.astype(id_np)),
-            dtab, rounds, z_out, kind)
+            dtab, rounds, z_out, kind, code_bits)
         if z_out:
             return fetch_taxid_result(res, raw, closure)
         out_c, out_t, n = res
     elif z_out:
         z = _union_taxids_compact_z(
-            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind)
+            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind,
+            code_bits)
         return fetch_taxid_result(z, raw, closure)
     else:
         out_c, out_t, n = raw()

@@ -234,7 +234,7 @@ def sharded_union_taxids(mesh: Mesh, max_depth: int):
 
 
 def sharded_setop_taxids(mesh: Mesh, threshold: int, rounds: int,
-                         kind: str):
+                         kind: str, code_bits: int = 64):
     """Jitted threshold set algebra over stacked taxid-carrying sharded
     sets: (D, F, C) codes + (D, F, C) i32 compact ids + replicated
     vocabulary LCA structure (closure table or path matrix,
@@ -247,7 +247,7 @@ def sharded_setop_taxids(mesh: Mesh, threshold: int, rounds: int,
         codes = c_rows[0].reshape(-1)
         ids = t_rows[0].reshape(-1).astype(jnp.int32)
         out_c, out_t, n = device_sets.setop_taxids_compact(
-            codes, ids, tab, rounds, kind, threshold
+            codes, ids, tab, rounds, kind, threshold, code_bits
         )
         total = jax.lax.psum(n, SHARD_AXIS)
         return out_c[None], out_t[None], n[None], total[None]
@@ -576,9 +576,9 @@ def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
                else int(threshold))
         sc = np.stack([p[0] for p in parts], axis=1)  # (D, F, C)
         st = np.stack([p[1] for p in parts], axis=1).astype(np.int32)
-        out_c, out_t, n, _ = sharded_setop_taxids(mesh, thr, rounds, kind)(
-            sc, st, lca_tab
-        )
+        out_c, out_t, n, _ = sharded_setop_taxids(
+            mesh, thr, rounds, kind, code_bits
+        )(sc, st, lca_tab)
         codes, ids = _collect_sharded_taxids(out_c, out_t, n)
     taxids = closure[ids].astype(np.uint32)
     if sent_in:

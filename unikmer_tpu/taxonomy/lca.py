@@ -161,31 +161,79 @@ def lca_pairs_compact(ca, cb, lca_tab):
 _VALID_BIT = 1 << 30  # packed alongside compact ids (closure << 2^23)
 
 
-@partial(jax.jit, static_argnames=("rounds",))
-def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int):
-    """Device sorted-distinct collapse with LCA-merged COMPACT-id taxid
-    column: the TPU-fit twin of lca_collapse_device (one table gather
-    per doubling round; rounds = ceil(log2(n)) is always convergent).
+def _id_bits(n_ids: int) -> int:
+    return max((max(n_ids, 2) - 1).bit_length(), 1)
 
-    ONE sort key only: the validity bit rides packed inside the i32
-    payload (compact ids are tiny), because every extra TPU sort
-    operand/key multiplies AOT compile time (ops/sort.py).  A run's
-    first slot may then be an invalid entry, so 'keep' tests
-    run-has-any-valid instead of first-slot validity.
 
-    Returns (sorted codes, merged compact ids, keep mask, valid mask)
+def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
+    """The collapse's sort stage: (sorted codes, compact ids, valid)
     aligned to the sorted order.
-    """
+
+    Preferred form packs (code, valid bit, compact id) into ONE u64 key
+    — a single-operand sort is the only shape this TPU backend compiles
+    fast at 2^23+ (CLAUDE.md: a 2-operand u64 sort is a multi-minute
+    AOT compile, 3-operand never returned), and it rides the split
+    2-key optimization of ops/sort._sort_u64.  Invalid slots key to
+    all-ones so they collect in one tail run (their merged taxid is the
+    identity 0 and 'keep' counts run-valid members, so results are
+    byte-identical to sorting them in place).  Falls back to the
+    (codes, payload) two-operand sort when code_bits + id bits + 1 > 63
+    (full 64-bit hashes)."""
+    n = codes.shape[0]
+    ib = _id_bits(n_ids)
+    if 0 < code_bits and code_bits + ib + 1 <= 63:
+        from ..ops.sort import _sort_u64
+
+        sh = jnp.uint64(ib + 1)
+        key = jnp.where(
+            valid,
+            (codes << sh)
+            | (jnp.uint64(1) << jnp.uint64(ib))
+            | ctax.astype(jnp.uint64),
+            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+        )
+        skey = _sort_u64(key, code_bits=code_bits + ib + 1)
+        s_codes = skey >> sh
+        s_valid = ((skey >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool) & (
+            skey != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        )
+        tax = jnp.where(
+            s_valid,
+            (skey & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
+            0,
+        )
+        return s_codes, tax, s_valid
     payload = jnp.where(
         valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
     s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
     s_valid = s_pay >= jnp.int32(_VALID_BIT)
+    tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
+    return s_codes, tax, s_valid
+
+
+@partial(jax.jit, static_argnames=("rounds", "code_bits"))
+def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
+                         code_bits: int = 64):
+    """Device sorted-distinct collapse with LCA-merged COMPACT-id taxid
+    column: the TPU-fit twin of lca_collapse_device (one table gather
+    per doubling round; rounds = ceil(log2(n)) is always convergent).
+
+    The sort stage is single-operand whenever the static ``code_bits``
+    hint lets the compact id + valid bit pack beside the code
+    (_collapse_sort); a run's first slot may be an invalid entry, so
+    'keep' tests run-has-any-valid instead of first-slot validity.
+
+    Returns (sorted codes, merged compact ids, keep mask, valid mask)
+    aligned to the sorted order.
+    """
+    s_codes, tax, s_valid = _collapse_sort(
+        codes, ctax, valid, lca_tab.shape[0], code_bits
+    )
     n = codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
     c = lca_tab.shape[0]
     flat = lca_tab.reshape(-1)
     for r in range(rounds):
@@ -317,8 +365,9 @@ def path_tables(taxdb, taxids):
     return anc, tab
 
 
-@partial(jax.jit, static_argnames=("rounds",))
-def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int):
+@partial(jax.jit, static_argnames=("rounds", "code_bits"))
+def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int,
+                       code_bits: int = 64):
     """Sorted-distinct collapse with LCA-merged taxids for LARGE
     vocabularies: the path-matrix twin of lca_collapse_compact.
 
@@ -326,19 +375,16 @@ def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int):
     taxid 0); the returned taxid column is likewise anc indices.  Merge
     rounds run on the (n, Dp) path block with pure elementwise
     compare/prefix ops (VPU-shaped; zero gathers after the single
-    initial row gather).  Same one-key sort discipline as the compact
-    collapse (valid bit packed into the i32 payload, ops/sort.py).
+    initial row gather).  Same single-operand sort discipline as the
+    compact collapse (_collapse_sort).
     """
-    payload = jnp.where(
-        valid, cids.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
+    s_codes, ids, s_valid = _collapse_sort(
+        codes, cids, valid, path_tab.shape[0], code_bits
     )
-    s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
-    s_valid = s_pay >= jnp.int32(_VALID_BIT)
     n = codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    ids = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
     P = path_tab[ids]  # (n, Dp) — the only gather
     D = path_tab.shape[1]
     for r in range(rounds):
