@@ -40,7 +40,11 @@ def genome_files(tmp_path, rng):
 
 
 @pytest.mark.parametrize("extra", [[], ["-H"], ["-d"], ["-u"],
-                                   ["-H", "-D", "3"]])
+                                   ["-H", "-D", "3"],
+                                   ["-W", "5"], ["-S", "8"],
+                                   ["-W", "5", "-d"], ["-W", "5", "-u"],
+                                   ["-W", "5", "-D", "3"],
+                                   ["-S", "8", "-d"]])
 def test_count_mesh_matches_single(tmp_path, genome_files, extra):
     a = tmp_path / "single"
     b = tmp_path / "mesh"
@@ -48,6 +52,35 @@ def test_count_mesh_matches_single(tmp_path, genome_files, extra):
                 *extra]) == 0
     assert cli(["count", "-k", 21, "-K", "-s", genome_files[0], "-o", b,
                 "--mesh", 4, *extra]) == 0
+    np.testing.assert_array_equal(
+        read_codes(f"{a}.unik"), read_codes(f"{b}.unik"))
+
+
+def test_count_mesh_multirecord_sketch(tmp_path, genome_files):
+    # minimizer reigns must reset at record boundaries identically on
+    # the mesh (records land mid-shard and at shard edges)
+    a = tmp_path / "ms"
+    b = tmp_path / "mm"
+    for extra in (["-W", "7"], ["-S", "11"]):
+        assert cli(["count", "-k", 21, "-K", "-s", *genome_files, "-o", a,
+                    *extra]) == 0
+        assert cli(["count", "-k", 21, "-K", "-s", *genome_files, "-o", b,
+                    "--mesh", 4, *extra]) == 0
+        np.testing.assert_array_equal(
+            read_codes(f"{a}.unik"), read_codes(f"{b}.unik"),
+            err_msg=str(extra))
+
+
+def test_count_mesh_stream_spill(tmp_path, genome_files, monkeypatch):
+    # the mesh stream shares the single-device beyond-RAM spill: a tiny
+    # cap forces SpilledCount, output must stay byte-identical
+    a = tmp_path / "nospill"
+    b = tmp_path / "spill"
+    assert cli(["count", "-k", 21, "-K", "-s", *genome_files, "-o", a,
+                "--mesh", 4]) == 0
+    monkeypatch.setenv("UNIKMER_TPU_COUNT_MEM_MB", "0.02")
+    assert cli(["count", "-k", 21, "-K", "-s", *genome_files, "-o", b,
+                "--mesh", 4]) == 0
     np.testing.assert_array_equal(
         read_codes(f"{a}.unik"), read_codes(f"{b}.unik"))
 

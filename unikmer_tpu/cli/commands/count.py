@@ -192,24 +192,31 @@ def run(args) -> int:
         opt.mesh >= 2
         and not args.linear
         and not args.parse_taxid
-        and args.minimizer_w == 0
-        and args.syncmer_s == 0
+        and not compat_syncmer
     ):
         # --mesh N: range-partitioned sharded build over a device mesh
-        # (parallel/sharded.py all_to_all repartition; SURVEY.md §2.4).
-        # Sketches stay single-device (selection spans w windows, not
-        # halo-segmentable) and -l needs genome order.
+        # (parallel/sharded.py all_to_all repartition; SURVEY.md §2.4),
+        # streamed in bounded pieces with the capped-multiplicity merge
+        # + beyond-RAM spill of the single-device path.  Sketches are
+        # halo-shardable (shard_halos: minimizer reign emission looks
+        # forward + one previous group); -l needs genome order and the
+        # compat syncmer rule lives only in the host kernel.
         _ensure_device_env()
         import jax
 
         if jax.device_count() < opt.mesh:
             die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
                 f"found {jax.device_count()}")
-        from ...parallel.sharded import mesh_count_distinct
+        from ...models.count import SpilledCount
+        from ...parallel.sharded import mesh_count_stream
 
-        packed = pack_all()
-        codes = mesh_count_distinct(packed.bases, make_cfg(), opt.mesh)
+        codes = mesh_count_stream(records(), make_cfg(), opt.mesh)
         out, _ = out_binary_stream(out_file)
+        if isinstance(codes, SpilledCount):
+            with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
+                n = codes.write_to(w.write_codes)
+            log_saved(opt, n, out_file)
+            return 0
         with unik.UnikWriter(
             out, flag=flag, number=len(codes), **writer_kw
         ) as w:

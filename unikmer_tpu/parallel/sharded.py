@@ -68,6 +68,21 @@ def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
     return buf.reshape(n_shards, capacity), dropped
 
 
+def shard_halos(cfg: CountConfig) -> tuple[int, int]:
+    """(front, back) base halo a shard row needs so every window/sketch
+    emission is computed exactly and owned once.
+
+    bare k-mers / syncmers decide per position from the k bases ahead:
+    back = k-1.  The minimizer stream (ops/sketch.minimizer_windows)
+    looks FORWARD over w k-mer groups (back = w+k-2) and compares each
+    group's pick against the PREVIOUS group to emit reign starts (front
+    = 1) — so cross-shard reigns emit exactly once and even
+    unique/repeated multiplicities match the linear stream."""
+    if cfg.minimizer_w > 0:
+        return 1, cfg.minimizer_w + cfg.k - 2
+    return 0, cfg.k - 1
+
+
 def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     """Returns a jitted step: (sharded bases (D, L) uint8) ->
     (owned codes (D, capacity*D) sentinel-padded sorted, per-shard count,
@@ -81,16 +96,22 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     exact per shard."""
     n_shards = mesh.shape[SHARD_AXIS]
     code_bits = 64 if cfg.hashed else 2 * cfg.k
+    front, back = shard_halos(cfg)
 
     def local_step(bases_row):
         row = bases_row[0]
         codes, valid = window_codes(row, cfg)
-        # rows carry a k-1 base halo: windows STARTING inside the halo
-        # belong to the next shard — mask them so each window is owned
+        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+            # sketch branches return before the scaled filter
+            # (count_step does the same; count.go:373-375)
+            from ..models.count import scaled_max_hash
+
+            valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
+        # rows carry halo bases: windows/emissions STARTING inside a
+        # halo belong to a neighbor shard — mask them so each is owned
         # exactly once (pack_host_shards layout)
-        own = jnp.arange(row.shape[0], dtype=jnp.int32) < (
-            row.shape[0] - (cfg.k - 1)
-        )
+        pos = jnp.arange(row.shape[0], dtype=jnp.int32)
+        own = (pos >= front) & (pos < row.shape[0] - back)
         valid = valid & own
         buf, dropped = _local_pack_buckets(
             codes, valid, n_shards, capacity, code_bits
@@ -314,23 +335,28 @@ def partition_host_set(codes: np.ndarray, n_shards: int, capacity: int,
     return out
 
 
-def pack_host_shards(bases: np.ndarray, n_shards: int, k: int) -> np.ndarray:
+def pack_host_shards(bases: np.ndarray, n_shards: int, k: int,
+                     front: int = 0, back: int | None = None) -> np.ndarray:
     """Split a flat packed base array into n_shards rows of equal length
-    with a k-1 base halo from the next slice, so every window of the
-    flat array appears in exactly one row once the halo-start windows
-    are masked (build_sharded_distinct's ``own`` mask)."""
+    with ``front`` halo bases from the previous slice and ``back``
+    (default k-1) from the next, so every window/sketch emission of the
+    flat array is computed exactly and appears in exactly one row once
+    the halo-start positions are masked (build_sharded_distinct's
+    ``own`` mask; halos from shard_halos)."""
     from ..ops.codec import INVALID_BASE
 
+    if back is None:
+        back = k - 1
     n = len(bases)
     per = -(-n // n_shards)
-    halo = k - 1
-    row_len = per + halo
+    row_len = front + per + back
     out = np.full((n_shards, row_len), INVALID_BASE, dtype=np.uint8)
     for i in range(n_shards):
-        lo = i * per
+        lo = i * per - front
         hi = min(lo + row_len, n)
-        if lo < n:
-            out[i, : hi - lo] = bases[lo:hi]
+        src_lo = max(lo, 0)
+        if src_lo < n:
+            out[i, src_lo - lo : hi - lo] = bases[src_lo:hi]
     return out
 
 
@@ -386,7 +412,8 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
         # slack + floor absorbs skew (2-bit codes are composition-biased);
         # quantized so compiled programs are reused across input sizes
         capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
-    rows = pack_host_shards(bases, d, cfg.k)
+    front, back = shard_halos(cfg)
+    rows = pack_host_shards(bases, d, cfg.k, front, back)
     while True:
         step = build_sharded_distinct(mesh, cfg, capacity)
         out, counts, dropped, n_sent = step(rows)
@@ -403,6 +430,58 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
                 res = np.concatenate([res, np.array([SENT], np.uint64)])
             return res
         capacity *= 2
+
+
+def mesh_count_stream(records, cfg: CountConfig,
+                      n_devices: int | None = None,
+                      chunk_bases: int | None = None):
+    """Streaming `count --mesh`: records are packed into bounded pieces
+    (models/count.split_packed), each piece runs the sharded all_to_all
+    build, and partial per-piece sets merge through the same
+    capped-multiplicity sink as the single-device stream — including
+    its beyond-RAM extsort spill (UNIKMER_TPU_COUNT_MEM_MB).  Host RSS
+    is O(distinct-or-cap + piece) instead of O(total input), so the
+    mesh path counts datasets the single-device spill path handles
+    (reference analog: the chunked sort -m engine, sort.go:241-419).
+
+    Returns np.ndarray or models.count.SpilledCount."""
+    from ..io.fastx import pack_records
+    from ..models.count import (
+        _PartialSink, _capped_cfgs, _stream_chunk_bases, split_packed,
+    )
+
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
+    distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
+    sink = _PartialSink(cfg)
+    buf: list = []
+    buffered = 0
+
+    def flush():
+        nonlocal buf, buffered
+        if not buf:
+            return
+        packed = pack_records(buf, cfg.k, cfg.circular)
+        buf = []
+        buffered = 0
+        for piece in split_packed(
+            packed, chunk_bases, cfg.k if cfg.segmentable else 0
+        ):
+            u = mesh_count_distinct(piece.bases, distinct_cfg, n_devices)
+            if len(u):
+                sink.add(u)
+            if repeated_cfg is not None:
+                r = mesh_count_distinct(piece.bases, repeated_cfg, n_devices)
+                if len(r):
+                    sink.add(r)
+
+    for rec in records:
+        buf.append(rec)
+        buffered += len(rec.seq)
+        if buffered >= chunk_bases:
+            flush()
+    flush()
+    return sink.result()
 
 
 def mesh_set_op(op: str, code_arrays: list, n_devices: int | None = None,
