@@ -166,6 +166,32 @@ def test_stream_pipeline_depth_equivalence(rng, monkeypatch):
         np.testing.assert_array_equal(p, base["lin"][1])
 
 
+def test_stream_multi_bucket_equivalence(rng, monkeypatch):
+    """Multi-bucket grouped dispatch (UNIKMER_TPU_MULTI_BUCKET: B
+    equal-padded pieces per program, lax.map-sequenced) must be exact
+    for every mode and any group size, incl. leftover partial groups."""
+    from unikmer_tpu.models.count import count_stream, count_stream_packed
+
+    k = 11
+    seqs = [random_dna(rng, n).decode() for n in (900, 500, 1100, 650, 780)]
+    seqs.append(seqs[0][:400])  # cross-chunk duplicates
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode())
+            for i, s in enumerate(seqs)]
+    packed = pack_records(recs, k)
+    for mode in ("distinct", "unique", "repeated"):
+        cfg = CountConfig(k=k, canonical=True, mode=mode)
+        monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", "1")
+        want = count_stream_packed([packed], cfg, chunk_bases=512)
+        for b in ("2", "3"):
+            monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", b)
+            np.testing.assert_array_equal(
+                count_stream_packed([packed], cfg, chunk_bases=512), want,
+                err_msg=f"B={b} mode={mode}")
+            np.testing.assert_array_equal(
+                count_stream(iter(recs), cfg, chunk_bases=512), want,
+                err_msg=f"B={b} mode={mode} (records)")
+
+
 def test_compressed_result_fetch_roundtrip(rng):
     """u16-delta + exception packing must reconstruct codes exactly,
     including sparse sets with many >=2^16 deltas."""

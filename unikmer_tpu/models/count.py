@@ -228,6 +228,26 @@ def _count_step_packed2_raw(packed2, validmask, cfg: CountConfig, n: int):
     return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n", "z"))
+def _count_step_multi(packed2s, validmasks, cfg: CountConfig, n: int,
+                      z: bool):
+    """One program over B stacked equal-length buckets, sequenced with
+    lax.map (a single 2^26 sort hangs this backend; B sequential 2^25
+    bodies compile and run).  Amortizes the ~20-25 ms fixed
+    dispatch+fetch floor across B buckets on the streaming paths
+    (VERDICT round-2 next #5; reference analog: the goroutine pipeline
+    count.go:285-439 keeps its workers saturated)."""
+
+    def body(args):
+        p2, vm = args
+        out, nn = count_step(unpack_bases_2bit(p2, vm, n), cfg)
+        if z:
+            return _compress_result(out, nn)
+        return out, nn
+
+    return jax.lax.map(body, (packed2s, validmasks))
+
+
 def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
     n = int(n)
     n_exc = int(n_exc)
@@ -739,6 +759,115 @@ def _merge_partials(partial, cfg: CountConfig) -> np.ndarray:
     return merged[first][keep]
 
 
+def _multi_bucket() -> int:
+    """Buckets per streaming dispatch (UNIKMER_TPU_MULTI_BUCKET;
+    auto = 2 on TPU where the ~20-25 ms dispatch floor is 12-16% of a
+    2^25 batch, 1 elsewhere)."""
+    env = os.environ.get("UNIKMER_TPU_MULTI_BUCKET", "auto")
+    if env not in ("", "auto"):
+        return max(int(env), 1)
+    try:
+        return 2 if jax.default_backend() == "tpu" else 1
+    except Exception:
+        return 1
+
+
+def count_packed_dispatch_group(pieces, cfg: CountConfig):
+    """Dispatch B equal-padded pieces as ONE device program
+    (_count_step_multi).  Returns an opaque token for
+    count_packed_fetch_group."""
+    if len(pieces) == 1:
+        return ("one", count_packed_dispatch(pieces[0], cfg))
+    bases_list = [pad_bases(p.bases) for p in pieces]
+    n = len(bases_list[0])
+    _warm_device_session()
+    packed = [pack_bases_2bit(b) for b in bases_list]
+    p2s = np.stack([p for p, _ in packed])
+    vms = np.stack([v for _, v in packed])
+    space_bits = 64 if cfg.hashed else 2 * cfg.k
+    z = space_bits - (n.bit_length() - 1) <= 30
+    res = _count_step_multi(jnp.asarray(p2s), jnp.asarray(vms), cfg, n, z)
+    return ("multi_z" if z else "multi_raw", res, len(pieces))
+
+
+def count_packed_fetch_group(token, pieces, cfg: CountConfig):
+    """Materialize a group token -> list of per-piece sorted arrays.
+    A per-bucket exception-list overflow (rare: hashed spaces skip the
+    compressed egress) re-runs that piece through the single path."""
+    kind = token[0]
+    if kind == "one":
+        return [count_packed_fetch(token[1])]
+    _, res, B = token
+    outs = []
+    if kind == "multi_z":
+        small, exc_idx, exc_val, n_exc, nn = res
+        _fetch_scalar_watchdog(jnp.sum(n_exc))  # force + hang diagnostic
+        ne = np.asarray(n_exc)
+        counts = np.asarray(nn)
+        for i in range(B):
+            if ne[i] > _MAX_EXC:
+                outs.append(count_packed_fetch(
+                    count_packed_dispatch(pieces[i], cfg)))
+                continue
+            outs.append(_decode_packed_result(
+                small[i], exc_idx[i], exc_val[i], int(ne[i]),
+                int(counts[i])))
+    else:
+        out_codes, ns = res
+        _fetch_scalar_watchdog(jnp.sum(ns))
+        counts = np.asarray(ns)
+        for i in range(B):
+            outs.append(np.asarray(out_codes[i][: int(counts[i])]))
+    return outs
+
+
+class _GroupedCounter:
+    """Streaming dispatch helper shared by count_stream[_packed]:
+    groups same-config equal-padded pieces into multi-bucket programs
+    and keeps the double-buffer depth of GROUPS in flight."""
+
+    def __init__(self, sink, depth: int):
+        from collections import deque
+
+        self.sink = sink
+        self.depth = depth
+        self.inflight: "deque" = deque()
+        self.pending: dict = {}
+        self.B = _multi_bucket()
+
+    def add(self, piece, cfg: CountConfig):
+        if self.B <= 1:
+            self.inflight.append((("one", count_packed_dispatch(piece, cfg)),
+                                  [piece], cfg))
+            self.drain(self.depth)
+            return
+        key = (cfg, _padded_len(max(len(piece.bases), 1)))
+        group = self.pending.setdefault(key, [])
+        group.append(piece)
+        if len(group) >= self.B:
+            self._dispatch(key)
+
+    def _dispatch(self, key):
+        pieces = self.pending.pop(key)
+        cfg = key[0]
+        self.inflight.append(
+            (count_packed_dispatch_group(pieces, cfg), pieces, cfg)
+        )
+        self.drain(self.depth)
+
+    def drain(self, limit: int):
+        while len(self.inflight) > limit:
+            token, pieces, cfg = self.inflight.popleft()
+            for u in count_packed_fetch_group(token, pieces, cfg):
+                if len(u):
+                    self.sink.add(u)
+
+    def finish(self):
+        for key in list(self.pending):
+            self._dispatch(key)
+        self.drain(0)
+
+
 def count_stream(records, cfg: CountConfig,
                  chunk_bases: int | None = None) -> np.ndarray:
     """Streaming count: process records in device-sized chunks and merge
@@ -758,20 +887,11 @@ def count_stream(records, cfg: CountConfig,
 
     if chunk_bases is None:
         chunk_bases = _stream_chunk_bases()
-    from collections import deque
-
     sink = _PartialSink(cfg)
-    inflight: deque = deque()
-    depth = _pipeline_depth()
+    gc = _GroupedCounter(sink, _pipeline_depth())
     buf: list = []
     buffered = 0
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
-
-    def drain(limit: int):
-        while len(inflight) > limit:
-            u = count_packed_fetch(inflight.popleft())
-            if len(u):
-                sink.add(u)
 
     def flush():
         nonlocal buf, buffered
@@ -785,11 +905,10 @@ def count_stream(records, cfg: CountConfig,
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            inflight.append(count_packed_dispatch(piece, distinct_cfg))
+            gc.add(piece, distinct_cfg)
             if repeated_cfg is not None:
                 # second copy marks within-chunk dups
-                inflight.append(count_packed_dispatch(piece, repeated_cfg))
-            drain(depth)
+                gc.add(piece, repeated_cfg)
 
     for rec in records:
         buf.append(rec)
@@ -797,7 +916,7 @@ def count_stream(records, cfg: CountConfig,
         if buffered >= chunk_bases:
             flush()
     flush()
-    drain(0)
+    gc.finish()
     return sink.result()
 
 
@@ -857,28 +976,18 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
     bucket size; merge semantics identical to count_stream."""
     if chunk_bases is None:
         chunk_bases = _stream_chunk_bases()
-    from collections import deque
-
     sink = _PartialSink(cfg)
-    inflight: deque = deque()
-    depth = _pipeline_depth()
+    gc = _GroupedCounter(sink, _pipeline_depth())
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
-
-    def drain(limit: int):
-        while len(inflight) > limit:
-            u = count_packed_fetch(inflight.popleft())
-            if len(u):
-                sink.add(u)
 
     for packed in packed_iter:
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            inflight.append(count_packed_dispatch(piece, distinct_cfg))
+            gc.add(piece, distinct_cfg)
             if repeated_cfg is not None:
-                inflight.append(count_packed_dispatch(piece, repeated_cfg))
-            drain(depth)
-    drain(0)
+                gc.add(piece, repeated_cfg)
+    gc.finish()
     return sink.result()
 
 
