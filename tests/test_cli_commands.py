@@ -143,6 +143,39 @@ def test_grep_and_invert(tmp_path, genomes):
     np.testing.assert_array_equal(codes, all_codes[3:])
 
 
+def test_grep_device_membership_matches_host(tmp_path, genomes,
+                                             monkeypatch):
+    """The device membership tier (UNIKMER_TPU_GREP_DEVICE=1: HBM query
+    set + bit-packed per-block lookups) must byte-match the host
+    merge-join, incl. invert and -F unik queries, and the all-ones
+    sentinel code."""
+    paths, seqs = genomes
+    a = tmp_path / "a.k15"
+    b = tmp_path / "b.k15"
+    assert cli(["count", "-k", 15, "-K", "-s", paths[0], "-o", a]) == 0
+    assert cli(["count", "-k", 15, "-K", "-s", paths[1], "-o", b]) == 0
+    # k=32 poly-T for sentinel-code coverage
+    pt = tmp_path / "polyt.fa"
+    pt.write_text(">s\n" + "T" * 64 + "ACGTACGTAGGATCCTTGCAACGGTCAGTCAT" * 3 + "\n")
+    s32 = tmp_path / "s32"
+    assert cli(["count", "-k", 32, "-s", str(pt), "-o", s32]) == 0
+    cases = [
+        (["grep", "-F", f"{b}.unik", f"{a}.unik", "-s"], "f"),
+        (["grep", "-F", f"{b}.unik", "-v", f"{a}.unik", "-s"], "fv"),
+        (["grep", "-F", f"{s32}.unik", f"{s32}.unik", "-s"], "sent"),
+    ]
+    for argv, tag in cases:
+        monkeypatch.setenv("UNIKMER_TPU_GREP_DEVICE", "0")
+        host = tmp_path / f"host_{tag}"
+        assert cli([*argv, "-o", host]) == 0
+        monkeypatch.setenv("UNIKMER_TPU_GREP_DEVICE", "1")
+        dev = tmp_path / f"dev_{tag}"
+        assert cli([*argv, "-o", dev]) == 0
+        _, hc, _ = read_unik(f"{host}.unik")
+        _, dc, _ = read_unik(f"{dev}.unik")
+        np.testing.assert_array_equal(hc, dc, err_msg=tag)
+
+
 def test_grep_degenerate(tmp_path, genomes):
     paths, _ = genomes
     a = tmp_path / "a.k15"

@@ -163,6 +163,7 @@ def run(args) -> int:
         os.makedirs(args.out_dir, exist_ok=True)
 
     query_set = None  # sorted uint64 array, built lazily from first file
+    dev_member = None  # device membership tier (grep_device_route)
     h0 = None
     has_taxid = False
     sink = None  # single-output funnel (grep.go:518-539 writes as it goes)
@@ -186,6 +187,15 @@ def run(args) -> int:
                     query_set = _build_query_set(
                         kmer_queries, unik_query_codes, unik_query_hashed, h
                     )
+                    from ...ops.device_sets import (
+                        DeviceMembership, grep_device_route,
+                    )
+
+                    if grep_device_route(len(query_set)):
+                        # device membership tier: query set resident in
+                        # HBM, per-block binary search + bit-packed
+                        # egress (grep.go:617-676 at scale)
+                        dev_member = DeviceMembership(query_set)
                 else:
                     if not h.has_taxid_info:
                         die(f"no taxids found in file: {file}")
@@ -211,13 +221,16 @@ def run(args) -> int:
                     look = codes
                     if not h.is_canonical and not h.is_hashed:
                         look = codec.canonical_np(codes, h.k)
-                    idx = np.searchsorted(query_set, look)
-                    idx = np.minimum(idx, max(len(query_set) - 1, 0))
-                    ok = (
-                        query_set[idx] == look
-                        if len(query_set)
-                        else np.zeros(len(codes), bool)
-                    )
+                    if dev_member is not None:
+                        ok = dev_member.lookup(look)
+                    else:
+                        idx = np.searchsorted(query_set, look)
+                        idx = np.minimum(idx, max(len(query_set) - 1, 0))
+                        ok = (
+                            query_set[idx] == look
+                            if len(query_set)
+                            else np.zeros(len(codes), bool)
+                        )
                 hit = ~ok if args.invert_match else ok
                 t = None
                 if has_taxid:

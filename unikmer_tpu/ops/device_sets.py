@@ -84,6 +84,69 @@ def common(sets: jnp.ndarray, threshold: int, code_bits: int = 64):
     return _compact_mask(merged, keep)
 
 
+@jax.jit
+def member_bits(query, codes):
+    """Bit-packed membership of a codes block in a device-resident
+    sorted query set (SENT padding excluded on host): one vectorized
+    binary search + 8x-compressed egress.  The device tier behind
+    grep's lookup loop (grep.go:617-676) for very large query sets."""
+    idx = jnp.clip(jnp.searchsorted(query, codes), 0, query.shape[0] - 1)
+    ok = (query[idx] == codes) & (codes != SENT) & (query[idx] != SENT)
+    return jnp.packbits(ok, bitorder="little")
+
+
+class DeviceMembership:
+    """Host driver for the grep device tier: upload the sorted query
+    set once, answer per-block membership with bit-packed fetches.
+    The all-ones sentinel's membership is resolved on host exactly."""
+
+    def __init__(self, query_set: np.ndarray):
+        from ..models.count import _padded_len, _warm_device_session
+
+        self.sent_in = bool(len(query_set)) and query_set[-1] == SENT
+        q = query_set[:-1] if self.sent_in else query_set
+        nn = _padded_len(max(len(q), 1))
+        pad = np.full(nn, SENT, np.uint64)
+        pad[: len(q)] = q
+        _warm_device_session()
+        self.dev_q = jnp.asarray(pad)
+        self._padded_len = _padded_len
+
+    def lookup(self, look: np.ndarray) -> np.ndarray:
+        n = len(look)
+        if n == 0:
+            return np.zeros(0, bool)
+        nn = self._padded_len(n)
+        pad = np.full(nn, SENT, np.uint64)
+        pad[:n] = look
+        bits = np.asarray(member_bits(self.dev_q, jnp.asarray(pad)))
+        ok = np.unpackbits(bits, bitorder="little")[:n].astype(bool)
+        if self.sent_in:
+            ok |= look == SENT
+        return ok
+
+
+def grep_device_route(n_query: int) -> bool:
+    """Should grep route membership through the device?
+    UNIKMER_TPU_GREP_DEVICE: 1 forces (CPU tests), 0 disables, auto =
+    non-cpu backend AND query set >= UNIKMER_TPU_GREP_DEVICE_MIN codes
+    (default 2^23 — below that the host merge-join wins; on the
+    tunnel-attached dev chip the 6 MB/s egress usually keeps this
+    host-bound either way, see docs/BENCH_NOTES.md)."""
+    knob = os.environ.get("UNIKMER_TPU_GREP_DEVICE", "auto")
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    return n_query >= int(os.environ.get(
+        "UNIKMER_TPU_GREP_DEVICE_MIN", str(1 << 23)))
+
+
 def _compact_mask_with(values, aux, keep, aux_fill):
     """Compact (values, aux) rows where keep; returns (vals, aux, n)."""
     pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
