@@ -166,6 +166,30 @@ def test_stream_pipeline_depth_equivalence(rng, monkeypatch):
         np.testing.assert_array_equal(p, base["lin"][1])
 
 
+def test_collapse_sorted_dual_matches_pair(rng):
+    """collapse_sorted_dual == (collapse_sorted distinct, repeated) on
+    random data incl. sentinel-valued real codes and invalid slots."""
+    import jax.numpy as jnp
+
+    from unikmer_tpu.ops.sort import collapse_sorted, collapse_sorted_dual
+
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for trial in range(4):
+        n = 512
+        codes = rng.integers(0, 40, n).astype(np.uint64)
+        codes[rng.random(n) < 0.02] = SENT  # real sentinel codes
+        valid = rng.random(n) < 0.8
+        c, v = jnp.asarray(codes), jnp.asarray(valid)
+        wd, nd = collapse_sorted(c, v, mode="distinct")
+        wr, nr = collapse_sorted(c, v, mode="repeated")
+        gd, gnd, gr, gnr = collapse_sorted_dual(c, v)
+        assert int(gnd) == int(nd) and int(gnr) == int(nr), trial
+        np.testing.assert_array_equal(
+            np.asarray(gd)[: int(nd)], np.asarray(wd)[: int(nd)])
+        np.testing.assert_array_equal(
+            np.asarray(gr)[: int(nr)], np.asarray(wr)[: int(nr)])
+
+
 def test_stream_multi_bucket_equivalence(rng, monkeypatch):
     """Multi-bucket grouped dispatch (UNIKMER_TPU_MULTI_BUCKET: B
     equal-padded pieces per program, lax.map-sequenced) must be exact
@@ -181,15 +205,18 @@ def test_stream_multi_bucket_equivalence(rng, monkeypatch):
     for mode in ("distinct", "unique", "repeated"):
         cfg = CountConfig(k=k, canonical=True, mode=mode)
         monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", "1")
+        monkeypatch.setenv("UNIKMER_TPU_DUAL_STEP", "0")
         want = count_stream_packed([packed], cfg, chunk_bases=512)
-        for b in ("2", "3"):
-            monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", b)
-            np.testing.assert_array_equal(
-                count_stream_packed([packed], cfg, chunk_bases=512), want,
-                err_msg=f"B={b} mode={mode}")
-            np.testing.assert_array_equal(
-                count_stream(iter(recs), cfg, chunk_bases=512), want,
-                err_msg=f"B={b} mode={mode} (records)")
+        for b in ("1", "2", "3"):
+            for dual in ("0", "1"):
+                monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", b)
+                monkeypatch.setenv("UNIKMER_TPU_DUAL_STEP", dual)
+                np.testing.assert_array_equal(
+                    count_stream_packed([packed], cfg, chunk_bases=512),
+                    want, err_msg=f"B={b} dual={dual} mode={mode}")
+                np.testing.assert_array_equal(
+                    count_stream(iter(recs), cfg, chunk_bases=512), want,
+                    err_msg=f"B={b} dual={dual} mode={mode} (records)")
 
 
 def test_compressed_result_fetch_roundtrip(rng):

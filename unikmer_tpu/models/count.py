@@ -228,6 +228,37 @@ def _count_step_packed2_raw(packed2, validmask, cfg: CountConfig, n: int):
     return count_step(unpack_bases_2bit(packed2, validmask, n), cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def count_step_dual(bases: jnp.ndarray, cfg: CountConfig):
+    """Jitted: one sort, both capped-multiplicity outputs —
+    (distinct, n_d, within-piece repeated, n_r).  The -u/-d streams
+    need both per piece; fusing them halves the sort work
+    (ops/sort.collapse_sorted_dual)."""
+    from ..ops.sort import collapse_sorted_dual
+
+    codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    return collapse_sorted_dual(codes, valid, code_bits=cfg.code_bits)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "z"))
+def _count_step_dual_multi(packed2s, validmasks, cfg: CountConfig, n: int,
+                           z: bool):
+    """B stacked buckets through the fused dual collapse (lax.map)."""
+
+    def body(args):
+        p2, vm = args
+        od, nd, orp, nr = count_step_dual(
+            unpack_bases_2bit(p2, vm, n), cfg)
+        if z:
+            return _compress_result(od, nd) + _compress_result(orp, nr)
+        return od, nd, orp, nr
+
+    return jax.lax.map(body, (packed2s, validmasks))
+
+
 @partial(jax.jit, static_argnames=("cfg", "n", "z"))
 def _count_step_multi(packed2s, validmasks, cfg: CountConfig, n: int,
                       z: bool):
@@ -772,31 +803,64 @@ def _multi_bucket() -> int:
         return 1
 
 
-def count_packed_dispatch_group(pieces, cfg: CountConfig):
-    """Dispatch B equal-padded pieces as ONE device program
-    (_count_step_multi).  Returns an opaque token for
-    count_packed_fetch_group."""
-    if len(pieces) == 1:
-        return ("one", count_packed_dispatch(pieces[0], cfg))
+def _dual_step_wanted() -> bool:
+    """Fuse the -u/-d streams' per-piece (distinct, repeated) pair into
+    one program (UNIKMER_TPU_DUAL_STEP; auto = non-cpu backends, where
+    the sort dominates each piece)."""
+    env = os.environ.get("UNIKMER_TPU_DUAL_STEP", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _group_stack(pieces):
+    """(p2s, vms, n): stacked 2-bit ingress buffers for a group."""
     bases_list = [pad_bases(p.bases) for p in pieces]
     n = len(bases_list[0])
     _warm_device_session()
     packed = [pack_bases_2bit(b) for b in bases_list]
     p2s = np.stack([p for p, _ in packed])
     vms = np.stack([v for _, v in packed])
+    return jnp.asarray(p2s), jnp.asarray(vms), n
+
+
+def count_packed_dispatch_group(pieces, cfg: CountConfig):
+    """Dispatch B equal-padded pieces as ONE device program
+    (_count_step_multi).  Returns an opaque token for
+    count_packed_fetch_group."""
+    if len(pieces) == 1:
+        return ("one", count_packed_dispatch(pieces[0], cfg))
+    p2s, vms, n = _group_stack(pieces)
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
-    res = _count_step_multi(jnp.asarray(p2s), jnp.asarray(vms), cfg, n, z)
+    res = _count_step_multi(p2s, vms, cfg, n, z)
     return ("multi_z" if z else "multi_raw", res, len(pieces))
 
 
+def count_packed_dispatch_group_dual(pieces, cfg: CountConfig):
+    """Dispatch B pieces through the fused dual collapse: each piece
+    yields its distinct AND within-piece repeated set from one sort."""
+    p2s, vms, n = _group_stack(pieces)
+    space_bits = 64 if cfg.hashed else 2 * cfg.k
+    z = space_bits - (n.bit_length() - 1) <= 30
+    res = _count_step_dual_multi(p2s, vms, cfg, n, z)
+    return ("dual_z" if z else "dual_raw", res, len(pieces))
+
+
 def count_packed_fetch_group(token, pieces, cfg: CountConfig):
-    """Materialize a group token -> list of per-piece sorted arrays.
-    A per-bucket exception-list overflow (rare: hashed spaces skip the
-    compressed egress) re-runs that piece through the single path."""
+    """Materialize a group token -> list of per-piece sorted arrays
+    (dual tokens yield the distinct and repeated array per piece,
+    interleaved).  A per-bucket exception-list overflow (rare: hashed
+    spaces skip the compressed egress) re-runs that piece through the
+    single path."""
     kind = token[0]
     if kind == "one":
         return [count_packed_fetch(token[1])]
+    if kind in ("dual_z", "dual_raw"):
+        return _fetch_group_dual(token, pieces, cfg)
     _, res, B = token
     outs = []
     if kind == "multi_z":
@@ -821,6 +885,38 @@ def count_packed_fetch_group(token, pieces, cfg: CountConfig):
     return outs
 
 
+def _fetch_group_dual(token, pieces, cfg: CountConfig):
+    kind, res, B = token
+    outs = []
+    if kind == "dual_z":
+        (sd, eid, evd, ned, nnd, sr, eir, evr, ner, nnr) = res
+        _fetch_scalar_watchdog(jnp.sum(ned) + jnp.sum(ner))
+        ned_a, ner_a = np.asarray(ned), np.asarray(ner)
+        nnd_a, nnr_a = np.asarray(nnd), np.asarray(nnr)
+        for i in range(B):
+            if ned_a[i] > _MAX_EXC or ner_a[i] > _MAX_EXC:
+                # overflow: per-piece single-path re-run of both modes
+                import dataclasses
+
+                outs.append(count_packed_fetch(count_packed_dispatch(
+                    pieces[i], dataclasses.replace(cfg, mode="distinct"))))
+                outs.append(count_packed_fetch(count_packed_dispatch(
+                    pieces[i], dataclasses.replace(cfg, mode="repeated"))))
+                continue
+            outs.append(_decode_packed_result(
+                sd[i], eid[i], evd[i], int(ned_a[i]), int(nnd_a[i])))
+            outs.append(_decode_packed_result(
+                sr[i], eir[i], evr[i], int(ner_a[i]), int(nnr_a[i])))
+    else:
+        od, nd, orp, nr = res
+        _fetch_scalar_watchdog(jnp.sum(nd) + jnp.sum(nr))
+        nd_a, nr_a = np.asarray(nd), np.asarray(nr)
+        for i in range(B):
+            outs.append(np.asarray(od[i][: int(nd_a[i])]))
+            outs.append(np.asarray(orp[i][: int(nr_a[i])]))
+    return outs
+
+
 class _GroupedCounter:
     """Streaming dispatch helper shared by count_stream[_packed]:
     groups same-config equal-padded pieces into multi-bucket programs
@@ -835,13 +931,13 @@ class _GroupedCounter:
         self.pending: dict = {}
         self.B = _multi_bucket()
 
-    def add(self, piece, cfg: CountConfig):
-        if self.B <= 1:
+    def add(self, piece, cfg: CountConfig, dual: bool = False):
+        if self.B <= 1 and not dual:
             self.inflight.append((("one", count_packed_dispatch(piece, cfg)),
                                   [piece], cfg))
             self.drain(self.depth)
             return
-        key = (cfg, _padded_len(max(len(piece.bases), 1)))
+        key = (cfg, dual, _padded_len(max(len(piece.bases), 1)))
         group = self.pending.setdefault(key, [])
         group.append(piece)
         if len(group) >= self.B:
@@ -849,10 +945,10 @@ class _GroupedCounter:
 
     def _dispatch(self, key):
         pieces = self.pending.pop(key)
-        cfg = key[0]
-        self.inflight.append(
-            (count_packed_dispatch_group(pieces, cfg), pieces, cfg)
-        )
+        cfg, dual = key[0], key[1]
+        tok = (count_packed_dispatch_group_dual(pieces, cfg) if dual
+               else count_packed_dispatch_group(pieces, cfg))
+        self.inflight.append((tok, pieces, cfg))
         self.drain(self.depth)
 
     def drain(self, limit: int):
@@ -905,10 +1001,15 @@ def count_stream(records, cfg: CountConfig,
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            gc.add(piece, distinct_cfg)
-            if repeated_cfg is not None:
-                # second copy marks within-chunk dups
-                gc.add(piece, repeated_cfg)
+            if repeated_cfg is not None and _dual_step_wanted():
+                # fused program: one sort yields distinct AND the
+                # within-chunk repeated marks
+                gc.add(piece, distinct_cfg, dual=True)
+            else:
+                gc.add(piece, distinct_cfg)
+                if repeated_cfg is not None:
+                    # second copy marks within-chunk dups
+                    gc.add(piece, repeated_cfg)
 
     for rec in records:
         buf.append(rec)
@@ -984,9 +1085,12 @@ def count_stream_packed(packed_iter, cfg: CountConfig,
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
-            gc.add(piece, distinct_cfg)
-            if repeated_cfg is not None:
-                gc.add(piece, repeated_cfg)
+            if repeated_cfg is not None and _dual_step_wanted():
+                gc.add(piece, distinct_cfg, dual=True)
+            else:
+                gc.add(piece, distinct_cfg)
+                if repeated_cfg is not None:
+                    gc.add(piece, repeated_cfg)
     gc.finish()
     return sink.result()
 

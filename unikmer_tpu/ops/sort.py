@@ -202,6 +202,43 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
     return out, n + extra
 
 
+@partial(jax.jit, static_argnames=("code_bits", "split"))
+def collapse_sorted_dual(codes: jnp.ndarray, valid: jnp.ndarray,
+                         code_bits: int = 64, split=None):
+    """ONE sort, BOTH collapses: (distinct, n_d, repeated, n_r).
+
+    The -u/-d streaming paths need each piece's distinct set AND its
+    within-piece repeated set (the capped-multiplicity merge,
+    models/count._capped_cfgs); as two programs that is two sorts of
+    the same data — and the sort is ~90% of a device piece.  Sharing
+    the sorted array halves the dominant cost.  Sentinel accounting
+    identical to collapse_sorted."""
+    sent = jnp.uint64(CODE_SENTINEL)
+    keyed = jnp.where(valid, codes, sent)
+    n_sent_real = jnp.sum((codes == sent) & valid, dtype=jnp.int64)
+    n_tail = jnp.sum(~valid, dtype=jnp.int64) + n_sent_real
+    n_head = codes.shape[0] - n_tail
+
+    s = _sort_u64(keyed, code_bits=code_bits, split=split)
+    idx = jnp.arange(codes.shape[0], dtype=jnp.int64)
+    in_head = idx < n_head
+    first, start_idx, end_idx = _run_bounds(s)
+    count = end_idx - start_idx
+
+    keep_d = first & in_head
+    extra_d = (n_sent_real > 0).astype(jnp.int64)
+    n_d = jnp.sum(keep_d, dtype=jnp.int64)
+    out_d = _compact(s, keep_d, sent)
+    out_d = jnp.where((idx == n_d) & (extra_d > 0), sent, out_d)
+
+    keep_r = keep_d & (count > 1)
+    extra_r = (n_sent_real > 1).astype(jnp.int64)
+    n_r = jnp.sum(keep_r, dtype=jnp.int64)
+    out_r = _compact(s, keep_r, sent)
+    out_r = jnp.where((idx == n_r) & (extra_r > 0), sent, out_r)
+    return out_d, n_d + extra_d, out_r, n_r + extra_r
+
+
 @jax.jit
 def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
     """Co-sort (codes, taxids) by code.  One 2-operand sort; used by the
