@@ -161,6 +161,35 @@ def test_taxid_set_ops_mesh_match_single(tmp_path, taxid_uniks,
         np.testing.assert_array_equal(ta, tb, err_msg=op)
 
 
+@pytest.mark.parametrize("vocab_cap", [None, "0"])
+@pytest.mark.parametrize("extra", [[], ["-u"], ["-d"], ["-W", "5"]])
+def test_count_taxid_mesh_matches_single(tmp_path, genome_files,
+                                         monkeypatch, vocab_cap, extra):
+    """count -T --mesh (sharded packed-key build, both LCA tiers) must
+    byte-match the single-device -T engine."""
+    fa = tmp_path / "tagged.fa"
+    taxids = (511145, 585057, 349741)
+    with open(fa, "w") as out:
+        for g, t in zip(genome_files, taxids):
+            for i, line in enumerate(open(g).read().splitlines()):
+                if line.startswith(">"):
+                    out.write(f"{line} taxid|{t}\n")
+                else:
+                    out.write(line + "\n")
+    if vocab_cap is not None:
+        monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", vocab_cap)
+    argv = ["count", "-k", 19, "-K", "-s", "-T", "-r", r"taxid\|(\d+)",
+            str(fa), *extra]
+    a = tmp_path / "single"
+    b = tmp_path / "mesh"
+    assert cli([*argv, "-o", a]) == 0
+    assert cli([*argv, "-o", b, "--mesh", 4]) == 0
+    ca, ta = read_codes_taxids(f"{a}.unik")
+    cb, tb = read_codes_taxids(f"{b}.unik")
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(ta, tb)
+
+
 def test_mesh_capacity_retry(tmp_path, genome_files, monkeypatch):
     # a deliberately tiny initial capacity forces the dropped-counter
     # retry loop (doubling until no overflow)

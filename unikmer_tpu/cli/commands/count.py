@@ -299,7 +299,28 @@ def run(args) -> int:
 
         taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
         res = None
-        if host_ok:
+        if opt.mesh >= 2:
+            # count -T --mesh: sharded packed-key build with the tiered
+            # vocabulary LCA; falls through on admission decline
+            _ensure_device_env()
+            import jax
+
+            if jax.device_count() < opt.mesh:
+                die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
+                    f"found {jax.device_count()}")
+            from ...models.count import (
+                count_taxids_from_packed, parse_taxid_records,
+            )
+            from ...parallel.sharded import mesh_count_taxids
+
+            packed_t, rec_taxids = parse_taxid_records(
+                records(), make_cfg(), re_taxid)
+            res = mesh_count_taxids(packed_t, rec_taxids, taxdb,
+                                    make_cfg(), opt.mesh)
+            if res is None:
+                res = count_taxids_from_packed(packed_t, rec_taxids,
+                                               make_cfg(), taxdb)
+        if res is None and host_ok:
             from ...models.count_host import count_taxids_host
 
             res = count_taxids_host(records(), k, canonical, hashed,

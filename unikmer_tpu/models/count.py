@@ -557,18 +557,10 @@ def _device_taxid_route(packed, rec_taxids, taxdb):
     return device_lca_plan(taxdb, rec_taxids)
 
 
-def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
-    """count -T/--parse-taxid: per-record taxids, LCA-merged per code
-    (reference count.go:334-344,377-410).
-
-    ``records`` is an iterable of fastx.Record; ``re_taxid`` a compiled
-    bytes regexp with one capture group; ``taxdb`` a taxonomy.Taxonomy.
-    Returns (codes, taxids) sorted by code, filtered by cfg.mode.
-
-    Batched: ALL records are packed into one device invocation; each
-    valid window is assigned its record's taxid by a searchsorted over
-    record start offsets (one device pass instead of one per record).
-    """
+def parse_taxid_records(records, cfg: CountConfig, re_taxid):
+    """Parse per-record taxids from headers and pack the sequences:
+    (packed, rec_taxids) aligned (records shorter than k dropped from
+    both).  The shared front half of the -T engines."""
     from ..io.fastx import pack_records
     from ..utils.log import die
 
@@ -586,12 +578,33 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
                 f"{rec.name.decode()}"
             )
     packed = pack_records(records, cfg.k, cfg.circular)
-    if packed.bases.size == 0:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
     # records shorter than k were dropped by the packer: align taxids
     if packed.n_records != len(records):
         kept = [i for i, rec in enumerate(records) if len(rec.seq) >= cfg.k]
         rec_taxids = rec_taxids[kept]
+    return packed, rec_taxids
+
+
+def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
+    """count -T/--parse-taxid: per-record taxids, LCA-merged per code
+    (reference count.go:334-344,377-410).
+
+    ``records`` is an iterable of fastx.Record; ``re_taxid`` a compiled
+    bytes regexp with one capture group; ``taxdb`` a taxonomy.Taxonomy.
+    Returns (codes, taxids) sorted by code, filtered by cfg.mode.
+
+    Batched: ALL records are packed into one device invocation; each
+    valid window is assigned its record's taxid by a searchsorted over
+    record start offsets (one device pass instead of one per record).
+    """
+    packed, rec_taxids = parse_taxid_records(records, cfg, re_taxid)
+    return count_taxids_from_packed(packed, rec_taxids, cfg, taxdb)
+
+
+def count_taxids_from_packed(packed, rec_taxids, cfg: CountConfig, taxdb):
+    """The -T reduction over pre-parsed (packed, rec_taxids)."""
+    if packed.bases.size == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
     route = _device_taxid_route(packed, rec_taxids, taxdb)
     if route is not None:
         from ..taxonomy.lca import compact_ids

@@ -147,6 +147,98 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     return step
 
 
+def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
+                         n_ids: int, code_bits: int, rounds: int,
+                         kind: str):
+    """Sharded `count -T` build: bases rows + per-position compact
+    taxid ids -> per-shard LCA-merged (codes, ids) with cfg.mode
+    multiplicity filters, exact (every occurrence reaches its owner
+    shard).
+
+    The taxid id and valid bit ride PACKED in the exchanged u64 key
+    (code in the high bits), so the all_to_all moves one operand and
+    the range partition stays keyed by code — same single-operand
+    discipline as taxonomy/lca._collapse_sort; admission requires
+    code_bits + id bits + 1 <= 63 (the driver declines k=32 and huge
+    vocabularies to the single-device/host tiers)."""
+    from ..taxonomy.lca import _id_bits
+    from ..models.count import scaled_max_hash
+
+    n_shards = mesh.shape[SHARD_AXIS]
+    ib = _id_bits(n_ids)
+    # +2: the local collapse re-packs with an invalid substitute one
+    # bit above code_bits (see code_bits + 1 below)
+    assert code_bits + ib + 2 <= 63, "packed-key admission violated"
+    packed_bits = code_bits + ib + 1
+    front, back = shard_halos(cfg)
+    ALL1 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def local_step(bases_row, ctax_row, tab):
+        row = bases_row[0]
+        codes, valid = window_codes(row, cfg)
+        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+            valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
+        pos = jnp.arange(row.shape[0], dtype=jnp.int32)
+        own = (pos >= front) & (pos < row.shape[0] - back)
+        valid = valid & own
+        sh = jnp.uint64(ib + 1)
+        key = jnp.where(
+            valid,
+            (codes << sh) | (jnp.uint64(1) << jnp.uint64(ib))
+            | ctax_row[0].astype(jnp.uint64),
+            ALL1,
+        )
+        buf, dropped = _local_pack_buckets(
+            key, key != ALL1, n_shards, capacity, packed_bits
+        )
+        recv = jax.lax.all_to_all(
+            buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
+        )
+        mine = recv.reshape(-1)
+        m_valid = (mine != ALL1) & (
+            ((mine >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool)
+        )
+        m_codes = mine >> sh
+        m_ctax = jnp.where(
+            m_valid,
+            (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
+            0,
+        )
+        from ..ops import device_sets
+        from ..ops.sort import _compact, _run_bounds
+        from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
+
+        collapse = (lca_collapse_compact if kind == "table"
+                    else lca_collapse_paths)
+        # codes for invalid slots -> huge values (ALL1 >> sh) sort last
+        s_codes, tax, keep, s_valid = collapse(
+            jnp.where(m_valid, m_codes, ALL1 >> sh), m_ctax, m_valid, tab,
+            rounds, code_bits + 1,
+        )
+        if cfg.mode in ("unique", "repeated"):
+            first, start, end = _run_bounds(s_codes)
+            v = s_valid.astype(jnp.int64)
+            csum = jnp.cumsum(v)
+            cnt = csum[end - 1] - csum[start] + v[start]
+            keep = keep & (cnt == 1 if cfg.mode == "unique" else cnt > 1)
+        out_c = _compact(s_codes, keep, jnp.uint64(CODE_SENTINEL))
+        out_t = _compact(tax, keep, jnp.int32(0))
+        n = jnp.sum(keep, dtype=jnp.int64)
+        total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
+        return (out_c[None], out_t[None], n[None], total_dropped[None])
+
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                      P(None, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                       P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+
+
 def sharded_union_counts(mesh: Mesh, code_bits: int = 64):
     """Jitted: two aligned sharded sorted sets -> per-shard union counts
     and total (psum).  Demonstrates the per-shard merge + collective
@@ -335,6 +427,23 @@ def partition_host_set(codes: np.ndarray, n_shards: int, capacity: int,
     return out
 
 
+def pack_host_rows(values: np.ndarray, n_shards: int, front: int,
+                   back: int, fill) -> np.ndarray:
+    """Generic row splitter matching pack_host_shards' layout for a
+    position-aligned auxiliary column (e.g. per-position taxid ids)."""
+    n = len(values)
+    per = -(-n // n_shards)
+    row_len = front + per + back
+    out = np.full((n_shards, row_len), fill, dtype=values.dtype)
+    for i in range(n_shards):
+        lo = i * per - front
+        hi = min(lo + row_len, n)
+        src_lo = max(lo, 0)
+        if src_lo < n:
+            out[i, src_lo - lo : hi - lo] = values[src_lo:hi]
+    return out
+
+
 def pack_host_shards(bases: np.ndarray, n_shards: int, k: int,
                      front: int = 0, back: int | None = None) -> np.ndarray:
     """Split a flat packed base array into n_shards rows of equal length
@@ -347,17 +456,8 @@ def pack_host_shards(bases: np.ndarray, n_shards: int, k: int,
 
     if back is None:
         back = k - 1
-    n = len(bases)
-    per = -(-n // n_shards)
-    row_len = front + per + back
-    out = np.full((n_shards, row_len), INVALID_BASE, dtype=np.uint8)
-    for i in range(n_shards):
-        lo = i * per - front
-        hi = min(lo + row_len, n)
-        src_lo = max(lo, 0)
-        if src_lo < n:
-            out[i, src_lo - lo : hi - lo] = bases[src_lo:hi]
-    return out
+    return pack_host_rows(np.asarray(bases, np.uint8), n_shards, front,
+                          back, INVALID_BASE)
 
 
 # ---------------------------------------------------------------------
@@ -559,6 +659,57 @@ def _collect_sharded_taxids(out_c, out_t, counts):
         [out_t[i, : int(counts[i])] for i in range(out_c.shape[0])]
     ).astype(np.int64)
     return codes, ids
+
+
+def mesh_count_taxids(packed, rec_taxids: np.ndarray, taxdb,
+                      cfg: CountConfig, n_devices: int | None = None,
+                      capacity: int | None = None):
+    """Host driver for `count -T --mesh N`: packed records + per-record
+    taxids -> LCA-merged sorted (codes, taxids) via the sharded
+    packed-key build.  Returns None when the tiered vocabulary
+    admission declines or the packed key cannot hold code + id + flag
+    bits (k=32 non-canonical, hashed spaces) — callers fall back to the
+    single-device/host -T engines."""
+    from ..models.count import scaled_max_hash
+    from ..taxonomy.lca import _id_bits, compact_ids, device_lca_plan
+    from .mesh import make_mesh
+
+    if not cfg.hashed:
+        code_bits = 2 * cfg.k
+    elif cfg.scale > 1:
+        code_bits = int(scaled_max_hash(cfg.scale)).bit_length()
+    else:
+        code_bits = 64
+    plan = device_lca_plan(taxdb, rec_taxids)
+    if plan is None:
+        return None
+    kind, closure, lca_tab = plan
+    if code_bits + _id_bits(len(closure)) + 2 > 63:
+        return None
+    mesh = make_mesh(n_devices)
+    d = mesh.shape[SHARD_AXIS]
+    bases = np.asarray(packed.bases, np.uint8)
+    windows = max(len(bases) - cfg.k + 1, 0)
+    if windows == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    rec_ctax = compact_ids(closure, rec_taxids)
+    spans = np.diff(np.append(packed.starts, len(bases)))
+    pos_ctax = np.repeat(rec_ctax, spans).astype(np.int32)
+    front, back = shard_halos(cfg)
+    rows = pack_host_shards(bases, d, cfg.k, front, back)
+    trows = pack_host_rows(pos_ctax, d, front, back, np.int32(0))
+    if capacity is None:
+        capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
+    rounds = max((capacity * d).bit_length(), 1)
+    while True:
+        step = build_sharded_taxids(mesh, cfg, capacity, len(closure),
+                                    code_bits, rounds, kind)
+        out_c, out_t, n, dropped = step(rows, trows, lca_tab)
+        if int(np.asarray(dropped)[0]) == 0:
+            codes, ids = _collect_sharded_taxids(out_c, out_t, n)
+            return codes, closure[ids].astype(np.uint32)
+        capacity *= 2
+        rounds = max((capacity * d).bit_length(), 1)
 
 
 def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
