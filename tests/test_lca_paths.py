@@ -186,6 +186,46 @@ def test_count_taxids_paths_tier_matches_host(rng, monkeypatch):
         np.testing.assert_array_equal(got_t, want_t, err_msg=str(cfg))
 
 
+def test_count_taxids_stream_device_matches_host(rng, monkeypatch):
+    """The streamed device -T tier (inputs beyond the single-program
+    bucket) must match the host reduction exactly for every mode and
+    both LCA tiers."""
+    import re
+
+    from tests.conftest import random_dna
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import (
+        CountConfig, count_taxids_from_packed, count_taxids_stream_device,
+        parse_taxid_records,
+    )
+
+    taxdb = load_taxonomy(TAXDUMP)
+    shared = random_dna(rng, 300).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562, 511145, 561)):
+        seq = shared + random_dna(rng, 250 + 37 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    for vocab_cap in (None, "0"):
+        if vocab_cap is not None:
+            monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", vocab_cap)
+        for mode in ("distinct", "unique", "repeated"):
+            cfg = CountConfig(k=15, canonical=True, mode=mode)
+            packed, rec_taxids = parse_taxid_records(iter(recs), cfg,
+                                                     re_taxid)
+            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+            want = count_taxids_from_packed(packed, rec_taxids, cfg, taxdb)
+            monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+            plan = device_lca_plan(taxdb, rec_taxids)
+            assert plan is not None
+            got = count_taxids_stream_device(
+                packed, rec_taxids, cfg, plan, taxdb, chunk_bases=500)
+            np.testing.assert_array_equal(got[0], want[0],
+                                          err_msg=f"{mode} {vocab_cap}")
+            np.testing.assert_array_equal(got[1], want[1],
+                                          err_msg=f"{mode} {vocab_cap}")
+
+
 def test_union_100k_taxid_vocabulary(rng, monkeypatch):
     """The VERDICT done-condition: device taxid union exact on a
     synthetic 100k-taxid vocabulary (CPU backend), closure tier still

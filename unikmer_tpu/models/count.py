@@ -601,45 +601,109 @@ def count_packed_taxids(records, cfg: CountConfig, re_taxid, taxdb):
     return count_taxids_from_packed(packed, rec_taxids, cfg, taxdb)
 
 
+def _pos_ctax_for(packed, rec_taxids, closure):
+    """Per-position compact taxid ids: each record's id repeated over
+    its base span (windows starting in separators are invalid anyway)."""
+    from ..taxonomy.lca import compact_ids
+
+    rec_ctax = compact_ids(closure, rec_taxids)
+    spans = np.diff(np.append(packed.starts, len(packed.bases)))
+    return np.repeat(rec_ctax, spans).astype(np.int32)
+
+
+def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
+                           plan, mode: str):
+    """One device piece of the -T reduction -> (codes, taxids)."""
+    kind, closure, lca_tab = plan
+    bases = pad_bases(bases_unpadded)
+    padded_ctax = np.zeros(len(bases), np.int32)
+    padded_ctax[: len(pos_ctax)] = pos_ctax
+    rounds = max(len(bases).bit_length() - 1, 1)
+    # tunnel-attached chips occasionally drop a process's first large
+    # dispatch (fetch hangs forever); establish the session with a
+    # watchdogged tiny round-trip first (no-op on cpu)
+    _warm_device_session()
+    dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
+
+    def raw():
+        return count_taxids_step(bases, dctax, dtab, cfg, rounds, mode,
+                                 kind)
+
+    if use_compressed_taxid_fetch(
+        64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
+    ):
+        z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds, mode,
+                                 kind)
+        return fetch_taxid_result(z, raw, closure)
+    out_c, out_t, n = raw()
+    n = _fetch_scalar_watchdog(n)
+    return (np.asarray(out_c[:n]),
+            closure[np.asarray(out_t[:n]).astype(np.int64)])
+
+
+def count_taxids_stream_device(packed, rec_taxids, cfg: CountConfig,
+                               plan, taxdb, chunk_bases: int | None = None):
+    """Streamed device -T for inputs beyond the validated bucket: each
+    piece collapses on device (distinct partial + within-piece repeated
+    partial for -u/-d, the capped-multiplicity trick), partials merge
+    on host with one lca_reduce over the much smaller distinct sets."""
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
+    pos_ctax = _pos_ctax_for(packed, rec_taxids, plan[1])
+    distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
+    parts_c, parts_t, parts_rep = [], [], []
+    for piece, off in split_packed(
+        packed, chunk_bases, cfg.k if cfg.segmentable else 0,
+        yield_offsets=True,
+    ):
+        pc = pos_ctax[off : off + len(piece.bases)]
+        c, t = _device_taxid_collapse(piece.bases, pc, distinct_cfg, plan,
+                                      "distinct")
+        parts_c.append(c)
+        parts_t.append(t)
+        if repeated_cfg is not None:
+            rc, _ = _device_taxid_collapse(piece.bases, pc, repeated_cfg,
+                                           plan, "repeated")
+            parts_rep.append(rc)
+    dcodes = (np.concatenate(parts_c) if parts_c
+              else np.zeros(0, np.uint64))
+    dtax = (np.concatenate(parts_t) if parts_t
+            else np.zeros(0, np.uint32))
+    uniq, merged = taxdb.lca_reduce(dcodes, dtax)
+    if repeated_cfg is None:
+        return uniq, merged
+    # piece-presence counts align with lca_reduce's sorted keys
+    _, counts = np.unique(dcodes, return_counts=True)
+    in_rep = (
+        np.isin(uniq, np.unique(np.concatenate(parts_rep)))
+        if parts_rep else np.zeros(len(uniq), bool)
+    )
+    multi = (counts > 1) | in_rep
+    keep = ~multi if cfg.mode == "unique" else multi
+    return uniq[keep], merged[keep]
+
+
 def count_taxids_from_packed(packed, rec_taxids, cfg: CountConfig, taxdb):
     """The -T reduction over pre-parsed (packed, rec_taxids)."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
     route = _device_taxid_route(packed, rec_taxids, taxdb)
     if route is not None:
-        from ..taxonomy.lca import compact_ids
+        pos_ctax = _pos_ctax_for(packed, rec_taxids, route[1])
+        return _device_taxid_collapse(packed.bases, pos_ctax, cfg, route,
+                                      cfg.mode)
+    # beyond the single-program bucket: streamed device pieces when the
+    # vocabulary admission still accepts
+    if (
+        os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto") != "0"
+        and _padded_len(max(len(packed.bases), 1)) > (1 << 25)
+    ):
+        from ..taxonomy.lca import device_lca_plan
 
-        kind, closure, lca_tab = route
-        # per-position compact taxid: repeat each record's id over its
-        # base span (windows starting in separators are invalid anyway)
-        rec_ctax = compact_ids(closure, rec_taxids)
-        spans = np.diff(np.append(packed.starts, len(packed.bases)))
-        pos_ctax = np.repeat(rec_ctax, spans)
-        bases = pad_bases(packed.bases)
-        padded_ctax = np.zeros(len(bases), np.int32)
-        padded_ctax[: len(pos_ctax)] = pos_ctax
-        rounds = max(len(bases).bit_length() - 1, 1)
-        # tunnel-attached chips occasionally drop a process's first
-        # large dispatch (fetch hangs forever); establish the session
-        # with a watchdogged tiny round-trip first, like every
-        # non-taxid count dispatch does (no-op on cpu)
-        _warm_device_session()
-        dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
-
-        def raw():
-            return count_taxids_step(bases, dctax, dtab, cfg, rounds,
-                                     cfg.mode, kind)
-
-        if use_compressed_taxid_fetch(
-            64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
-        ):
-            z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds,
-                                     cfg.mode, kind)
-            return fetch_taxid_result(z, raw, closure)
-        out_c, out_t, n = raw()
-        n = _fetch_scalar_watchdog(n)
-        return (np.asarray(out_c[:n]),
-                closure[np.asarray(out_t[:n]).astype(np.int64)])
+        plan = device_lca_plan(taxdb, rec_taxids)
+        if plan is not None:
+            return count_taxids_stream_device(packed, rec_taxids, cfg,
+                                              plan, taxdb)
     codes, pos = linear_codes_all(packed.bases, cfg)
     rec_id = np.searchsorted(packed.starts, pos, side="right") - 1
     taxids = rec_taxids[rec_id]
@@ -1034,7 +1098,8 @@ def count_stream(records, cfg: CountConfig,
     return sink.result()
 
 
-def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
+def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0,
+                 yield_offsets: bool = False):
     """Split a PackedSeqs at record boundaries into pieces of at most
     ~chunk_bases bases each (a piece always holds >= 1 record).
 
@@ -1044,7 +1109,11 @@ def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
     to exactly one segment, so distinct/unique/repeated multiplicities
     are preserved exactly.  Without this, one oversized record would
     force a device program far above the validated 2^25 bucket (2^26+
-    hangs on the tunnel backend — docs/BENCH_NOTES.md)."""
+    hangs on the tunnel backend — docs/BENCH_NOTES.md).
+
+    ``yield_offsets`` yields (piece, base_offset) pairs, base_offset
+    being the piece's start in packed.bases (for position-aligned
+    auxiliary columns like count -T's per-position taxid ids)."""
     n_rec = packed.n_records
     if n_rec == 0:
         return
@@ -1060,10 +1129,11 @@ def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
                 seg = packed.bases[
                     base0 + off : base0 + min(off + chunk_bases + k - 1, span)
                 ]
-                yield PackedSeqs(
+                piece = PackedSeqs(
                     seg, np.zeros(1, np.int64),
                     np.asarray([len(seg)], np.int64),
                 )
+                yield (piece, base0 + off) if yield_offsets else piece
             lo += 1
             continue
         # include whole records while the piece END stays within the
@@ -1075,11 +1145,12 @@ def split_packed(packed: PackedSeqs, chunk_bases: int, k: int = 0):
         hi = lo + int(np.searchsorted(ends, limit, side="right"))
         hi = max(hi, lo + 1)
         end = packed.starts[hi] if hi < n_rec else total
-        yield PackedSeqs(
+        piece = PackedSeqs(
             packed.bases[packed.starts[lo]:end],
             packed.starts[lo:hi] - packed.starts[lo],
             packed.lengths[lo:hi],
         )
+        yield (piece, int(packed.starts[lo])) if yield_offsets else piece
         lo = hi
 
 
