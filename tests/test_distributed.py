@@ -97,3 +97,31 @@ def test_two_process_distributed_count(tmp_path, rng):
     want = sorted({codec.encode_kmer(s)
                    for s in brute_kmers(seqs, 11, canonical=True)})
     assert got == want
+
+    # taxid arm: cross-process packed-key all_to_all + LCA collapse
+    # (RESULT2) vs a host lca_reduce oracle over the same synthetic data
+    shards2, tshards2 = {}, {}
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("RESULT2 ")]
+        assert lines, o[-2000:]
+        r = json.loads(lines[0][len("RESULT2 "):])
+        assert r["dropped"] == 0
+        shards2.update({int(k): v for k, v in r["shards"].items()})
+        tshards2.update({int(k): v for k, v in r["taxids"].items()})
+    got_c = np.array(sum((shards2[i] for i in range(4)), []), np.uint64)
+    got_t = np.array(sum((tshards2[i] for i in range(4)), []), np.uint32)
+    from unikmer_tpu.models.count import CountConfig, linear_codes_all
+    from unikmer_tpu.taxonomy.taxdump import Taxonomy
+
+    tax = Taxonomy(
+        parent=np.array([0, 1, 1, 1, 2, 2], np.uint32),
+        depth=np.array([-1, 0, 1, 1, 2, 2], np.int16),
+        rank_ids=np.full(6, -1, np.int16), ranks=[],
+    )
+    r2 = np.random.default_rng(99)
+    tb = r2.integers(0, 4, 3000).astype(np.uint8)
+    ptax = r2.integers(1, 6, 3000).astype(np.uint32)
+    codes, pos = linear_codes_all(tb, CountConfig(k=11, canonical=True))
+    want_c, want_t = tax.lca_reduce(codes, ptax[pos])
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_t, want_t)
