@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-3 chip session: run SEQUENTIALLY in tmux (never under external
+# timeout/kill — CLAUDE.md device discipline).  Phases:
+#   1. device taxid routes validation (packed-key single-operand sort)
+#   2. multi-bucket / dual-step streamed count measurement
+#   3. bench.py --all-configs (per-config regression numbers)
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+T=/tmp/chip_round3
+mkdir -p "$T"
+
+echo "=== phase 1: taxid validation ($(date -u +%H:%M:%S)) ==="
+bash scripts/chip_taxid_validate.sh "$T/taxval" 2>&1 | tee "$T/taxval.log"
+echo "phase1 exit: ${PIPESTATUS[0]}" | tee -a "$T/taxval.log"
+
+echo "=== phase 2: multi-bucket measurement ($(date -u +%H:%M:%S)) ==="
+python scripts/exp_multibucket_chip.py 2>&1 | tee "$T/multibucket.log"
+echo "phase2 exit: ${PIPESTATUS[0]}" | tee -a "$T/multibucket.log"
+
+echo "=== phase 3: bench --all-configs ($(date -u +%H:%M:%S)) ==="
+python bench.py --all-configs 2>&1 | tee "$T/bench.log"
+echo "phase3 exit: ${PIPESTATUS[0]}" | tee -a "$T/bench.log"
+
+echo "=== chip session done ($(date -u +%H:%M:%S)) ==="
