@@ -44,8 +44,6 @@ def run(args) -> int:
         threshold = max(1, math.ceil(args.proportion * len(files)))
     taxdb = maybe_taxonomy(opt, has_taxid and len(files) > 1)
     # inputs may be unsorted; sort before set algebra
-    import numpy as np
-
     from ... import native
 
     for i in range(len(code_arrays)):
