@@ -186,6 +186,25 @@ def test_count_taxids_paths_tier_matches_host(rng, monkeypatch):
         np.testing.assert_array_equal(got_t, want_t, err_msg=str(cfg))
 
 
+def test_device_collapse_admissible_tpu_gate(monkeypatch):
+    """On the tpu backend, unpackable collapses (2-operand fallback
+    sort: k>=24 2-bit codes with big vocabularies, full hashes) must be
+    declined — that shape compile-starves (BENCH_NOTES round-3)."""
+    import jax
+
+    from unikmer_tpu.taxonomy.lca import device_collapse_admissible
+
+    assert device_collapse_admissible(46, 100)       # k=23: packed
+    assert device_collapse_admissible(64, 100)       # cpu: anything
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert device_collapse_admissible(46, 100)
+    assert device_collapse_admissible(58, 8)         # k=29, tiny vocab
+    assert not device_collapse_admissible(62, 100)   # k=31: 2-op only
+    assert not device_collapse_admissible(64, 100)   # hashes
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_2OP", "1")
+    assert device_collapse_admissible(64, 100)       # explicit override
+
+
 def test_count_taxids_stream_device_matches_host(rng, monkeypatch):
     """The streamed device -T tier (inputs beyond the single-program
     bucket) must match the host reduction exactly for every mode and

@@ -443,6 +443,17 @@ def _pipeline_depth() -> int:
     return 1 if jax.default_backend() == "tpu" else 0
 
 
+def _taxid_code_bits(cfg: CountConfig) -> int:
+    """Static bound on VALID code values for a -T config: lets the
+    collapse pack the taxid id into a single-operand sort key
+    (taxonomy/lca._collapse_sort)."""
+    if not cfg.hashed:
+        return 2 * cfg.k
+    if cfg.scale > 1:
+        return int(scaled_max_hash(cfg.scale)).bit_length()
+    return 64
+
+
 @partial(jax.jit, static_argnames=("cfg", "rounds", "mode", "kind"))
 def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
                       rounds: int, mode: str, kind: str = "table"):
@@ -464,14 +475,7 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
         # filter (count.go:373-375): apply it here like count_step does
         max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
         valid = valid & (codes <= max_hash)
-    # static bound on VALID code values: lets the collapse pack the
-    # taxid id into a single-operand sort key (lca._collapse_sort)
-    if not cfg.hashed:
-        cb = 2 * cfg.k
-    elif cfg.scale > 1:
-        cb = int(scaled_max_hash(cfg.scale)).bit_length()
-    else:
-        cb = 64
+    cb = _taxid_code_bits(cfg)
     collapse = lca_collapse_compact if kind == "table" else lca_collapse_paths
     s_codes, ctax, keep, s_valid = collapse(
         codes, pos_ctax, valid, lca_tab, rounds, cb
@@ -540,7 +544,8 @@ def fetch_taxid_result(z, raw_fn, closure):
     return codes, taxids
 
 
-def _device_taxid_route(packed, rec_taxids, taxdb):
+def _device_taxid_route(packed, rec_taxids, taxdb,
+                        cfg: CountConfig | None = None):
     """Should count -T keep its LCA reduction on device?  Yes when the
     padded program fits the validated bucket, the tiered vocabulary
     admission accepts (closure table for small vocabularies, path
@@ -551,10 +556,19 @@ def _device_taxid_route(packed, rec_taxids, taxdb):
     if os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto") == "0":
         return None
     if _padded_len(max(len(packed.bases), 1)) > (1 << 25):
-        return None  # beyond the validated bucket: segmented host path
-    from ..taxonomy.lca import device_lca_plan
+        return None  # beyond the validated bucket: streamed/host tiers
+    from ..taxonomy.lca import device_collapse_admissible, device_lca_plan
 
-    return device_lca_plan(taxdb, rec_taxids)
+    plan = device_lca_plan(taxdb, rec_taxids)
+    if (
+        plan is not None
+        and cfg is not None
+        and not device_collapse_admissible(
+            _taxid_code_bits(cfg), len(plan[1])
+        )
+    ):
+        return None  # 2-operand fallback sort compile-starves on tpu
+    return plan
 
 
 def parse_taxid_records(records, cfg: CountConfig, re_taxid):
@@ -687,7 +701,7 @@ def count_taxids_from_packed(packed, rec_taxids, cfg: CountConfig, taxdb):
     """The -T reduction over pre-parsed (packed, rec_taxids)."""
     if packed.bases.size == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-    route = _device_taxid_route(packed, rec_taxids, taxdb)
+    route = _device_taxid_route(packed, rec_taxids, taxdb, cfg)
     if route is not None:
         pos_ctax = _pos_ctax_for(packed, rec_taxids, route[1])
         return _device_taxid_collapse(packed.bases, pos_ctax, cfg, route,
@@ -698,10 +712,14 @@ def count_taxids_from_packed(packed, rec_taxids, cfg: CountConfig, taxdb):
         os.environ.get("UNIKMER_TPU_DEVICE_TAXID", "auto") != "0"
         and _padded_len(max(len(packed.bases), 1)) > (1 << 25)
     ):
-        from ..taxonomy.lca import device_lca_plan
+        from ..taxonomy.lca import (
+            device_collapse_admissible, device_lca_plan,
+        )
 
         plan = device_lca_plan(taxdb, rec_taxids)
-        if plan is not None:
+        if plan is not None and device_collapse_admissible(
+            _taxid_code_bits(cfg), len(plan[1])
+        ):
             return count_taxids_stream_device(packed, rec_taxids, cfg,
                                               plan, taxdb)
     codes, pos = linear_codes_all(packed.bases, cfg)

@@ -360,7 +360,9 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     ``code_bits`` is the HEADER-derived static bound on code values
     (2k for 2-bit codes, 64 for hashes) — it keys the jitted programs,
     so it must not be data-derived."""
-    from ..taxonomy.lca import compact_ids, device_lca_plan
+    from ..taxonomy.lca import (
+        compact_ids, device_collapse_admissible, device_lca_plan,
+    )
 
     all_tax = np.concatenate(
         [np.asarray(t, np.uint32) for t in taxid_arrays]
@@ -369,6 +371,8 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     if route is None:
         return None
     kind, closure, lca_tab = route
+    if not device_collapse_admissible(code_bits, len(closure)):
+        return None  # 2-operand fallback sort compile-starves on tpu
     codes = np.concatenate(
         [np.asarray(c, np.uint64) for c in code_arrays]
     ) if code_arrays else np.zeros(0, np.uint64)

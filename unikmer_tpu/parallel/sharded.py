@@ -725,7 +725,9 @@ def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
     union of the rest.  Returns (codes, taxids) or None when the tiered
     admission declines (unknown nonzero taxids fall back to the host
     engine, whose deterministic order owns their merge rule)."""
-    from ..taxonomy.lca import compact_ids, device_lca_plan
+    from ..taxonomy.lca import (
+        compact_ids, device_collapse_admissible, device_lca_plan,
+    )
     from .mesh import make_mesh
 
     if op not in ("union", "inter", "diff", "common"):
@@ -737,6 +739,8 @@ def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
     if plan is None:
         return None
     kind, closure, lca_tab = plan
+    if not device_collapse_admissible(code_bits, len(closure)):
+        return None  # 2-operand fallback sort compile-starves on tpu
     # per-file LCA dedup: threshold counts are file-presence counts
     arrs = []
     for c, t in zip(code_arrays, taxid_arrays):

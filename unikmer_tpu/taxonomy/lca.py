@@ -165,6 +165,30 @@ def _id_bits(n_ids: int) -> int:
     return max((max(n_ids, 2) - 1).bit_length(), 1)
 
 
+def collapse_sort_packable(code_bits: int, n_ids: int) -> bool:
+    """Can (code, valid, compact id) pack into one u64 sort key?"""
+    return 0 < code_bits and code_bits + _id_bits(n_ids) + 1 <= 63
+
+
+def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
+    """Is a device taxid collapse safe on this backend?  The 2-operand
+    (u64, i32) fallback sort COMPILE-STARVES on the tunnel TPU backend
+    at 2^24 (docs/BENCH_NOTES.md round-3) — on tpu only packed
+    single-operand collapses are admissible (k <= ~23 for 2-bit codes,
+    vocabulary-dependent); other backends take either path.
+    UNIKMER_TPU_TAXID_2OP=1 overrides for experiments."""
+    import os
+
+    if collapse_sort_packable(code_bits, n_ids):
+        return True
+    if os.environ.get("UNIKMER_TPU_TAXID_2OP") == "1":
+        return True
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
 def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     """The collapse's sort stage: (sorted codes, compact ids, valid)
     aligned to the sorted order.
