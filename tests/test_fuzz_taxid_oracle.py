@@ -189,6 +189,23 @@ def test_fuzz_taxid_pipeline_vs_oracle(tmp_path, trial):
     run_trial(tmp_path, 0x7A1D + trial, [5, 11, 17, 23, 31][trial])
 
 
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_taxid_pipeline_paths_tier(tmp_path, trial, monkeypatch):
+    """Same randomized pipelines with the path-matrix LCA tier forced
+    (UNIKMER_TPU_TAXID_VOCAB_MAX=0) and the device routes forced on."""
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", "0")
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "1")
+    run_trial(tmp_path, 0xBA7 + trial, [13, 19][trial])
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fuzz_taxid_pipeline_mesh(tmp_path, trial, monkeypatch):
+    """Same randomized pipelines routed through the 4-device mesh
+    (--mesh via UNIKMER_TPU_MESH): count -T, set ops, grep all mix."""
+    monkeypatch.setenv("UNIKMER_TPU_MESH", "4")
+    run_trial(tmp_path, 0x3E5 + trial, [11, 21][trial])
+
+
 def run_trial(tmp_path, seed, k):
     """One randomized taxid pipeline trial (scripts/fuzz_campaign.py
     drives this over many extra seeds)."""
