@@ -210,6 +210,29 @@ def test_count_mesh_too_many_devices_dies(tmp_path, genome_files):
                 "--mesh", 64]) != 0
 
 
+@pytest.mark.full
+def test_mesh_full_genome_conformance(tmp_path):
+    """README fixtures through --mesh 4 on the real genomes: counts and
+    the union md5 must stay exact (SURVEY §6)."""
+    import hashlib
+    import subprocess
+    import sys
+
+    OLD = "/root/reference/testdata/old"
+    uniks = []
+    for name, n_want in (("Ecoli-IAI39", 4902266), ("Ecoli-MG1655", 4546632)):
+        out = tmp_path / name
+        assert cli(["count", "-k", 23, "-K", "-s", f"{OLD}/{name}.fasta.gz",
+                    "-o", out, "--mesh", 4]) == 0
+        with UnikReader(f"{out}.unik") as r:
+            assert r.header.number == n_want, name
+        uniks.append(f"{out}.unik")
+    u = tmp_path / "union"
+    assert cli(["union", *uniks, "-s", "-o", u, "--mesh", 4]) == 0
+    with UnikReader(f"{u}.unik") as r:
+        assert r.header.number == 6872728
+
+
 def test_mesh_sentinel_code_exact(tmp_path, rng):
     # a 32-base poly-T run at k=32 non-canonical encodes to 2^64-1 ==
     # the padding sentinel; the mesh path must keep it exactly like the
