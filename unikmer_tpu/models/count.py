@@ -357,15 +357,52 @@ def _warm_device_session() -> None:
     On tunnel-attached chips a process's first large dispatch is
     occasionally dropped (the fetch then hangs forever); a small
     device_put + readback first establishes the session the way
-    bench.py does, which has never exhibited the hang.  No-op on the
-    cpu backend so call sites need no guard of their own."""
+    bench.py does.  The warm-up op ITSELF can be silently dropped
+    (observed 2026-08-20 after a wedge: 20+ min pending with the chip
+    otherwise healthy), so readiness is POLLED and the tiny op
+    re-dispatched up to UNIKMER_TPU_WARM_RETRIES times (default 3)
+    every UNIKMER_TPU_WARM_RETRY_S seconds (default 300) before
+    falling back to a blocking watchdogged fetch.  No-op on the cpu
+    backend so call sites need no guard of their own."""
+    import sys
+    import time
+
     global _session_warm
     if _session_warm or jax.default_backend() == "cpu":
         return
-    x = jax.device_put(np.zeros(8, np.float32))
-    # the round-trip itself hangs when the link is already wedged —
-    # surface that through the watchdog instead of freezing silently
-    _fetch_scalar_watchdog(x.sum())
+    tries = max(int(os.environ.get("UNIKMER_TPU_WARM_RETRIES", "3")), 1)
+    poll_s = float(os.environ.get("UNIKMER_TPU_WARM_RETRY_S", "300"))
+    x = None
+    for attempt in range(tries):
+        x = jax.device_put(np.zeros(8, np.float32)).sum()
+        deadline = time.time() + poll_s
+        pollable = True
+        while time.time() < deadline:
+            try:
+                ready = x.is_ready()
+            except Exception:
+                pollable = False
+                break
+            if ready:
+                break
+            time.sleep(1.0)
+        if not pollable or (attempt == tries - 1):
+            break
+        try:
+            if x.is_ready():
+                break
+        except Exception:
+            break
+        print(
+            "[WARNING] warm-up op still pending after "
+            f"{poll_s:.0f}s — re-dispatching "
+            f"({attempt + 2}/{tries}; dropped first dispatches are a "
+            "known tunnel pathology)",
+            file=sys.stderr,
+            flush=True,
+        )
+    # blocking fetch (cheap when ready; watchdog surfaces a dead link)
+    _fetch_scalar_watchdog(x)
     _session_warm = True
 
 
