@@ -144,11 +144,51 @@ def _bench_config(name: str, cfg: CountConfig, dev_bases) -> dict:
     }
 
 
+def _bench_stream() -> dict:
+    """The production streaming path (count_stream_packed: multi-bucket
+    lax.map programs, compressed egress, double buffering) over
+    4 x 2^25 bases — the number a real multi-chunk `count` sees."""
+    from unikmer_tpu.io.fastx import PackedSeqs
+    from unikmer_tpu.models.count import count_stream_packed
+
+    pieces = 4
+    rng = np.random.default_rng(20260820)
+    bases = rng.integers(0, 4, size=pieces * SIZE, dtype=np.uint8)
+    starts = np.arange(pieces, dtype=np.int64) * SIZE
+    packed = PackedSeqs(bases, starts, np.full(pieces, SIZE, np.int64))
+    cfg = CountConfig(k=K, canonical=True)
+    _watchdog(900)
+    t0 = time.time()
+    out = count_stream_packed([packed], cfg, chunk_bases=SIZE - K)
+    warm_first = time.time() - t0
+    _watchdog(900)
+    t0 = time.time()
+    out = count_stream_packed([packed], cfg, chunk_bases=SIZE - K)
+    dt = time.time() - t0
+    windows = pieces * SIZE
+    kps = windows / dt
+    print(
+        f"# count_streamed: n={len(out)} warm={dt:.2f}s "
+        f"(first incl. compile {warm_first:.1f}s) "
+        f"backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+    return {
+        "metric": "count_streamed_4x2e25",
+        "value": round(kps),
+        "unit": "kmers/s",
+        "vs_baseline": round(kps / BASELINE_KMERS_PER_SEC, 2),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all-configs", action="store_true",
                     help="also bench the ntHash/scaled/minimizer/syncmer "
                          "pipelines (one JSON line per config)")
+    ap.add_argument("--stream", action="store_true",
+                    help="bench the streaming path (multi-bucket "
+                         "programs) instead of the single-batch step")
     args = ap.parse_args()
     if not _probe_device_ready():
         print(
@@ -160,6 +200,9 @@ def main() -> int:
     # completes at full speed" tunnel pathology (CLAUDE.md) instead of
     # killing the run just before it would have finished.
     _watchdog(900)
+    if args.stream:
+        print(json.dumps(_bench_stream()))
+        return 0
     rng = np.random.default_rng(20260817)
     bases = rng.integers(0, 4, size=SIZE, dtype=np.uint8)
 
