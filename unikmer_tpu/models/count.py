@@ -303,6 +303,41 @@ def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
     return codes
 
 
+def phase_watchdog(phase: str, every_s: int = 120):
+    """Context manager: periodic stderr diagnostic while a device phase
+    (upload / compile submission / dispatch) is in flight — these have
+    no result to watchdog-fetch, and the tunnel can stall them
+    silently for many minutes (BENCH_NOTES round-3)."""
+    import contextlib
+    import sys
+    import threading
+
+    @contextlib.contextmanager
+    def cm():
+        done = threading.Event()
+
+        def warn():
+            waited = 0
+            while not done.wait(every_s):
+                waited += every_s
+                print(
+                    f"[WARNING] {phase} still in flight after {waited}s "
+                    "(first compiles of big programs can take minutes; "
+                    "a silent tunnel stall looks identical)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
+        t = threading.Thread(target=warn, daemon=True)
+        t.start()
+        try:
+            yield
+        finally:
+            done.set()
+
+    return cm()
+
+
 def _fetch_scalar_watchdog(x, every_s: int = 120):
     """int(x) with a monitor thread: tunnel-attached devices can silently
     drop an execution (observed wedges of 30-60 min); surface a periodic
@@ -674,19 +709,24 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
     # dispatch (fetch hangs forever); establish the session with a
     # watchdogged tiny round-trip first (no-op on cpu)
     _warm_device_session()
-    dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
+    with phase_watchdog("count -T upload/compile/dispatch"):
+        dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
 
-    def raw():
-        return count_taxids_step(bases, dctax, dtab, cfg, rounds, mode,
-                                 kind)
+        def raw():
+            return count_taxids_step(bases, dctax, dtab, cfg, rounds,
+                                     mode, kind)
 
-    if use_compressed_taxid_fetch(
-        64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
-    ):
-        z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds, mode,
-                                 kind)
+        if use_compressed_taxid_fetch(
+            64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
+        ):
+            z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds,
+                                     mode, kind)
+        else:
+            z = None
+    if z is not None:
         return fetch_taxid_result(z, raw, closure)
-    out_c, out_t, n = raw()
+    with phase_watchdog("count -T upload/compile/dispatch"):
+        out_c, out_t, n = raw()
     n = _fetch_scalar_watchdog(n)
     return (np.asarray(out_c[:n]),
             closure[np.asarray(out_t[:n]).astype(np.int64)])

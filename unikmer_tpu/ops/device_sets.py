@@ -398,6 +398,8 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
         use_compressed_taxid_fetch,
     )
 
+    from ..models.count import phase_watchdog
+
     # watchdogged tiny round-trip before the first big upload: the
     # tunnel drops occasional first dispatches (fetch hangs forever,
     # observed 2026-08-20 on this very route), and without it the
@@ -421,20 +423,23 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     if enc is not None:
         small, exc_idx, exc_step = enc
         id_np = np.uint16 if len(closure) <= 0xFFFF else np.uint32
-        res = _union_taxids_ingress_z(
-            jnp.asarray(small), jnp.asarray(exc_idx),
-            jnp.asarray(exc_step), jnp.asarray(pad_t.astype(id_np)),
-            dtab, rounds, z_out, kind, code_bits)
+        with phase_watchdog("taxid union upload/compile/dispatch"):
+            res = _union_taxids_ingress_z(
+                jnp.asarray(small), jnp.asarray(exc_idx),
+                jnp.asarray(exc_step), jnp.asarray(pad_t.astype(id_np)),
+                dtab, rounds, z_out, kind, code_bits)
         if z_out:
             return fetch_taxid_result(res, raw, closure)
         out_c, out_t, n = res
     elif z_out:
-        z = _union_taxids_compact_z(
-            jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds, kind,
-            code_bits)
+        with phase_watchdog("taxid union upload/compile/dispatch"):
+            z = _union_taxids_compact_z(
+                jnp.asarray(pad_c), jnp.asarray(pad_t), dtab, rounds,
+                kind, code_bits)
         return fetch_taxid_result(z, raw, closure)
     else:
-        out_c, out_t, n = raw()
+        with phase_watchdog("taxid union upload/compile/dispatch"):
+            out_c, out_t, n = raw()
     n = _fetch_scalar_watchdog(n)
     return (np.asarray(out_c[:n]),
             closure[np.asarray(out_t[:n]).astype(np.int64)])
