@@ -201,6 +201,17 @@ def test_union_all(rng, taxdb):
     np.testing.assert_array_equal(u.taxids_to_numpy(), [511145, 562, 562, 562])
 
 
+def test_from_fasta_mesh_matches_single(tmp_path, rng):
+    from tests.conftest import random_dna
+    from unikmer_tpu.api import KmerSet
+
+    p = tmp_path / "g.fa"
+    p.write_text(f">s\n{random_dna(rng, 4000).decode()}\n")
+    a = KmerSet.from_fasta(str(p), 17, canonical=True)
+    b = KmerSet.from_fasta(str(p), 17, canonical=True, mesh=4)
+    np.testing.assert_array_equal(a.to_numpy(), b.to_numpy())
+
+
 def test_from_fasta_chunked_matches_single_shot(tmp_path, rng, monkeypatch):
     """Oversized FASTA builds are chunked into bounded device programs;
     the merged set is identical to the one-shot build for every mode."""

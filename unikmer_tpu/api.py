@@ -137,11 +137,13 @@ class KmerSet:
     @classmethod
     def from_fasta(cls, paths, k, *, canonical=False, hashed=False, scale=1,
                    minimizer_w=0, syncmer_s=0, circular=False,
-                   mode="distinct", taxdb=None):
+                   mode="distinct", taxdb=None, mesh=None):
         """Count k-mers of FASTA/Q file(s) directly into a device set.
 
         The result never leaves the device: only the 8-byte count is
-        fetched (count pipeline: models/count.count_step).
+        fetched (count pipeline: models/count.count_step).  ``mesh=N``
+        routes the build through the N-device sharded engine
+        (parallel/sharded.mesh_count_stream — the CLI's count --mesh).
         """
         from .io.fastx import pack_files
 
@@ -150,6 +152,24 @@ class KmerSet:
         cfg = CountConfig(k=k, canonical=canonical, hashed=hashed,
                           scale=scale, minimizer_w=minimizer_w,
                           syncmer_s=syncmer_s, circular=circular, mode=mode)
+        if mesh is not None and int(mesh) >= 2:
+            from .io.fastx import read_fastx
+            from .models.count import SpilledCount
+            from .parallel.sharded import mesh_count_stream
+
+            def records():
+                for p in paths:
+                    yield from read_fastx(p)
+
+            codes = mesh_count_stream(records(), cfg, int(mesh))
+            if isinstance(codes, SpilledCount):
+                parts: list = []
+                codes.write_to(parts.append)
+                codes = (np.concatenate(parts) if parts
+                         else np.zeros(0, np.uint64))
+            return cls.from_codes(codes, k, canonical=cfg.canonical,
+                                  hashed=cfg.hashed, scale=scale,
+                                  taxdb=taxdb, assume_sorted_unique=True)
         packed = pack_files(paths, cfg.k, circular)
         if packed.bases.size == 0:
             return cls.from_codes(np.zeros(0, np.uint64), k,
