@@ -161,6 +161,24 @@ def test_taxid_set_ops_mesh_match_single(tmp_path, taxid_uniks,
         np.testing.assert_array_equal(ta, tb, err_msg=op)
 
 
+def test_mix_taxid_inter_mesh_matches_single(tmp_path, genome_files,
+                                             taxid_uniks):
+    # one taxid-less input (--mix-taxid): the zero column must pass the
+    # other side's taxids through identically on the mesh
+    plain = tmp_path / "plain"
+    assert cli(["count", "-k", 19, "-K", "-s", genome_files[0],
+                "-o", plain]) == 0
+    a = tmp_path / "mix.single"
+    b = tmp_path / "mix.mesh"
+    argv = ["inter", "-m", taxid_uniks[1], f"{plain}.unik"]
+    assert cli([*argv, "-o", a]) == 0
+    assert cli([*argv, "-o", b, "--mesh", 4]) == 0
+    ca, ta = read_codes_taxids(f"{a}.unik")
+    cb, tb = read_codes_taxids(f"{b}.unik")
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(ta, tb)
+
+
 @pytest.mark.parametrize("vocab_cap", [None, "0"])
 @pytest.mark.parametrize("extra", [[], ["-u"], ["-d"], ["-W", "5"]])
 def test_count_taxid_mesh_matches_single(tmp_path, genome_files,
