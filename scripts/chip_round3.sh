@@ -10,16 +10,20 @@ export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 T=/tmp/chip_round3
 mkdir -p "$T"
 
-echo "=== phase 1: taxid validation ($(date -u +%H:%M:%S)) ==="
-bash scripts/chip_taxid_validate.sh "$T/taxval" 2>&1 | tee "$T/taxval.log"
-echo "phase1 exit: ${PIPESTATUS[0]}" | tee -a "$T/taxval.log"
+# ORDER: cached-program bench first (no new compiles — secures the
+# BENCH numbers and proves execution health), then measurements that
+# need ONE new small compile, then the taxid validation (new compiles;
+# the 2026-08-20 sessions starved in compile, see BENCH_NOTES).
+echo "=== phase 1: bench (cached programs) ($(date -u +%H:%M:%S)) ==="
+python bench.py --all-configs 2>&1 | tee "$T/bench.log"
+echo "phase1 exit: ${PIPESTATUS[0]}" | tee -a "$T/bench.log"
 
 echo "=== phase 2: multi-bucket measurement ($(date -u +%H:%M:%S)) ==="
 python scripts/exp_multibucket_chip.py 2>&1 | tee "$T/multibucket.log"
 echo "phase2 exit: ${PIPESTATUS[0]}" | tee -a "$T/multibucket.log"
 
-echo "=== phase 3: bench --all-configs ($(date -u +%H:%M:%S)) ==="
-python bench.py --all-configs 2>&1 | tee "$T/bench.log"
-echo "phase3 exit: ${PIPESTATUS[0]}" | tee -a "$T/bench.log"
+echo "=== phase 3: taxid validation ($(date -u +%H:%M:%S)) ==="
+bash scripts/chip_taxid_validate.sh "$T/taxval" 2>&1 | tee "$T/taxval.log"
+echo "phase3 exit: ${PIPESTATUS[0]}" | tee -a "$T/taxval.log"
 
 echo "=== chip session done ($(date -u +%H:%M:%S)) ==="

@@ -39,6 +39,26 @@ echo "host union md5: $HOST_MD5 (fixture $FIX_MD5)"
 # routed dynamically.  Require it up front:
 [ -n "$PALLAS_AXON_POOL_IPS" ] || { echo "PALLAS_AXON_POOL_IPS not set"; exit 1; }
 
+echo "== MINI device union first (2^23 program: isolates compile cost) =="
+zcat "$OLD/Ecoli-IAI39.fasta.gz" | head -n 16000 > "$T/mini1.fa"
+zcat "$OLD/Ecoli-MG1655.fasta.gz" | head -n 16000 > "$T/mini2.fa"
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
+  "$T/mini1.fa" -o "$T/mini1.k23" -t 585057
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
+  "$T/mini2.fa" -o "$T/mini2.k23" -t 511145
+UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu union \
+  "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_host"
+t0=$SECONDS
+UNIKMER_TPU_DEVICE_TAXID=1 \
+  python -m unikmer_tpu.cli.main union --verbose \
+  "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_dev" \
+  2> "$T/mini_dev.log" || { tail -30 "$T/mini_dev.log"; exit 1; }
+echo "mini device union wall: $((SECONDS - t0)) s"
+MH=$(bin/unikmer-tpu view -t "$T/mini_host.unik" | md5sum | cut -d' ' -f1)
+MD=$(bin/unikmer-tpu view -t "$T/mini_dev.unik" | md5sum | cut -d' ' -f1)
+[ "$MH" = "$MD" ] && echo "MINI-UNION: EXACT" \
+  || { echo "MINI-UNION: MISMATCH ($MH vs $MD)"; exit 1; }
+
 echo "== DEVICE union (compressed taxid egress) =="
 t0=$SECONDS
 UNIKMER_TPU_DEVICE_TAXID=1 \
