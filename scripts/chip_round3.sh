@@ -18,6 +18,15 @@ echo "=== phase 1: bench (cached programs) ($(date -u +%H:%M:%S)) ==="
 python bench.py --all-configs 2>&1 | tee "$T/bench.log"
 echo "phase1 exit: ${PIPESTATUS[0]}" | tee -a "$T/bench.log"
 
+echo "=== phase 1.5: compile canary ($(date -u +%H:%M:%S)) ==="
+python scripts/exp_compile_canary.py 2>&1 | tee "$T/canary.log"
+CANARY=${PIPESTATUS[0]}
+if [ "$CANARY" -ne 0 ]; then
+  echo "compile canary failed ($CANARY): skipping compile-needing phases"
+  echo "=== chip session done early ($(date -u +%H:%M:%S)) ==="
+  exit 0
+fi
+
 echo "=== phase 2: multi-bucket measurement ($(date -u +%H:%M:%S)) ==="
 python scripts/exp_multibucket_chip.py 2>&1 | tee "$T/multibucket.log"
 echo "phase2 exit: ${PIPESTATUS[0]}" | tee -a "$T/multibucket.log"
