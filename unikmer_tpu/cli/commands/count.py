@@ -188,6 +188,32 @@ def run(args) -> int:
             return pack_files(files, k, args.circular)
         return pack_records(records(), k, args.circular)
 
+    def packed_stream():
+        # native fused ingest per file, falling back to bounded record
+        # chunks past the native size cap (shared by the single-device
+        # and mesh streaming paths)
+        from ...io.fastx import PackedSeqs, _try_native_load
+        from ...models.count import _stream_chunk_bases
+
+        chunk = _stream_chunk_bases()
+        for f in files:
+            if opt.verbose:
+                log.info(f"reading sequence file: {f}")
+            part = _try_native_load(f, k, args.circular)
+            if part is not None:
+                b, s, ln, _ = part
+                yield PackedSeqs(b, s, ln)
+                continue
+            buf, size = [], 0
+            for rec in read_fastx(f):
+                buf.append(rec)
+                size += len(rec.seq)
+                if size >= chunk:
+                    yield pack_records(buf, k, args.circular)
+                    buf, size = [], 0
+            if buf:
+                yield pack_records(buf, k, args.circular)
+
     if (
         opt.mesh >= 2
         and not args.linear
@@ -208,9 +234,15 @@ def run(args) -> int:
             die(f"--mesh {opt.mesh} needs {opt.mesh} devices, "
                 f"found {jax.device_count()}")
         from ...models.count import SpilledCount
-        from ...parallel.sharded import mesh_count_stream
+        from ...parallel.sharded import (
+            mesh_count_stream, mesh_count_stream_packed,
+        )
 
-        codes = mesh_count_stream(records(), make_cfg(), opt.mesh)
+        if use_packed_ingest:
+            codes = mesh_count_stream_packed(packed_stream(), make_cfg(),
+                                             opt.mesh)
+        else:
+            codes = mesh_count_stream(records(), make_cfg(), opt.mesh)
         out, _ = out_binary_stream(out_file)
         if isinstance(codes, SpilledCount):
             with unik.UnikWriter(out, flag=flag, **writer_kw) as w:
@@ -366,37 +398,11 @@ def run(args) -> int:
         del packed
 
     _ensure_device_env()
-    from ...models.count import (
-        _stream_chunk_bases, count_stream, count_stream_packed,
-    )
+    from ...models.count import count_stream, count_stream_packed
     cfg = make_cfg()
 
     if use_packed_ingest:
-        from ...io.fastx import PackedSeqs, _try_native_load
-
-        def packed_iter():
-            chunk = _stream_chunk_bases()
-            for f in files:
-                if opt.verbose:
-                    log.info(f"reading sequence file: {f}")
-                part = _try_native_load(f, k, args.circular)
-                if part is not None:
-                    b, s, ln, _ = part
-                    yield PackedSeqs(b, s, ln)
-                    continue
-                # over the native size cap (or non-gzip codec): stream
-                # records in bounded chunks instead of materializing
-                buf, size = [], 0
-                for rec in read_fastx(f):
-                    buf.append(rec)
-                    size += len(rec.seq)
-                    if size >= chunk:
-                        yield pack_records(buf, k, args.circular)
-                        buf, size = [], 0
-                if buf:
-                    yield pack_records(buf, k, args.circular)
-
-        codes = count_stream_packed(packed_iter(), cfg)
+        codes = count_stream_packed(packed_stream(), cfg)
     else:
         codes = count_stream(records(), cfg)
     from ...models.count import SpilledCount

@@ -546,6 +546,32 @@ def mesh_count_stream(records, cfg: CountConfig,
 
     Returns np.ndarray or models.count.SpilledCount."""
     from ..io.fastx import pack_records
+    from ..models.count import _stream_chunk_bases
+
+    if chunk_bases is None:
+        chunk_bases = _stream_chunk_bases()
+
+    def packed_iter():
+        buf: list = []
+        buffered = 0
+        for rec in records:
+            buf.append(rec)
+            buffered += len(rec.seq)
+            if buffered >= chunk_bases:
+                yield pack_records(buf, cfg.k, cfg.circular)
+                buf, buffered = [], 0
+        if buf:
+            yield pack_records(buf, cfg.k, cfg.circular)
+
+    return mesh_count_stream_packed(packed_iter(), cfg, n_devices,
+                                    chunk_bases)
+
+
+def mesh_count_stream_packed(packed_iter, cfg: CountConfig,
+                             n_devices: int | None = None,
+                             chunk_bases: int | None = None):
+    """mesh_count_stream over already-packed buffers (the native ingest
+    path): identical merge semantics, no Python record loop."""
     from ..models.count import (
         _PartialSink, _capped_cfgs, _stream_chunk_bases, split_packed,
     )
@@ -554,16 +580,7 @@ def mesh_count_stream(records, cfg: CountConfig,
         chunk_bases = _stream_chunk_bases()
     distinct_cfg, repeated_cfg = _capped_cfgs(cfg)
     sink = _PartialSink(cfg)
-    buf: list = []
-    buffered = 0
-
-    def flush():
-        nonlocal buf, buffered
-        if not buf:
-            return
-        packed = pack_records(buf, cfg.k, cfg.circular)
-        buf = []
-        buffered = 0
+    for packed in packed_iter:
         for piece in split_packed(
             packed, chunk_bases, cfg.k if cfg.segmentable else 0
         ):
@@ -571,16 +588,10 @@ def mesh_count_stream(records, cfg: CountConfig,
             if len(u):
                 sink.add(u)
             if repeated_cfg is not None:
-                r = mesh_count_distinct(piece.bases, repeated_cfg, n_devices)
+                r = mesh_count_distinct(piece.bases, repeated_cfg,
+                                        n_devices)
                 if len(r):
                     sink.add(r)
-
-    for rec in records:
-        buf.append(rec)
-        buffered += len(rec.seq)
-        if buffered >= chunk_bases:
-            flush()
-    flush()
     return sink.result()
 
 
