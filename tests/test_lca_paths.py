@@ -98,7 +98,7 @@ def test_path_tables_matches_closure_table():
             assert got == want, (anc[i], anc[j])
 
 
-def test_collapse_paths_equals_collapse_compact(rng):
+def test_collapse_paths_equals_collapse_compact(rng, monkeypatch):
     """Same inputs through both device collapses -> identical taxids."""
     import jax.numpy as jnp
 
@@ -120,9 +120,15 @@ def test_collapse_paths_equals_collapse_compact(rng):
     v = jnp.asarray(valid)
     rounds = 8
     # code_bits=64 takes the two-operand sort; 8 packs (code, valid,
-    # id) into one u64 key (lca._collapse_sort) — results must agree
+    # id) into one u64 key (lca._collapse_sort); the last arm forces
+    # the experimental u64-free (u32,u32,i32) fallback (read at trace
+    # time; code_bits=63 is unpackable so it routes there) — all agree
     ref = None
-    for cb in (64, 8):
+    for cb, sort_env in ((64, ""), (8, ""), (63, "split3")):
+        if sort_env:
+            monkeypatch.setenv("UNIKMER_TPU_TAXID_SORT", sort_env)
+        else:
+            monkeypatch.delenv("UNIKMER_TPU_TAXID_SORT", raising=False)
         cc, tc, kc, vc = lca_collapse_compact(
             c, ids, v, jnp.asarray(ctab), rounds, cb)
         cp, tp, kp, vp = lca_collapse_paths(

@@ -183,6 +183,8 @@ def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
         return True
     if os.environ.get("UNIKMER_TPU_TAXID_2OP") == "1":
         return True
+    if os.environ.get("UNIKMER_TPU_TAXID_SORT") == "split3":
+        return True  # experimental u64-free fallback (_collapse_sort)
     try:
         return jax.default_backend() != "tpu"
     except Exception:
@@ -227,9 +229,27 @@ def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
             0,
         )
         return s_codes, tax, s_valid
+    import os
+
     payload = jnp.where(
         valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
+    if os.environ.get("UNIKMER_TPU_TAXID_SORT") == "split3":
+        # experimental u64-free fallback: (u32 hi, u32 lo, i32 payload)
+        # num_keys=2 — the u64-OPERAND sorts are what compile-starve
+        # this backend (BENCH_NOTES round-3); whether the all-u32 form
+        # compiles at 2^24 is an open chip probe (ROADMAP round-4 #3).
+        # Invalid slots key to all-ones so they tail-collect.
+        hi = jnp.where(valid, (codes >> jnp.uint64(32)).astype(jnp.uint32),
+                       jnp.uint32(0xFFFFFFFF))
+        lo = jnp.where(valid, codes.astype(jnp.uint32),
+                       jnp.uint32(0xFFFFFFFF))
+        h, l, s_pay = jax.lax.sort((hi, lo, payload), num_keys=2)
+        s_valid = s_pay >= jnp.int32(_VALID_BIT)
+        s_codes = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(
+            jnp.uint64)
+        tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
+        return s_codes, tax, s_valid
     s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
     s_valid = s_pay >= jnp.int32(_VALID_BIT)
     tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
