@@ -280,16 +280,23 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
     c = lca_tab.shape[0]
     flat = lca_tab.reshape(-1)
-    for r in range(rounds):
-        d = 1 << r
-        if d >= n:
-            break
-        shifted = jnp.concatenate([tax[d:], jnp.zeros((d,), tax.dtype)])
-        same_run = jnp.concatenate(
-            [start[d:] == start[:-d], jnp.zeros((d,), bool)]
-        )
+    eff_rounds = min(rounds, max(n.bit_length() - 1, 1))
+
+    # fori_loop with a TRACED doubling distance, not a Python-unrolled
+    # loop: 20+ unrolled gather/scan rounds blow the remote compile
+    # helper's memory (SIGKILLed at 2^23/2^24, BENCH_NOTES round-3);
+    # one loop body compiles like any other small graph.  i32 loop
+    # carry only (Mosaic i64 guard, CLAUDE.md).
+    def round_body(r, tax):
+        d = jnp.int32(1) << r
+        j = jnp.minimum(idx + d, jnp.int32(n - 1))
+        shifted = jnp.where(idx + d < n, tax[j], 0)
+        same_run = (idx + d < n) & (start[j] == start)
         merged = flat[tax * c + shifted]
-        tax = jnp.where(same_run, merged, tax)
+        return jnp.where(same_run, merged, tax)
+
+    tax = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
+                            round_body, tax)
     # any valid member in the run? (cumsum difference over run bounds)
     v = s_valid.astype(jnp.int32)
     csum = jnp.cumsum(v)
@@ -429,22 +436,27 @@ def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int,
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    P = path_tab[ids]  # (n, Dp) — the only gather
-    D = path_tab.shape[1]
-    for r in range(rounds):
-        d = 1 << r
-        if d >= n:
-            break
-        Pq = jnp.concatenate([P[d:], jnp.full((d, D), -1, P.dtype)])
-        same_run = jnp.concatenate(
-            [start[d:] == start[:-d], jnp.zeros((d,), bool)]
-        )
+    P = path_tab[ids]  # (n, Dp) — the only table gather
+    eff_rounds = min(rounds, max(n.bit_length() - 1, 1))
+
+    # one fori_loop body instead of 20+ unrolled rounds (the unrolled
+    # graph SIGKILLs the remote compile helper — BENCH_NOTES round-3);
+    # i32 carry only (Mosaic i64 guard, CLAUDE.md)
+    def round_body(r, P):
+        d = jnp.int32(1) << r
+        j = jnp.minimum(idx + d, jnp.int32(n - 1))
+        in_range = idx + d < n
+        Pq = jnp.where(in_range[:, None], P[j], jnp.int32(-1))
+        same_run = in_range & (start[j] == start)
         # meet = common prefix; empty path (taxid 0) is the identity
         diverged = jnp.cumsum((P != Pq).astype(jnp.int32), axis=1) > 0
         merged = jnp.where(diverged, jnp.int32(-1), P)
         merged = jnp.where(P[:, :1] < 0, Pq, merged)
         merged = jnp.where(Pq[:, :1] < 0, P, merged)
-        P = jnp.where(same_run[:, None], merged, P)
+        return jnp.where(same_run[:, None], merged, P)
+
+    P = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
+                          round_body, P)
     depth_cnt = jnp.sum((P >= 0).astype(jnp.int32), axis=1)
     out = jnp.where(
         depth_cnt > 0,
