@@ -3,10 +3,16 @@
 buckets beat B single dispatches by amortizing the ~20-25 ms fixed
 dispatch+fetch floor?
 
-Runs the REAL streaming entry (count_stream_packed) over 4 x 2^25
-bases with UNIKMER_TPU_MULTI_BUCKET=1 vs 2, plus the dual-step fused
--d config.  Device discipline: in-process watchdog warnings only, no
-external kills (CLAUDE.md).
+Data is a REPEATED genome-like sequence (distinct ~2^21 << windows) so
+result egress does not drown the dispatch-floor signal — the first
+version used random bases (~100% distinct) and measured the 6 MB/s
+tunnel instead (result egress 40+ s/arm; it still showed B=2/B=1 =
+1.218x on equal egress).  Dual-step arms run at B=1: the B=2 dual
+program SIGKILLed the remote compile helper (oversized graph,
+BENCH_NOTES round-3).
+
+Device discipline: in-process watchdog warnings only, no external
+kills (CLAUDE.md).
 """
 
 import os
@@ -25,21 +31,25 @@ PIECES = 4
 SIZE = 1 << 25
 
 
+def make_packed():
+    rng = np.random.default_rng(7)
+    unit = rng.integers(0, 4, size=1 << 21, dtype=np.uint8)
+    bases = np.tile(unit, PIECES * SIZE // len(unit))
+    starts = np.arange(PIECES, dtype=np.int64) * SIZE
+    return PackedSeqs(bases, starts, np.full(PIECES, SIZE, np.int64))
+
+
 def run(label, mode, multi, dual="0"):
     os.environ["UNIKMER_TPU_MULTI_BUCKET"] = multi
     os.environ["UNIKMER_TPU_DUAL_STEP"] = dual
-    rng = np.random.default_rng(7)
-    bases = rng.integers(0, 4, size=PIECES * SIZE, dtype=np.uint8)
-    starts = np.arange(PIECES, dtype=np.int64) * SIZE
-    packed = PackedSeqs(bases, starts, np.full(PIECES, SIZE, np.int64))
+    packed = make_packed()
     cfg = CountConfig(k=23, canonical=True, mode=mode)
     t0 = time.time()
     out = count_stream_packed([packed], cfg, chunk_bases=SIZE - 23)
     dt = time.time() - t0
-    n = len(out)
     kps = (PIECES * SIZE) / dt
     print(f"{label:28s} mode={mode} B={multi} dual={dual} "
-          f"wall={dt:6.2f}s n={n} {kps/1e6:7.1f}M kmers/s",
+          f"wall={dt:6.2f}s n={len(out)} {kps/1e6:7.1f}M kmers/s",
           flush=True)
     return dt, np.asarray(out)
 
@@ -47,18 +57,19 @@ def run(label, mode, multi, dual="0"):
 def main():
     print(f"# backend={jax.default_backend()}", flush=True)
     # warm both program shapes first (compile excluded from timing)
-    for m, d in (("1", "0"), ("2", "0")):
-        run("warm distinct", "distinct", m, d)
+    for m in ("1", "2"):
+        run("warm distinct", "distinct", m)
     t1, o1 = run("distinct B=1", "distinct", "1")
     t2, o2 = run("distinct B=2", "distinct", "2")
     assert np.array_equal(o1, o2), "MULTI-BUCKET MISMATCH"
     print(f"# distinct speedup B=2/B=1: {t1/t2:.3f}x", flush=True)
-    for m, d in (("1", "0"), ("2", "1")):
+    # dual at B=1 only (B=2 dual compile SIGKILLs the helper)
+    for m, d in (("1", "0"), ("1", "1")):
         run("warm repeated", "repeated", m, d)
     t3, o3 = run("repeated 2-dispatch", "repeated", "1", "0")
-    t4, o4 = run("repeated dual+B2", "repeated", "2", "1")
+    t4, o4 = run("repeated dual B=1", "repeated", "1", "1")
     assert np.array_equal(o3, o4), "DUAL MISMATCH"
-    print(f"# repeated speedup dual+B2: {t3/t4:.3f}x", flush=True)
+    print(f"# repeated speedup dual(B=1): {t3/t4:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -1112,7 +1112,13 @@ class _GroupedCounter:
         key = (cfg, dual, _padded_len(max(len(piece.bases), 1)))
         group = self.pending.setdefault(key, [])
         group.append(piece)
-        if len(group) >= self.B:
+        # dual groups stay B=1: the B>=2 dual program's graph SIGKILLs
+        # the remote compile helper (oversized; BENCH_NOTES round-3).
+        # UNIKMER_TPU_DUAL_MULTI=1 re-enables grouping for experiments.
+        target = self.B
+        if dual and os.environ.get("UNIKMER_TPU_DUAL_MULTI") != "1":
+            target = 1
+        if len(group) >= target:
             self._dispatch(key)
 
     def _dispatch(self, key):
