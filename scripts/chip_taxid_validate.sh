@@ -49,7 +49,9 @@ UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
 UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu union \
   "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_host"
 t0=$SECONDS
-UNIKMER_TPU_DEVICE_TAXID=1 \
+# ingress compression off for the mini: the smallest possible program
+# isolates the collapse's compile cost from the ingress subgraphs
+UNIKMER_TPU_DEVICE_TAXID=1 UNIKMER_TPU_COMPRESS_TAXID_INGRESS=0 \
   python -m unikmer_tpu.cli.main union --verbose \
   "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_dev" \
   2> "$T/mini_dev.log" || { tail -30 "$T/mini_dev.log"; exit 1; }
