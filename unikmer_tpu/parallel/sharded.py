@@ -204,7 +204,6 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
             (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
             0,
         )
-        from ..ops import device_sets
         from ..ops.sort import _compact, _run_bounds
         from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
