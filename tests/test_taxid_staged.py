@@ -1,0 +1,142 @@
+"""Staged device taxid programs (UNIKMER_TPU_TAXID_STAGED): the
+3-program split (sort -> merge rounds -> compact/egress) must be
+byte-identical to the monolithic graphs for every tier, egress mode,
+and multiplicity predicate.  Motivation: the monolith starves the
+remote AOT compile helper at 2^23+ on the tpu backend
+(docs/BENCH_NOTES.md round-3); reference semantics unchanged
+(unikmer/cmd/union.go:195-202, count.go:377-410)."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from tests.test_lca_paths import synth_taxonomy
+from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+
+TAXDUMP = os.path.join(os.path.dirname(__file__), "data", "taxdump")
+
+
+def _union_both_ways(monkeypatch, codes_list, tax_list, taxdb, code_bits,
+                     compress: str):
+    from unikmer_tpu.ops.device_sets import union_taxids_device
+
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", compress)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_INGRESS", compress)
+    out = {}
+    for staged in ("0", "1"):
+        monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", staged)
+        out[staged] = union_taxids_device(
+            codes_list, tax_list, taxdb, code_bits=code_bits)
+    return out["0"], out["1"]
+
+
+@pytest.mark.parametrize("compress", ["0", "1"])
+def test_union_staged_matches_monolith_table_tier(rng, monkeypatch,
+                                                  compress):
+    taxdb = load_taxonomy(TAXDUMP)
+    vocab = np.array([511145, 585057, 349741, 562, 561], np.uint32)
+    a = np.unique(rng.integers(0, 50_000, 4000).astype(np.uint64))
+    b = np.unique(rng.integers(0, 50_000, 4000).astype(np.uint64))
+    ta = vocab[rng.integers(0, len(vocab), len(a))]
+    tb = vocab[rng.integers(0, len(vocab), len(b))]
+    mono, staged = _union_both_ways(
+        monkeypatch, [a, b], [ta, tb], taxdb, 46, compress)
+    assert mono is not None and staged is not None
+    np.testing.assert_array_equal(staged[0], mono[0])
+    np.testing.assert_array_equal(staged[1], mono[1])
+    # and both equal the host oracle
+    want_c, want_t = taxdb.lca_reduce(
+        np.concatenate([a, b]), np.concatenate([ta, tb]))
+    np.testing.assert_array_equal(staged[0], want_c)
+    np.testing.assert_array_equal(staged[1], want_t)
+
+
+def test_union_staged_matches_monolith_paths_tier(rng, monkeypatch):
+    """Forced paths tier, wide (u32) egress ids, compressed transfers."""
+    taxdb = synth_taxonomy(rng, 300_000, chain=35)
+    vocab = np.unique(rng.integers(1, 300_001, 130_000)).astype(np.uint32)
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", "0")
+    n = 60_000
+    codes = rng.integers(0, 40_000, n).astype(np.uint64)
+    taxids = vocab[rng.integers(0, len(vocab), n)]
+    mono, staged = _union_both_ways(
+        monkeypatch, [codes], [taxids], taxdb, 46, "1")
+    assert mono is not None and staged is not None
+    np.testing.assert_array_equal(staged[0], mono[0])
+    np.testing.assert_array_equal(staged[1], mono[1])
+    want_c, want_t = taxdb.lca_reduce(codes, taxids)
+    np.testing.assert_array_equal(staged[0], want_c)
+    np.testing.assert_array_equal(staged[1], want_t)
+
+
+def test_union_staged_skipped_when_unpackable(rng, monkeypatch):
+    """code_bits=64 can't pack the id beside the code: the staged gate
+    must fall through to the (CPU-fine) monolith, output unchanged."""
+    taxdb = load_taxonomy(TAXDUMP)
+    codes = np.unique(rng.integers(0, 1 << 63, 3000).astype(np.uint64))
+    taxids = np.full(len(codes), 511145, np.uint32)
+    mono, staged = _union_both_ways(
+        monkeypatch, [codes], [taxids], taxdb, 64, "0")
+    assert mono is not None and staged is not None
+    np.testing.assert_array_equal(staged[0], mono[0])
+    np.testing.assert_array_equal(staged[1], mono[1])
+
+
+@pytest.mark.parametrize("mode", ["distinct", "unique", "repeated"])
+def test_count_taxids_staged_matches_monolith(rng, monkeypatch, mode):
+    from tests.conftest import random_dna
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+
+    taxdb = load_taxonomy(TAXDUMP)
+    shared = random_dna(rng, 400).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562, 511145)):
+        seq = shared + random_dna(rng, 300 + 41 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    cfg = CountConfig(k=15, canonical=True,
+                      mode=mode if mode != "distinct" else "distinct")
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+    for compress in ("0", "1"):
+        monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", compress)
+        got = {}
+        for staged in ("0", "1"):
+            monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", staged)
+            got[staged] = count_packed_taxids(iter(recs), cfg, re_taxid,
+                                              taxdb)
+        np.testing.assert_array_equal(got["1"][0], got["0"][0],
+                                      err_msg=f"{mode} z={compress}")
+        np.testing.assert_array_equal(got["1"][1], got["0"][1],
+                                      err_msg=f"{mode} z={compress}")
+    # and the host oracle agrees
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+    want = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+    np.testing.assert_array_equal(got["1"][0], want[0])
+    np.testing.assert_array_equal(got["1"][1], want[1])
+
+
+def test_count_taxids_staged_paths_tier(rng, monkeypatch):
+    """Staged + forced paths tier through the full count -T engine."""
+    from tests.conftest import random_dna
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+
+    taxdb = load_taxonomy(TAXDUMP)
+    shared = random_dna(rng, 300).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562)):
+        seq = shared + random_dna(rng, 260 + 31 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    cfg = CountConfig(k=15, canonical=True)
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+    want = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "auto")
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_VOCAB_MAX", "0")
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
+    got = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])

@@ -565,6 +565,24 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
     return out_c, out_t, n
 
 
+@partial(jax.jit, static_argnames=("cfg", "ib"))
+def _count_taxids_key_step(bases, pos_ctax, cfg: CountConfig, ib: int):
+    """Staged stage 1/3 for count -T: encode + packed-key sort.  The
+    sorted u64 key is the only buffer handed to stage 2
+    (ops/device_sets.run_staged_taxid_collapse) — the monolithic
+    count_taxids_step graph starves the remote AOT compile helper at
+    2^23+ (BENCH_NOTES round-3), while this program is count_step's
+    exact shape (encode + one single-operand sort)."""
+    from ..taxonomy.lca import collapse_sort_key
+
+    codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    return collapse_sort_key(codes, pos_ctax, valid, ib,
+                             _taxid_code_bits(cfg))
+
+
 @partial(jax.jit, static_argnames=("cfg", "rounds", "mode", "kind"))
 def _count_taxids_step_z(bases, pos_ctax, lca_tab, cfg: CountConfig,
                          rounds: int, mode: str, kind: str = "table"):
@@ -709,6 +727,37 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
     # dispatch (fetch hangs forever); establish the session with a
     # watchdogged tiny round-trip first (no-op on cpu)
     _warm_device_session()
+    from ..ops.device_sets import (
+        run_staged_taxid_collapse, use_staged_taxid_programs,
+    )
+    from ..taxonomy.lca import _id_bits, collapse_sort_packable
+
+    z_out = use_compressed_taxid_fetch(
+        64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
+    )
+    if use_staged_taxid_programs() and collapse_sort_packable(
+        _taxid_code_bits(cfg), len(closure)
+    ):
+        dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
+
+        def raw():
+            return count_taxids_step(bases, dctax, dtab, cfg, rounds,
+                                     mode, kind)
+
+        ib = _id_bits(len(closure))
+        wide = len(closure) > 0xFFFF
+        with phase_watchdog("count -T staged sort (stage 1/3)"):
+            skey = _count_taxids_key_step(bases, dctax, cfg, ib)
+        res = run_staged_taxid_collapse(
+            skey, dtab, rounds, ib, kind, z_out, wide, mode=mode,
+            phase="count -T")
+        if z_out:
+            return fetch_taxid_result(res, raw, closure)
+        out_c, out_t, n = res
+        n = _fetch_scalar_watchdog(n)
+        return (np.asarray(out_c[:n]),
+                closure[np.asarray(out_t[:n]).astype(np.int64)])
+
     with phase_watchdog("count -T upload/compile/dispatch"):
         dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
 
@@ -716,9 +765,7 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
             return count_taxids_step(bases, dctax, dtab, cfg, rounds,
                                      mode, kind)
 
-        if use_compressed_taxid_fetch(
-            64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
-        ):
+        if z_out:
             z = _count_taxids_step_z(bases, dctax, dtab, cfg, rounds,
                                      mode, kind)
         else:

@@ -265,6 +265,83 @@ def union_taxids_compact(codes, ctax, lca_tab, rounds: int,
 _INGRESS_EXC = 1 << 16
 
 
+def use_staged_taxid_programs() -> bool:
+    """Run the device taxid collapse as THREE small programs (sort ->
+    merge rounds -> compact/egress) with device-resident handoff
+    instead of one monolithic graph.  The monolith starves the remote
+    AOT compile helper at 2^23+ (>20 min, vs ~40 s for each
+    count_step-sized piece — BENCH_NOTES round-3); the three stages
+    individually mirror programs proven to compile on this backend.
+    Costs two extra dispatches (~25 ms each on the dev tunnel, ~0 on
+    PCIe hosts) — noise next to the compile-reliability win.
+    UNIKMER_TPU_TAXID_STAGED=0/1 forces (1 lets CPU tests exercise the
+    staged programs); auto = on for non-cpu backends."""
+    knob = os.environ.get("UNIKMER_TPU_TAXID_STAGED", "auto")
+    if knob == "0":
+        return False
+    if knob == "1":
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("ib", "code_bits"))
+def _staged_sort_raw(pad_c, pad_t, ib: int, code_bits: int):
+    """Staged stage 1/3 (raw ingress): padded codes + compact ids ->
+    sorted packed key (the ONLY inter-stage buffer)."""
+    from ..taxonomy.lca import collapse_sort_key
+
+    valid = pad_c != SENT
+    return collapse_sort_key(pad_c, pad_t.astype(jnp.int32), valid, ib,
+                             code_bits)
+
+
+@partial(jax.jit, static_argnames=("ib", "code_bits"))
+def _staged_sort_ingress(small, exc_idx, exc_step, tin, ib: int,
+                         code_bits: int):
+    """Staged stage 1/3 with compressed u32-delta code ingress."""
+    from ..taxonomy.lca import collapse_sort_key
+
+    codes = _decode_u64_ingress(small, exc_idx, exc_step)
+    valid = codes != SENT
+    return collapse_sort_key(codes, tin.astype(jnp.int32), valid, ib,
+                             code_bits)
+
+
+@partial(jax.jit, static_argnames=("z_out", "wide"))
+def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
+    """Staged stage 3/3: compact the kept rows; optionally compress the
+    egress (u32-delta codes + u16/u32 compact ids) for the ~6 MB/s
+    device->host tunnel."""
+    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0))
+    if not z_out:
+        return out_c, out_t, n
+    from ..models.count import _compress_result
+
+    small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
+    return (small, exc_idx, exc_val, n_exc, n,
+            out_t.astype(jnp.uint32 if wide else jnp.uint16))
+
+
+def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
+                              kind: str, z_out: bool, wide: bool,
+                              mode: str = "all", threshold: int = 1,
+                              phase: str = "taxid"):
+    """Stages 2+3 over a stage-1 sorted key (shared by the union and
+    count -T staged drivers); each dispatch under its own phase
+    watchdog so a chip log shows WHICH stage starves."""
+    from ..models.count import phase_watchdog
+    from ..taxonomy.lca import lca_rounds_staged
+
+    with phase_watchdog(f"{phase} staged rounds (stage 2/3)"):
+        s_codes, tax, keep = lca_rounds_staged(
+            skey, lca_tab, rounds, ib, kind, mode, threshold)
+    with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
+        return _staged_egress(s_codes, tax, keep, z_out, wide)
+
+
 def use_compressed_taxid_ingress() -> bool:
     """Compressed host->device ingress pays on tunnel-attached backends
     (~35 MB/s up); the encoder itself declines (returns None) when the
@@ -420,6 +497,35 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     enc = None
     if use_compressed_taxid_ingress():
         enc = _encode_u64_ingress(pad_c)
+
+    from ..taxonomy.lca import _id_bits, collapse_sort_packable
+
+    if use_staged_taxid_programs() and collapse_sort_packable(
+        code_bits, len(closure)
+    ):
+        ib = _id_bits(len(closure))
+        wide = len(closure) > 0xFFFF
+        id_np = np.uint32 if wide else np.uint16
+        with phase_watchdog("taxid union staged sort (stage 1/3)"):
+            if enc is not None:
+                small, exc_idx, exc_step = enc
+                skey = _staged_sort_ingress(
+                    jnp.asarray(small), jnp.asarray(exc_idx),
+                    jnp.asarray(exc_step),
+                    jnp.asarray(pad_t.astype(id_np)), ib, code_bits)
+            else:
+                skey = _staged_sort_raw(
+                    jnp.asarray(pad_c), jnp.asarray(pad_t), ib, code_bits)
+        res = run_staged_taxid_collapse(
+            skey, dtab, rounds, ib, kind, z_out, wide,
+            phase="taxid union")
+        if z_out:
+            return fetch_taxid_result(res, raw, closure)
+        out_c, out_t, n = res
+        n = _fetch_scalar_watchdog(n)
+        return (np.asarray(out_c[:n]),
+                closure[np.asarray(out_t[:n]).astype(np.int64)])
+
     if enc is not None:
         small, exc_idx, exc_step = enc
         id_np = np.uint16 if len(closure) <= 0xFFFF else np.uint32

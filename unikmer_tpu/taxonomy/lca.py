@@ -191,6 +191,39 @@ def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
         return True
 
 
+def collapse_sort_key(codes, ctax, valid, ib: int, code_bits: int):
+    """Packed single-operand collapse sort key: (code << (ib+1)) |
+    valid bit | compact id, invalid slots all-ones (tail run).  The
+    sorted key is the ONLY buffer the staged stage-1 program hands to
+    stage 2 — one u64 array, no multi-operand sort anywhere."""
+    from ..ops.sort import _sort_u64
+
+    sh = jnp.uint64(ib + 1)
+    key = jnp.where(
+        valid,
+        (codes << sh)
+        | (jnp.uint64(1) << jnp.uint64(ib))
+        | ctax.astype(jnp.uint64),
+        jnp.uint64(0xFFFFFFFFFFFFFFFF),
+    )
+    return _sort_u64(key, code_bits=code_bits + ib + 1)
+
+
+def unpack_collapse_key(skey, ib: int):
+    """(sorted codes, compact ids, valid) from a sorted packed key."""
+    sh = jnp.uint64(ib + 1)
+    s_codes = skey >> sh
+    s_valid = ((skey >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool) & (
+        skey != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    )
+    tax = jnp.where(
+        s_valid,
+        (skey & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
+        0,
+    )
+    return s_codes, tax, s_valid
+
+
 def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     """The collapse's sort stage: (sorted codes, compact ids, valid)
     aligned to the sorted order.
@@ -208,27 +241,8 @@ def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     n = codes.shape[0]
     ib = _id_bits(n_ids)
     if 0 < code_bits and code_bits + ib + 1 <= 63:
-        from ..ops.sort import _sort_u64
-
-        sh = jnp.uint64(ib + 1)
-        key = jnp.where(
-            valid,
-            (codes << sh)
-            | (jnp.uint64(1) << jnp.uint64(ib))
-            | ctax.astype(jnp.uint64),
-            jnp.uint64(0xFFFFFFFFFFFFFFFF),
-        )
-        skey = _sort_u64(key, code_bits=code_bits + ib + 1)
-        s_codes = skey >> sh
-        s_valid = ((skey >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool) & (
-            skey != jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        )
-        tax = jnp.where(
-            s_valid,
-            (skey & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
-            0,
-        )
-        return s_codes, tax, s_valid
+        skey = collapse_sort_key(codes, ctax, valid, ib, code_bits)
+        return unpack_collapse_key(skey, ib)
     import os
 
     payload = jnp.where(
@@ -274,12 +288,23 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
     s_codes, tax, s_valid = _collapse_sort(
         codes, ctax, valid, lca_tab.shape[0], code_bits
     )
-    n = codes.shape[0]
+    tax, first, run_valid = _collapse_from_sorted(
+        s_codes, tax, s_valid, lca_tab, rounds, "table"
+    )
+    keep = first & (run_valid > 0)
+    return s_codes, tax, keep, s_valid
+
+
+def _collapse_from_sorted(s_codes, tax, s_valid, tab, rounds: int,
+                          kind: str):
+    """Merge rounds + run accounting over an ALREADY-SORTED collapse:
+    the shared back half of lca_collapse_compact / lca_collapse_paths
+    and the body of the staged stage-2 program (lca_rounds_staged).
+    Returns (merged ids, first mask, valid-members-per-run)."""
+    n = s_codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    c = lca_tab.shape[0]
-    flat = lca_tab.reshape(-1)
     eff_rounds = min(rounds, max(n.bit_length() - 1, 1))
 
     # fori_loop with a TRACED doubling distance, not a Python-unrolled
@@ -287,16 +312,44 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
     # helper's memory (SIGKILLed at 2^23/2^24, BENCH_NOTES round-3);
     # one loop body compiles like any other small graph.  i32 loop
     # carry only (Mosaic i64 guard, CLAUDE.md).
-    def round_body(r, tax):
-        d = jnp.int32(1) << r
-        j = jnp.minimum(idx + d, jnp.int32(n - 1))
-        shifted = jnp.where(idx + d < n, tax[j], 0)
-        same_run = (idx + d < n) & (start[j] == start)
-        merged = flat[tax * c + shifted]
-        return jnp.where(same_run, merged, tax)
+    if kind == "table":
+        c = tab.shape[0]
+        flat = tab.reshape(-1)
 
-    tax = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
-                            round_body, tax)
+        def round_body(r, tax):
+            d = jnp.int32(1) << r
+            j = jnp.minimum(idx + d, jnp.int32(n - 1))
+            shifted = jnp.where(idx + d < n, tax[j], 0)
+            same_run = (idx + d < n) & (start[j] == start)
+            merged = flat[tax * c + shifted]
+            return jnp.where(same_run, merged, tax)
+
+        out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
+                                round_body, tax)
+    else:
+        P = tab[tax]  # (n, Dp) — the only table gather
+
+        def round_body(r, P):
+            d = jnp.int32(1) << r
+            j = jnp.minimum(idx + d, jnp.int32(n - 1))
+            in_range = idx + d < n
+            Pq = jnp.where(in_range[:, None], P[j], jnp.int32(-1))
+            same_run = in_range & (start[j] == start)
+            # meet = common prefix; empty path (taxid 0) is the identity
+            diverged = jnp.cumsum((P != Pq).astype(jnp.int32), axis=1) > 0
+            merged = jnp.where(diverged, jnp.int32(-1), P)
+            merged = jnp.where(P[:, :1] < 0, Pq, merged)
+            merged = jnp.where(Pq[:, :1] < 0, P, merged)
+            return jnp.where(same_run[:, None], merged, P)
+
+        P = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
+                              round_body, P)
+        depth_cnt = jnp.sum((P >= 0).astype(jnp.int32), axis=1)
+        out = jnp.where(
+            depth_cnt > 0,
+            P[idx, jnp.maximum(depth_cnt - 1, 0)],
+            jnp.int32(0),
+        )
     # any valid member in the run? (cumsum difference over run bounds)
     v = s_valid.astype(jnp.int32)
     csum = jnp.cumsum(v)
@@ -305,8 +358,37 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
         jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
     )[::-1]
     run_valid = csum[end - 1] - csum[start] + v[start]
+    return out, first, run_valid
+
+
+@partial(jax.jit, static_argnames=("rounds", "ib", "kind", "mode",
+                                   "threshold"))
+def lca_rounds_staged(skey, tab, rounds: int, ib: int, kind: str,
+                      mode: str = "all", threshold: int = 1):
+    """Stage 2/3 of the STAGED taxid collapse: sorted packed key ->
+    (sorted codes, merged ids, keep).
+
+    The monolithic collapse programs (sort + rounds + egress in one
+    graph) starve the remote AOT compile helper at 2^23+ even after the
+    fori_loop shrink (BENCH_NOTES round-3); splitting at the sorted-key
+    boundary gives three programs the size of count_step, each a
+    proven-compilable shape, with device-resident handoff.  ``mode``
+    folds the multiplicity predicates of count -T ("unique"/"repeated",
+    count.go:377-410) and ``threshold`` the set-op one
+    (common.go:262-267) into this stage so stage 3 is a bare
+    compact+egress."""
+    s_codes, tax, s_valid = unpack_collapse_key(skey, ib)
+    out, first, run_valid = _collapse_from_sorted(
+        s_codes, tax, s_valid, tab, rounds, kind
+    )
     keep = first & (run_valid > 0)
-    return s_codes, tax, keep, s_valid
+    if mode == "unique":
+        keep = keep & (run_valid == 1)
+    elif mode == "repeated":
+        keep = keep & (run_valid > 1)
+    elif threshold > 1:
+        keep = keep & (run_valid >= threshold)
+    return s_codes, out, keep
 
 
 def closure_for_vocab(taxdb, taxids):
@@ -432,44 +514,9 @@ def lca_collapse_paths(codes, cids, valid, path_tab, rounds: int,
     s_codes, ids, s_valid = _collapse_sort(
         codes, cids, valid, path_tab.shape[0], code_bits
     )
-    n = codes.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    P = path_tab[ids]  # (n, Dp) — the only table gather
-    eff_rounds = min(rounds, max(n.bit_length() - 1, 1))
-
-    # one fori_loop body instead of 20+ unrolled rounds (the unrolled
-    # graph SIGKILLs the remote compile helper — BENCH_NOTES round-3);
-    # i32 carry only (Mosaic i64 guard, CLAUDE.md)
-    def round_body(r, P):
-        d = jnp.int32(1) << r
-        j = jnp.minimum(idx + d, jnp.int32(n - 1))
-        in_range = idx + d < n
-        Pq = jnp.where(in_range[:, None], P[j], jnp.int32(-1))
-        same_run = in_range & (start[j] == start)
-        # meet = common prefix; empty path (taxid 0) is the identity
-        diverged = jnp.cumsum((P != Pq).astype(jnp.int32), axis=1) > 0
-        merged = jnp.where(diverged, jnp.int32(-1), P)
-        merged = jnp.where(P[:, :1] < 0, Pq, merged)
-        merged = jnp.where(Pq[:, :1] < 0, P, merged)
-        return jnp.where(same_run[:, None], merged, P)
-
-    P = jax.lax.fori_loop(jnp.int32(0), jnp.int32(eff_rounds),
-                          round_body, P)
-    depth_cnt = jnp.sum((P >= 0).astype(jnp.int32), axis=1)
-    out = jnp.where(
-        depth_cnt > 0,
-        P[idx, jnp.maximum(depth_cnt - 1, 0)],
-        jnp.int32(0),
+    out, first, run_valid = _collapse_from_sorted(
+        s_codes, ids, s_valid, path_tab, rounds, "paths"
     )
-    v = s_valid.astype(jnp.int32)
-    csum = jnp.cumsum(v)
-    last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
-    end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
-    )[::-1]
-    run_valid = csum[end - 1] - csum[start] + v[start]
     keep = first & (run_valid > 0)
     return s_codes, out, keep, s_valid
 
