@@ -140,3 +140,56 @@ def test_count_taxids_staged_paths_tier(rng, monkeypatch):
     got = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_mesh_setop_staged_matches_unstaged(rng, monkeypatch):
+    """mesh_set_op_taxids through the 3-program staged per-shard
+    collapse == the monolithic shard program, all four ops."""
+    from unikmer_tpu.parallel.sharded import mesh_set_op_taxids
+
+    taxdb = load_taxonomy(TAXDUMP)
+    vocab = np.array([511145, 585057, 349741, 562, 561], np.uint32)
+    sets, taxs = [], []
+    for _ in range(3):
+        c = np.unique(rng.integers(0, 30_000, 2500).astype(np.uint64))
+        sets.append(c)
+        taxs.append(vocab[rng.integers(0, len(vocab), len(c))])
+    for op, thr in (("union", None), ("inter", None), ("diff", None),
+                    ("common", 2)):
+        got = {}
+        for staged in ("0", "1"):
+            monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", staged)
+            got[staged] = mesh_set_op_taxids(
+                op, sets, taxs, taxdb, n_devices=4, code_bits=38,
+                threshold=thr)
+        assert got["0"] is not None and got["1"] is not None
+        np.testing.assert_array_equal(got["1"][0], got["0"][0],
+                                      err_msg=op)
+        np.testing.assert_array_equal(got["1"][1], got["0"][1],
+                                      err_msg=op)
+
+
+@pytest.mark.parametrize("mode", ["distinct", "unique"])
+def test_mesh_count_taxids_staged_matches_unstaged(rng, monkeypatch, mode):
+    from tests.conftest import random_dna
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, parse_taxid_records
+    from unikmer_tpu.parallel.sharded import mesh_count_taxids
+
+    taxdb = load_taxonomy(TAXDUMP)
+    shared = random_dna(rng, 500).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562)):
+        seq = shared + random_dna(rng, 400 + 53 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    cfg = CountConfig(k=15, canonical=True, mode=mode)
+    packed, rec_taxids = parse_taxid_records(
+        iter(recs), cfg, re.compile(rb"taxid\|(\d+)"))
+    got = {}
+    for staged in ("0", "1"):
+        monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", staged)
+        got[staged] = mesh_count_taxids(packed, rec_taxids, taxdb, cfg,
+                                        n_devices=4)
+    assert got["0"] is not None and got["1"] is not None
+    np.testing.assert_array_equal(got["1"][0], got["0"][0])
+    np.testing.assert_array_equal(got["1"][1], got["0"][1])

@@ -238,6 +238,81 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
     )
 
 
+def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
+                                capacity: int, n_ids: int,
+                                code_bits: int, rounds: int, kind: str):
+    """Staged twin of build_sharded_taxids: stage 1 = encode + packed
+    all_to_all exchange + collapse-key sort (returns sorted key rows +
+    psum'd drop count for the capacity retry loop); stages 2-3 come
+    from sharded_setop_taxids_staged.  Same motivation as the
+    single-device staging: the monolithic per-shard graph
+    compile-starves real TPUs (BENCH_NOTES round-3)."""
+    from ..models.count import scaled_max_hash
+    from ..taxonomy.lca import _id_bits, collapse_sort_key
+
+    n_shards = mesh.shape[SHARD_AXIS]
+    ib = _id_bits(n_ids)
+    assert code_bits + ib + 2 <= 63, "packed-key admission violated"
+    packed_bits = code_bits + ib + 1
+    front, back = shard_halos(cfg)
+    ALL1 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def local_sort(bases_row, ctax_row):
+        row = bases_row[0]
+        codes, valid = window_codes(row, cfg)
+        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+            valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
+        pos = jnp.arange(row.shape[0], dtype=jnp.int32)
+        own = (pos >= front) & (pos < row.shape[0] - back)
+        valid = valid & own
+        sh = jnp.uint64(ib + 1)
+        key = jnp.where(
+            valid,
+            (codes << sh) | (jnp.uint64(1) << jnp.uint64(ib))
+            | ctax_row[0].astype(jnp.uint64),
+            ALL1,
+        )
+        buf, dropped = _local_pack_buckets(
+            key, key != ALL1, n_shards, capacity, packed_bits
+        )
+        recv = jax.lax.all_to_all(
+            buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
+        )
+        mine = recv.reshape(-1)
+        m_valid = (mine != ALL1) & (
+            ((mine >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool)
+        )
+        m_codes = mine >> sh
+        m_ctax = jnp.where(
+            m_valid,
+            (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
+            0,
+        )
+        # invalid slots -> huge codes (sort last); the collapse key
+        # packs (code, valid, id) exactly like the monolith's
+        # _collapse_sort at code_bits + 1
+        skey = collapse_sort_key(
+            jnp.where(m_valid, m_codes, ALL1 >> sh), m_ctax, m_valid,
+            ib, code_bits + 1,
+        )
+        total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
+        return skey[None], total_dropped[None]
+
+    sort_fn = jax.jit(
+        jax.shard_map(
+            local_sort,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                      ),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)),
+        )
+    )
+    _, rounds_fn, egress_fn = sharded_setop_taxids_staged(
+        mesh, 1, rounds, kind, code_bits + 1, ib, mode=cfg.mode
+    )
+    return sort_fn, rounds_fn, egress_fn
+
+
 def sharded_union_counts(mesh: Mesh, code_bits: int = 64):
     """Jitted: two aligned sharded sorted sets -> per-shard union counts
     and total (psum).  Demonstrates the per-shard merge + collective
@@ -374,6 +449,69 @@ def sharded_setop_taxids(mesh: Mesh, threshold: int, rounds: int,
                        P(SHARD_AXIS), P(SHARD_AXIS)),
         )
     )
+
+
+def sharded_setop_taxids_staged(mesh: Mesh, threshold: int, rounds: int,
+                                kind: str, code_bits: int, ib: int,
+                                mode: str = "all"):
+    """Staged twin of sharded_setop_taxids: THREE shard_map programs
+    (packed-key sort -> merge rounds -> compact) with sharded
+    device-resident handoff, mirroring ops/device_sets'
+    single-device staging — the monolithic per-shard collapse graph is
+    the same shape that starves the remote AOT compile helper at 2^23+
+    on real TPUs (BENCH_NOTES round-3).  Returns (sort_fn, rounds_fn,
+    egress_fn) to be applied in sequence."""
+    from ..taxonomy.lca import collapse_sort_key, lca_rounds_staged
+
+    def local_sort(c_rows, t_rows):
+        codes = c_rows[0].reshape(-1)
+        ids = t_rows[0].reshape(-1).astype(jnp.int32)
+        valid = codes != SENT
+        return collapse_sort_key(codes, ids, valid, ib, code_bits)[None]
+
+    sort_fn = jax.jit(
+        jax.shard_map(
+            local_sort,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None, None)),
+            out_specs=P(SHARD_AXIS, None),
+        )
+    )
+
+    def local_rounds(k_rows, tab):
+        s_codes, tax, keep = lca_rounds_staged(
+            k_rows[0], tab, rounds, ib, kind, mode, threshold)
+        return s_codes[None], tax[None], keep[None]
+
+    rounds_fn = jax.jit(
+        jax.shard_map(
+            local_rounds,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(None, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                       P(SHARD_AXIS, None)),
+        )
+    )
+
+    def local_egress(c_rows, t_rows, k_rows):
+        from ..ops.device_sets import _compact_mask_with
+
+        out_c, out_t, n = _compact_mask_with(
+            c_rows[0], t_rows[0], k_rows[0], jnp.int32(0))
+        total = jax.lax.psum(n, SHARD_AXIS)
+        return out_c[None], out_t[None], n[None], total[None]
+
+    egress_fn = jax.jit(
+        jax.shard_map(
+            local_egress,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                      P(SHARD_AXIS, None)),
+            out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+                       P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+    )
+    return sort_fn, rounds_fn, egress_fn
 
 
 def sharded_diff_taxids(mesh: Mesh):
@@ -711,13 +849,26 @@ def mesh_count_taxids(packed, rec_taxids: np.ndarray, taxdb,
     if capacity is None:
         capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
     rounds = max((capacity * d).bit_length(), 1)
+    from ..ops.device_sets import use_staged_taxid_programs
+
+    staged = use_staged_taxid_programs()
     while True:
-        step = build_sharded_taxids(mesh, cfg, capacity, len(closure),
-                                    code_bits, rounds, kind)
-        out_c, out_t, n, dropped = step(rows, trows, lca_tab)
-        if int(np.asarray(dropped)[0]) == 0:
-            codes, ids = _collect_sharded_taxids(out_c, out_t, n)
-            return codes, closure[ids].astype(np.uint32)
+        if staged:
+            sort_fn, rounds_fn, egress_fn = build_sharded_taxids_staged(
+                mesh, cfg, capacity, len(closure), code_bits, rounds, kind)
+            skey, dropped = sort_fn(rows, trows)
+            if int(np.asarray(dropped)[0]) == 0:
+                ks_c, ks_t, ks_k = rounds_fn(skey, lca_tab)
+                out_c, out_t, n, _ = egress_fn(ks_c, ks_t, ks_k)
+                codes, ids = _collect_sharded_taxids(out_c, out_t, n)
+                return codes, closure[ids].astype(np.uint32)
+        else:
+            step = build_sharded_taxids(mesh, cfg, capacity, len(closure),
+                                        code_bits, rounds, kind)
+            out_c, out_t, n, dropped = step(rows, trows, lca_tab)
+            if int(np.asarray(dropped)[0]) == 0:
+                codes, ids = _collect_sharded_taxids(out_c, out_t, n)
+                return codes, closure[ids].astype(np.uint32)
         capacity *= 2
         rounds = max((capacity * d).bit_length(), 1)
 
@@ -820,9 +971,25 @@ def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
                else int(threshold))
         sc = np.stack([p[0] for p in parts], axis=1)  # (D, F, C)
         st = np.stack([p[1] for p in parts], axis=1).astype(np.int32)
-        out_c, out_t, n, _ = sharded_setop_taxids(
-            mesh, thr, rounds, kind, code_bits
-        )(sc, st, lca_tab)
+        from ..ops.device_sets import use_staged_taxid_programs
+        from ..taxonomy.lca import _id_bits, collapse_sort_packable
+
+        if use_staged_taxid_programs() and collapse_sort_packable(
+            code_bits, len(closure)
+        ):
+            # per-shard staging (sort / rounds / compact as separate
+            # programs): the monolithic per-shard graph compile-starves
+            # real TPUs at scale, same as the single-device route
+            sort_fn, rounds_fn, egress_fn = sharded_setop_taxids_staged(
+                mesh, thr, rounds, kind, code_bits, _id_bits(len(closure))
+            )
+            skey = sort_fn(sc, st)
+            ks_c, ks_t, ks_k = rounds_fn(skey, lca_tab)
+            out_c, out_t, n, _ = egress_fn(ks_c, ks_t, ks_k)
+        else:
+            out_c, out_t, n, _ = sharded_setop_taxids(
+                mesh, thr, rounds, kind, code_bits
+            )(sc, st, lca_tab)
         codes, ids = _collect_sharded_taxids(out_c, out_t, n)
     taxids = closure[ids].astype(np.uint32)
     if sent_in:
