@@ -193,3 +193,32 @@ def test_mesh_count_taxids_staged_matches_unstaged(rng, monkeypatch, mode):
     assert got["0"] is not None and got["1"] is not None
     np.testing.assert_array_equal(got["1"][0], got["0"][0])
     np.testing.assert_array_equal(got["1"][1], got["0"][1])
+
+
+def test_staged_overflow_fallback_reruns_stage3_only(rng, monkeypatch):
+    """Exception-list overflow on the compressed egress must re-run
+    ONLY stage 3 (raw egress over the device-resident stage-2 outputs),
+    never the monolithic collapse — and stay exact."""
+    import unikmer_tpu.models.count as count_mod
+    from unikmer_tpu.ops.device_sets import union_taxids_device
+
+    taxdb = load_taxonomy(TAXDUMP)
+    vocab = np.array([511145, 585057, 349741], np.uint32)
+    codes = np.unique(rng.integers(0, 50_000, 3000).astype(np.uint64))
+    taxids = vocab[rng.integers(0, len(vocab), len(codes))]
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "1")
+    # any n_exc now "overflows": fetch_taxid_result takes raw_fn
+    monkeypatch.setattr(count_mod, "_MAX_EXC", -1)
+
+    def boom(*a, **k):  # the monolith must NOT be dispatched
+        raise AssertionError("monolithic collapse dispatched from "
+                             "the staged overflow fallback")
+
+    import unikmer_tpu.ops.device_sets as ds
+    monkeypatch.setattr(ds, "union_taxids_compact", boom)
+    got = union_taxids_device([codes], [taxids], taxdb, code_bits=46)
+    assert got is not None
+    want_c, want_t = taxdb.lca_reduce(codes, taxids)
+    np.testing.assert_array_equal(got[0], want_c)
+    np.testing.assert_array_equal(got[1], want_t)

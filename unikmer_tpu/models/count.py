@@ -732,27 +732,25 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
     )
     from ..taxonomy.lca import _id_bits, collapse_sort_packable
 
+    # static code bound: _taxid_code_bits is tight for scaled hashes
+    # (bit length of max_hash), so compressed egress engages for them
+    # too — the raw '64 if hashed' bound wrongly declined it
     z_out = use_compressed_taxid_fetch(
-        64 if cfg.hashed else 2 * cfg.k, len(bases), len(closure)
+        _taxid_code_bits(cfg), len(bases), len(closure)
     )
     if use_staged_taxid_programs() and collapse_sort_packable(
         _taxid_code_bits(cfg), len(closure)
     ):
-        dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
-
-        def raw():
-            return count_taxids_step(bases, dctax, dtab, cfg, rounds,
-                                     mode, kind)
-
         ib = _id_bits(len(closure))
         wide = len(closure) > 0xFFFF
         with phase_watchdog("count -T staged sort (stage 1/3)"):
+            dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
             skey = _count_taxids_key_step(bases, dctax, cfg, ib)
-        res = run_staged_taxid_collapse(
+        res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide, mode=mode,
             phase="count -T")
         if z_out:
-            return fetch_taxid_result(res, raw, closure)
+            return fetch_taxid_result(res, staged_raw, closure)
         out_c, out_t, n = res
         n = _fetch_scalar_watchdog(n)
         return (np.asarray(out_c[:n]),

@@ -331,7 +331,13 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
                               phase: str = "taxid"):
     """Stages 2+3 over a stage-1 sorted key (shared by the union and
     count -T staged drivers); each dispatch under its own phase
-    watchdog so a chip log shows WHICH stage starves."""
+    watchdog so a chip log shows WHICH stage starves.
+
+    Returns (result, raw_fn): ``raw_fn`` re-runs ONLY stage 3 with
+    z_out=False over the still-device-resident stage-2 outputs — the
+    exception-overflow fallback must never dispatch the monolithic
+    collapse graph the staging exists to avoid (it compile-starves on
+    tpu)."""
     from ..models.count import phase_watchdog
     from ..taxonomy.lca import lca_rounds_staged
 
@@ -339,7 +345,13 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
         s_codes, tax, keep = lca_rounds_staged(
             skey, lca_tab, rounds, ib, kind, mode, threshold)
     with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
-        return _staged_egress(s_codes, tax, keep, z_out, wide)
+        res = _staged_egress(s_codes, tax, keep, z_out, wide)
+
+    def raw_fn():
+        with phase_watchdog(f"{phase} staged raw re-egress"):
+            return _staged_egress(s_codes, tax, keep, False, wide)
+
+    return res, raw_fn
 
 
 def use_compressed_taxid_ingress() -> bool:
@@ -516,11 +528,11 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
             else:
                 skey = _staged_sort_raw(
                     jnp.asarray(pad_c), jnp.asarray(pad_t), ib, code_bits)
-        res = run_staged_taxid_collapse(
+        res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide,
             phase="taxid union")
         if z_out:
-            return fetch_taxid_result(res, raw, closure)
+            return fetch_taxid_result(res, staged_raw, closure)
         out_c, out_t, n = res
         n = _fetch_scalar_watchdog(n)
         return (np.asarray(out_c[:n]),

@@ -147,6 +147,49 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     return step
 
 
+def _taxid_exchange(bases_row, ctax_row, cfg: CountConfig, ib: int,
+                    n_shards: int, capacity: int, packed_bits: int,
+                    front: int, back: int):
+    """Shared front half of the sharded count -T builds (monolithic
+    AND staged — parity-critical, keep ONE copy): window encode, halo
+    own-mask, packed-key build, all_to_all exchange, unpack.  Returns
+    (m_codes, m_ctax, m_valid, dropped)."""
+    from ..models.count import scaled_max_hash
+
+    ALL1 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    row = bases_row[0]
+    codes, valid = window_codes(row, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
+    pos = jnp.arange(row.shape[0], dtype=jnp.int32)
+    own = (pos >= front) & (pos < row.shape[0] - back)
+    valid = valid & own
+    sh = jnp.uint64(ib + 1)
+    key = jnp.where(
+        valid,
+        (codes << sh) | (jnp.uint64(1) << jnp.uint64(ib))
+        | ctax_row[0].astype(jnp.uint64),
+        ALL1,
+    )
+    buf, dropped = _local_pack_buckets(
+        key, key != ALL1, n_shards, capacity, packed_bits
+    )
+    recv = jax.lax.all_to_all(
+        buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
+    )
+    mine = recv.reshape(-1)
+    m_valid = (mine != ALL1) & (
+        ((mine >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool)
+    )
+    m_codes = mine >> sh
+    m_ctax = jnp.where(
+        m_valid,
+        (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
+        0,
+    )
+    return m_codes, m_ctax, m_valid, dropped
+
+
 def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
                          n_ids: int, code_bits: int, rounds: int,
                          kind: str):
@@ -162,7 +205,6 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
     code_bits + id bits + 1 <= 63 (the driver declines k=32 and huge
     vocabularies to the single-device/host tiers)."""
     from ..taxonomy.lca import _id_bits
-    from ..models.count import scaled_max_hash
 
     n_shards = mesh.shape[SHARD_AXIS]
     ib = _id_bits(n_ids)
@@ -171,47 +213,21 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
     assert code_bits + ib + 2 <= 63, "packed-key admission violated"
     packed_bits = code_bits + ib + 1
     front, back = shard_halos(cfg)
-    ALL1 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
     def local_step(bases_row, ctax_row, tab):
-        row = bases_row[0]
-        codes, valid = window_codes(row, cfg)
-        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
-            valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
-        pos = jnp.arange(row.shape[0], dtype=jnp.int32)
-        own = (pos >= front) & (pos < row.shape[0] - back)
-        valid = valid & own
-        sh = jnp.uint64(ib + 1)
-        key = jnp.where(
-            valid,
-            (codes << sh) | (jnp.uint64(1) << jnp.uint64(ib))
-            | ctax_row[0].astype(jnp.uint64),
-            ALL1,
-        )
-        buf, dropped = _local_pack_buckets(
-            key, key != ALL1, n_shards, capacity, packed_bits
-        )
-        recv = jax.lax.all_to_all(
-            buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
-        )
-        mine = recv.reshape(-1)
-        m_valid = (mine != ALL1) & (
-            ((mine >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool)
-        )
-        m_codes = mine >> sh
-        m_ctax = jnp.where(
-            m_valid,
-            (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
-            0,
-        )
+        m_codes, m_ctax, m_valid, dropped = _taxid_exchange(
+            bases_row, ctax_row, cfg, ib, n_shards, capacity,
+            packed_bits, front, back)
         from ..ops.sort import _compact, _run_bounds
         from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
         collapse = (lca_collapse_compact if kind == "table"
                     else lca_collapse_paths)
-        # codes for invalid slots -> huge values (ALL1 >> sh) sort last
+        # invalid slots -> huge substitute codes (all-ones >> (ib+1))
+        # that sort last
+        invalid_code = jnp.uint64(0xFFFFFFFFFFFFFFFF) >> jnp.uint64(ib + 1)
         s_codes, tax, keep, s_valid = collapse(
-            jnp.where(m_valid, m_codes, ALL1 >> sh), m_ctax, m_valid, tab,
+            jnp.where(m_valid, m_codes, invalid_code), m_ctax, m_valid, tab,
             rounds, code_bits + 1,
         )
         if cfg.mode in ("unique", "repeated"):
@@ -247,7 +263,6 @@ def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
     from sharded_setop_taxids_staged.  Same motivation as the
     single-device staging: the monolithic per-shard graph
     compile-starves real TPUs (BENCH_NOTES round-3)."""
-    from ..models.count import scaled_max_hash
     from ..taxonomy.lca import _id_bits, collapse_sort_key
 
     n_shards = mesh.shape[SHARD_AXIS]
@@ -255,44 +270,17 @@ def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
     assert code_bits + ib + 2 <= 63, "packed-key admission violated"
     packed_bits = code_bits + ib + 1
     front, back = shard_halos(cfg)
-    ALL1 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
     def local_sort(bases_row, ctax_row):
-        row = bases_row[0]
-        codes, valid = window_codes(row, cfg)
-        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
-            valid = valid & (codes <= jnp.uint64(scaled_max_hash(cfg.scale)))
-        pos = jnp.arange(row.shape[0], dtype=jnp.int32)
-        own = (pos >= front) & (pos < row.shape[0] - back)
-        valid = valid & own
-        sh = jnp.uint64(ib + 1)
-        key = jnp.where(
-            valid,
-            (codes << sh) | (jnp.uint64(1) << jnp.uint64(ib))
-            | ctax_row[0].astype(jnp.uint64),
-            ALL1,
-        )
-        buf, dropped = _local_pack_buckets(
-            key, key != ALL1, n_shards, capacity, packed_bits
-        )
-        recv = jax.lax.all_to_all(
-            buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
-        )
-        mine = recv.reshape(-1)
-        m_valid = (mine != ALL1) & (
-            ((mine >> jnp.uint64(ib)) & jnp.uint64(1)).astype(bool)
-        )
-        m_codes = mine >> sh
-        m_ctax = jnp.where(
-            m_valid,
-            (mine & ((jnp.uint64(1) << jnp.uint64(ib)) - 1)).astype(jnp.int32),
-            0,
-        )
-        # invalid slots -> huge codes (sort last); the collapse key
-        # packs (code, valid, id) exactly like the monolith's
-        # _collapse_sort at code_bits + 1
+        m_codes, m_ctax, m_valid, dropped = _taxid_exchange(
+            bases_row, ctax_row, cfg, ib, n_shards, capacity,
+            packed_bits, front, back)
+        # invalid slots -> huge substitute codes (sort last); the
+        # collapse key packs (code, valid, id) exactly like the
+        # monolith's _collapse_sort at code_bits + 1
+        invalid_code = jnp.uint64(0xFFFFFFFFFFFFFFFF) >> jnp.uint64(ib + 1)
         skey = collapse_sort_key(
-            jnp.where(m_valid, m_codes, ALL1 >> sh), m_ctax, m_valid,
+            jnp.where(m_valid, m_codes, invalid_code), m_ctax, m_valid,
             ib, code_bits + 1,
         )
         total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
