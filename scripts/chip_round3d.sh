@@ -22,6 +22,10 @@ bash scripts/chip_taxid_validate.sh "$T/taxval" 2>&1 | tee "$T/taxval.log"
 TAXVAL=${PIPESTATUS[0]}
 echo "taxval exit: $TAXVAL" | tee -a "$T/taxval.log"
 
+echo "=== bench --stream (production streamed metric) ($(date -u +%H:%M:%S)) ==="
+python bench.py --stream 2>&1 | tee "$T/bench_stream.log"
+echo "bench --stream exit: ${PIPESTATUS[0]}" | tee -a "$T/bench_stream.log"
+
 echo "=== multibucket v2 ($(date -u +%H:%M:%S)) ==="
 python scripts/exp_multibucket_chip.py 2>&1 | tee "$T/multibucket.log"
 echo "multibucket exit: ${PIPESTATUS[0]}" | tee -a "$T/multibucket.log"
