@@ -54,13 +54,13 @@ def run(args) -> int:
                 )
             else:
                 code_arrays[i] = native.host_sort(code_arrays[i])
-    if taxid_arrays is None and opt.mesh >= 2:
+    if taxid_arrays is None and opt.mesh >= 1:
         from ._setops import mesh_codes
 
         codes, taxids = mesh_codes(
             "common", code_arrays, headers[0], opt, threshold=threshold
         ), None
-    elif taxid_arrays is not None and opt.mesh >= 2 and (
+    elif taxid_arrays is not None and opt.mesh >= 1 and (
         res := _mesh_taxids(
             code_arrays, taxid_arrays, headers[0], opt, threshold)
     ) is not None:

@@ -215,7 +215,7 @@ def run(args) -> int:
                 yield pack_records(buf, k, args.circular)
 
     if (
-        opt.mesh >= 2
+        opt.mesh >= 1
         and not args.linear
         and not args.parse_taxid
         and not compat_syncmer
@@ -331,7 +331,7 @@ def run(args) -> int:
 
         taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
         res = None
-        if opt.mesh >= 2:
+        if opt.mesh >= 1:
             # count -T --mesh: sharded packed-key build with the tiered
             # vocabulary LCA; falls through on admission decline
             _ensure_device_env()

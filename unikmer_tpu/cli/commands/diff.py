@@ -63,12 +63,12 @@ def run(args) -> int:
             other_codes.append(codes)
             other_tax.append(taxids)
 
-    if q_tax is None and not args.compare_taxid and opt.mesh >= 2:
+    if q_tax is None and not args.compare_taxid and opt.mesh >= 1:
         from ._setops import mesh_codes
 
         codes = mesh_codes("diff", [q_codes] + other_codes, h0, opt)
         taxids = None
-    elif (q_tax is not None and not args.compare_taxid and opt.mesh >= 2
+    elif (q_tax is not None and not args.compare_taxid and opt.mesh >= 1
           and (res := _mesh_taxids(
               [q_codes] + other_codes,
               [q_tax] + [

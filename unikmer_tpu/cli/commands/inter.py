@@ -27,11 +27,11 @@ def run(args) -> int:
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(
         files, opt, require_sorted=True, mix_taxid=args.mix_taxid
     )
-    if taxid_arrays is None and opt.mesh >= 2:
+    if taxid_arrays is None and opt.mesh >= 1:
         from ._setops import mesh_codes
 
         codes, taxids = mesh_codes("inter", code_arrays, headers[0], opt), None
-    elif taxid_arrays is not None and opt.mesh >= 2 and (
+    elif taxid_arrays is not None and opt.mesh >= 1 and (
         res := _mesh_taxids(code_arrays, taxid_arrays, headers[0], opt)
     ) is not None:
         codes, taxids = res

@@ -33,9 +33,9 @@ def run(args) -> int:
 
         _ensure_device_env()
     headers, code_arrays, taxid_arrays, has_taxid = load_inputs(files, opt)
-    if taxid_arrays is None and opt.mesh >= 2:
+    if taxid_arrays is None and opt.mesh >= 1:
         codes, taxids = mesh_codes("union", code_arrays, headers[0], opt), None
-    elif taxid_arrays is not None and opt.mesh >= 2 and (
+    elif taxid_arrays is not None and opt.mesh >= 1 and (
         res := mesh_codes_taxids(
             "union", code_arrays, taxid_arrays, headers[0], opt)
     ) is not None:

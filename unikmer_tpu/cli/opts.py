@@ -60,9 +60,10 @@ def add_global_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--mesh", type=int,
                    default=int(os.environ.get("UNIKMER_TPU_MESH", "0")),
                    help="shard count/union/inter/diff across a device mesh "
-                        "of this many chips (0 = single-device; needs >= N "
-                        "attached devices; no TPU scope: taxid columns, "
-                        "sketches, -l/linear order)")
+                        "of this many chips (0 = single-device path; 1 = "
+                        "trivial 1-device mesh, same sharded programs; "
+                        "needs >= N attached devices; no TPU scope: taxid "
+                        "columns, sketches, -l/linear order)")
 
 
 def get_options(args: argparse.Namespace) -> Options:

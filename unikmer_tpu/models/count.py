@@ -634,6 +634,19 @@ def fetch_taxid_result(z, raw_fn, closure):
     return codes, taxids
 
 
+def materialize_staged_taxid_result(res, staged_raw, z_out: bool, closure):
+    """Shared tail of the staged taxid collapses (count -T and the
+    taxid set ops): a run_staged_taxid_collapse result -> host
+    (codes, taxids).  One definition so the z/raw slice handling cannot
+    drift between the two call sites."""
+    if z_out:
+        return fetch_taxid_result(res, staged_raw, closure)
+    out_c, out_t, n = res
+    n = _fetch_scalar_watchdog(n)
+    return (np.asarray(out_c[:n]),
+            closure[np.asarray(out_t[:n]).astype(np.int64)])
+
+
 def _device_taxid_route(packed, rec_taxids, taxdb,
                         cfg: CountConfig | None = None):
     """Should count -T keep its LCA reduction on device?  Yes when the
@@ -749,12 +762,8 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide, mode=mode,
             phase="count -T")
-        if z_out:
-            return fetch_taxid_result(res, staged_raw, closure)
-        out_c, out_t, n = res
-        n = _fetch_scalar_watchdog(n)
-        return (np.asarray(out_c[:n]),
-                closure[np.asarray(out_t[:n]).astype(np.int64)])
+        return materialize_staged_taxid_result(res, staged_raw, z_out,
+                                               closure)
 
     with phase_watchdog("count -T upload/compile/dispatch"):
         dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)

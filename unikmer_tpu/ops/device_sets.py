@@ -484,7 +484,7 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     rounds = max(nn.bit_length() - 1, 1)
     from ..models.count import (
         _fetch_scalar_watchdog, _warm_device_session, fetch_taxid_result,
-        use_compressed_taxid_fetch,
+        materialize_staged_taxid_result, use_compressed_taxid_fetch,
     )
 
     from ..models.count import phase_watchdog
@@ -531,12 +531,8 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide,
             phase="taxid union")
-        if z_out:
-            return fetch_taxid_result(res, staged_raw, closure)
-        out_c, out_t, n = res
-        n = _fetch_scalar_watchdog(n)
-        return (np.asarray(out_c[:n]),
-                closure[np.asarray(out_t[:n]).astype(np.int64)])
+        return materialize_staged_taxid_result(res, staged_raw, z_out,
+                                               closure)
 
     if enc is not None:
         small, exc_idx, exc_step = enc

@@ -256,7 +256,8 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
 
 def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
                                 capacity: int, n_ids: int,
-                                code_bits: int, rounds: int, kind: str):
+                                code_bits: int, rounds: int, kind: str,
+                                stages23=(None, None)):
     """Staged twin of build_sharded_taxids: stage 1 = encode + packed
     all_to_all exchange + collapse-key sort (returns sorted key rows +
     psum'd drop count for the capacity retry loop); stages 2-3 come
@@ -295,9 +296,16 @@ def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
             out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS)),
         )
     )
-    _, rounds_fn, egress_fn = sharded_setop_taxids_staged(
-        mesh, 1, rounds, kind, code_bits + 1, ib, mode=cfg.mode
-    )
+    # stages 2-3 do not depend on capacity (only rounds_fn on rounds):
+    # capacity-retry callers pass their previous fns via ``stages23`` so
+    # only stage 1 re-traces per retry
+    reuse_rounds, reuse_egress = stages23
+    if reuse_rounds is None or reuse_egress is None:
+        _, rounds_fn, egress_fn = sharded_setop_taxids_staged(
+            mesh, 1, rounds, kind, code_bits + 1, ib, mode=cfg.mode
+        )
+    rounds_fn = reuse_rounds if reuse_rounds is not None else rounds_fn
+    egress_fn = reuse_egress if reuse_egress is not None else egress_fn
     return sort_fn, rounds_fn, egress_fn
 
 
@@ -840,10 +848,17 @@ def mesh_count_taxids(packed, rec_taxids: np.ndarray, taxdb,
     from ..ops.device_sets import use_staged_taxid_programs
 
     staged = use_staged_taxid_programs()
+    prev_rounds, prev_rounds_fn, prev_egress_fn = None, None, None
     while True:
         if staged:
             sort_fn, rounds_fn, egress_fn = build_sharded_taxids_staged(
-                mesh, cfg, capacity, len(closure), code_bits, rounds, kind)
+                mesh, cfg, capacity, len(closure), code_bits, rounds, kind,
+                stages23=(
+                    prev_rounds_fn if prev_rounds == rounds else None,
+                    prev_egress_fn,
+                ))
+            prev_rounds, prev_rounds_fn = rounds, rounds_fn
+            prev_egress_fn = egress_fn
             skey, dropped = sort_fn(rows, trows)
             if int(np.asarray(dropped)[0]) == 0:
                 ks_c, ks_t, ks_k = rounds_fn(skey, lca_tab)

@@ -386,7 +386,9 @@ def lca_rounds_staged(skey, tab, rounds: int, ib: int, kind: str,
         keep = keep & (run_valid == 1)
     elif mode == "repeated":
         keep = keep & (run_valid > 1)
-    elif threshold > 1:
+    # threshold composes with (not replaces) the multiplicity mode: a
+    # caller passing mode='unique' AND threshold>1 gets both predicates
+    if threshold > 1:
         keep = keep & (run_valid >= threshold)
     return s_codes, out, keep
 
