@@ -153,7 +153,13 @@ def _bench_stream() -> dict:
 
     pieces = 4
     rng = np.random.default_rng(20260820)
-    bases = rng.integers(0, 4, size=pieces * SIZE, dtype=np.uint8)
+    # genome-like distinct ratio (unit tiled 64x, distinct ~2^21 <<
+    # windows): random bases are ~100% distinct and on this dev tunnel
+    # the 6 MB/s result egress then drowns the pipeline signal
+    # (exp_multibucket_chip lesson); production hosts fetch at PCIe
+    # rates where egress is negligible either way
+    unit = rng.integers(0, 4, size=1 << 21, dtype=np.uint8)
+    bases = np.tile(unit, pieces * SIZE // len(unit))
     starts = np.arange(pieces, dtype=np.int64) * SIZE
     packed = PackedSeqs(bases, starts, np.full(pieces, SIZE, np.int64))
     cfg = CountConfig(k=K, canonical=True)

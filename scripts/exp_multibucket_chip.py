@@ -27,27 +27,27 @@ import jax
 from unikmer_tpu.io.fastx import PackedSeqs
 from unikmer_tpu.models.count import CountConfig, count_stream_packed
 
-PIECES = 4
+PIECES = 12  # divisible by every swept B (1..4): no remainder groups
 SIZE = 1 << 25
 
 
-def make_packed():
+def make_packed(pieces=PIECES):
     rng = np.random.default_rng(7)
     unit = rng.integers(0, 4, size=1 << 21, dtype=np.uint8)
-    bases = np.tile(unit, PIECES * SIZE // len(unit))
-    starts = np.arange(PIECES, dtype=np.int64) * SIZE
-    return PackedSeqs(bases, starts, np.full(PIECES, SIZE, np.int64))
+    bases = np.tile(unit, pieces * SIZE // len(unit))
+    starts = np.arange(pieces, dtype=np.int64) * SIZE
+    return PackedSeqs(bases, starts, np.full(pieces, SIZE, np.int64))
 
 
-def run(label, mode, multi, dual="0"):
+def run(label, mode, multi, dual="0", pieces=PIECES):
     os.environ["UNIKMER_TPU_MULTI_BUCKET"] = multi
     os.environ["UNIKMER_TPU_DUAL_STEP"] = dual
-    packed = make_packed()
+    packed = make_packed(pieces)
     cfg = CountConfig(k=23, canonical=True, mode=mode)
     t0 = time.time()
     out = count_stream_packed([packed], cfg, chunk_bases=SIZE - 23)
     dt = time.time() - t0
-    kps = (PIECES * SIZE) / dt
+    kps = (pieces * SIZE) / dt
     print(f"{label:28s} mode={mode} B={multi} dual={dual} "
           f"wall={dt:6.2f}s n={len(out)} {kps/1e6:7.1f}M kmers/s",
           flush=True)
@@ -56,16 +56,22 @@ def run(label, mode, multi, dual="0"):
 
 def main():
     print(f"# backend={jax.default_backend()}", flush=True)
-    # warm both program shapes first (compile excluded from timing)
-    for m in ("1", "2"):
-        run("warm distinct", "distinct", m)
+    # warm program shapes first (compile excluded from timing); sweep
+    # B=1..4 (VERDICT round-3 next #3: find the amortization limit)
+    sweep = ("1", "2", "3", "4")
+    for m in sweep:
+        # warm with exactly one group of B pieces (compiles the full
+        # group shape; PIECES % B == 0 so no remainder shapes exist)
+        run("warm distinct", "distinct", m, pieces=int(m))
     t1, o1 = run("distinct B=1", "distinct", "1")
-    t2, o2 = run("distinct B=2", "distinct", "2")
-    assert np.array_equal(o1, o2), "MULTI-BUCKET MISMATCH"
-    print(f"# distinct speedup B=2/B=1: {t1/t2:.3f}x", flush=True)
+    base_out = o1
+    for m in sweep[1:]:
+        tm, om = run(f"distinct B={m}", "distinct", m)
+        assert np.array_equal(base_out, om), f"MULTI-BUCKET MISMATCH B={m}"
+        print(f"# distinct speedup B={m}/B=1: {t1/tm:.3f}x", flush=True)
     # dual at B=1 only (B=2 dual compile SIGKILLs the helper)
     for m, d in (("1", "0"), ("1", "1")):
-        run("warm repeated", "repeated", m, d)
+        run("warm repeated", "repeated", m, d, pieces=1)
     t3, o3 = run("repeated 2-dispatch", "repeated", "1", "0")
     t4, o4 = run("repeated dual B=1", "repeated", "1", "1")
     assert np.array_equal(o3, o4), "DUAL MISMATCH"
