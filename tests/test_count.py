@@ -300,3 +300,75 @@ def test_count_stream_spill_matches_in_ram(rng, monkeypatch):
         assert n == len(codes)
         np.testing.assert_array_equal(codes, want, err_msg=mode)
         assert not os.path.exists(got.tmp_dir)  # temp cleanup
+
+
+def test_stream_dual_staged_equivalence(rng, monkeypatch):
+    """The STAGED dual split (sort program + collapse program with
+    device-resident handoff; UNIKMER_TPU_DUAL_STAGED) must be exact for
+    -u/-d streams at every group size.  The monolithic B>=2 dual graph
+    SIGKILLs the remote compile helper on TPU (BENCH_NOTES round-3);
+    this is the staging fix's CPU parity lock."""
+    from unikmer_tpu.models.count import count_stream_packed
+
+    k = 11
+    seqs = [random_dna(rng, n).decode() for n in (900, 500, 1100, 650)]
+    seqs.append(seqs[0][:400])  # cross-chunk duplicates
+    recs = [Record(b"s%d" % i, b"s%d" % i, s.encode())
+            for i, s in enumerate(seqs)]
+    packed = pack_records(recs, k)
+    for mode in ("unique", "repeated"):
+        cfg = CountConfig(k=k, canonical=True, mode=mode)
+        monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", "1")
+        monkeypatch.setenv("UNIKMER_TPU_DUAL_STEP", "0")
+        monkeypatch.delenv("UNIKMER_TPU_DUAL_MULTI", raising=False)
+        monkeypatch.setenv("UNIKMER_TPU_DUAL_STAGED", "0")
+        want = count_stream_packed([packed], cfg, chunk_bases=512)
+        monkeypatch.setenv("UNIKMER_TPU_DUAL_STEP", "1")
+        monkeypatch.setenv("UNIKMER_TPU_DUAL_MULTI", "1")
+        for b in ("2", "3"):
+            for staged in ("0", "1"):
+                monkeypatch.setenv("UNIKMER_TPU_MULTI_BUCKET", b)
+                monkeypatch.setenv("UNIKMER_TPU_DUAL_STAGED", staged)
+                np.testing.assert_array_equal(
+                    count_stream_packed([packed], cfg, chunk_bases=512),
+                    want, err_msg=f"B={b} staged={staged} mode={mode}")
+
+
+def test_dual_staged_matches_monolith(rng):
+    """Unit parity: _dual_sort_stage + _dual_collapse_stage ==
+    _count_step_dual_multi on stacked buckets (both egress modes)."""
+    import jax.numpy as jnp
+
+    from unikmer_tpu.models.count import (
+        CountConfig,
+        _count_step_dual_multi,
+        _dual_collapse_stage,
+        _dual_sort_stage,
+        pack_bases_2bit,
+        pad_bases,
+    )
+
+    k = 13
+    n_b = 3
+    cfg = CountConfig(k=k, canonical=True, mode="repeated")
+    p2s, vms = [], []
+    n = None
+    for i in range(n_b):
+        seq = random_dna(rng, 700 + 37 * i)
+        rec = Record(b"s", b"s", seq)
+        packed = pack_records([rec], k)
+        bases = pad_bases(packed.bases)
+        p2, vm = pack_bases_2bit(bases)
+        n = len(bases)
+        p2s.append(p2)
+        vms.append(vm)
+    p2s = jnp.stack(p2s)
+    vms = jnp.stack(vms)
+    for z in (False, True):
+        want = _count_step_dual_multi(p2s, vms, cfg, n, z)
+        s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
+        got = _dual_collapse_stage(s_all, nsr, nhead, z)
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                          err_msg=f"z={z}")

@@ -259,6 +259,52 @@ def _count_step_dual_multi(packed2s, validmasks, cfg: CountConfig, n: int,
     return jax.lax.map(body, (packed2s, validmasks))
 
 
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _dual_sort_stage(packed2s, validmasks, cfg: CountConfig, n: int):
+    """Stage 1/2 of the STAGED dual collapse: B x (2-bit decode +
+    encode + keyed sort) -> (sorted keys (B, n), n_sent_real (B,),
+    n_head (B,)).  The fused B>=2 dual graph SIGKILLs the remote
+    compile helper (oversized graph, BENCH_NOTES round-3 phase 2);
+    splitting at the sorted boundary gives two programs of proven
+    shapes with device-resident handoff — the same fix as the staged
+    taxid programs (ops/device_sets.run_staged_taxid_collapse)."""
+    from ..ops.sort import CODE_SENTINEL, _sort_u64
+
+    def body(args):
+        p2, vm = args
+        bases = unpack_bases_2bit(p2, vm, n)
+        codes, valid = window_codes(bases, cfg)
+        if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+            max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+            valid = valid & (codes <= max_hash)
+        sent = jnp.uint64(CODE_SENTINEL)
+        keyed = jnp.where(valid, codes, sent)
+        n_sent_real = jnp.sum((codes == sent) & valid, dtype=jnp.int64)
+        n_tail = jnp.sum(~valid, dtype=jnp.int64) + n_sent_real
+        s = _sort_u64(keyed, code_bits=cfg.code_bits)
+        n_head = jnp.int64(codes.shape[0]) - n_tail
+        return s, n_sent_real, n_head
+
+    return jax.lax.map(body, (packed2s, validmasks))
+
+
+@partial(jax.jit, static_argnames=("z",))
+def _dual_collapse_stage(s_all, n_sent_real, n_head, z: bool):
+    """Stage 2/2 of the staged dual collapse: B x (run bounds + both
+    compacts + optional compressed egress).  Result layout identical
+    to _count_step_dual_multi so count_packed_fetch_group is shared."""
+    from ..ops.sort import collapse_dual_from_sorted
+
+    def body(args):
+        s, nsr, nh = args
+        od, nd, orp, nr = collapse_dual_from_sorted(s, nsr, nh)
+        if z:
+            return _compress_result(od, nd) + _compress_result(orp, nr)
+        return od, nd, orp, nr
+
+    return jax.lax.map(body, (s_all, n_sent_real, n_head))
+
+
 @partial(jax.jit, static_argnames=("cfg", "n", "z"))
 def _count_step_multi(packed2s, validmasks, cfg: CountConfig, n: int,
                       z: bool):
@@ -1042,6 +1088,21 @@ def _dual_step_wanted() -> bool:
         return False
 
 
+def _dual_staged_wanted() -> bool:
+    """Run B>=2 dual groups as TWO programs split at the sorted
+    boundary (UNIKMER_TPU_DUAL_STAGED; auto = non-cpu backends, same
+    policy as the staged taxid programs).  The monolithic B>=2 dual
+    graph SIGKILLs the remote compile helper (BENCH_NOTES round-3
+    phase 2); the staged split is the known fix for that mechanism."""
+    env = os.environ.get("UNIKMER_TPU_DUAL_STAGED", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _group_stack(pieces):
     """(p2s, vms, n): stacked 2-bit ingress buffers for a group."""
     bases_list = [pad_bases(p.bases) for p in pieces]
@@ -1068,11 +1129,17 @@ def count_packed_dispatch_group(pieces, cfg: CountConfig):
 
 def count_packed_dispatch_group_dual(pieces, cfg: CountConfig):
     """Dispatch B pieces through the fused dual collapse: each piece
-    yields its distinct AND within-piece repeated set from one sort."""
+    yields its distinct AND within-piece repeated set from one sort.
+    At B>=2 the staged 2-program split is used (when enabled): the
+    monolithic B>=2 dual graph SIGKILLs the remote compile helper."""
     p2s, vms, n = _group_stack(pieces)
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
-    res = _count_step_dual_multi(p2s, vms, cfg, n, z)
+    if len(pieces) >= 2 and _dual_staged_wanted():
+        s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
+        res = _dual_collapse_stage(s_all, nsr, nhead, z)
+    else:
+        res = _count_step_dual_multi(p2s, vms, cfg, n, z)
     return ("dual_z" if z else "dual_raw", res, len(pieces))
 
 
@@ -1166,9 +1233,12 @@ class _GroupedCounter:
         key = (cfg, dual, _padded_len(max(len(piece.bases), 1)))
         group = self.pending.setdefault(key, [])
         group.append(piece)
-        # dual groups stay B=1: the B>=2 dual program's graph SIGKILLs
-        # the remote compile helper (oversized; BENCH_NOTES round-3).
-        # UNIKMER_TPU_DUAL_MULTI=1 re-enables grouping for experiments.
+        # dual groups stay B=1 by default pending chip validation of
+        # the staged split: the MONOLITHIC B>=2 dual graph SIGKILLs the
+        # remote compile helper (oversized; BENCH_NOTES round-3), and
+        # the staged 2-program route (_dual_staged_wanted) that fixes
+        # that mechanism has CPU parity but no on-chip evidence yet.
+        # UNIKMER_TPU_DUAL_MULTI=1 enables grouping (staged when on).
         target = self.B
         if dual and os.environ.get("UNIKMER_TPU_DUAL_MULTI") != "1":
             target = 1

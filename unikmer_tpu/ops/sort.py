@@ -220,7 +220,18 @@ def collapse_sorted_dual(codes: jnp.ndarray, valid: jnp.ndarray,
     n_head = codes.shape[0] - n_tail
 
     s = _sort_u64(keyed, code_bits=code_bits, split=split)
-    idx = jnp.arange(codes.shape[0], dtype=jnp.int64)
+    return collapse_dual_from_sorted(s, n_sent_real, n_head)
+
+
+def collapse_dual_from_sorted(s: jnp.ndarray, n_sent_real, n_head):
+    """The post-sort half of :func:`collapse_sorted_dual`: sorted keyed
+    array + the pre-sort sentinel accounting -> (distinct, n_d,
+    repeated, n_r).  Split out so the staged dual programs can run the
+    sort and the collapse as SEPARATE device programs (the fused B>=2
+    dual graph SIGKILLs the remote compile helper; same staging fix as
+    the taxid collapses, models/count._dual_sort_stage)."""
+    sent = jnp.uint64(CODE_SENTINEL)
+    idx = jnp.arange(s.shape[0], dtype=jnp.int64)
     in_head = idx < n_head
     first, start_idx, end_idx = _run_bounds(s)
     count = end_idx - start_idx
