@@ -152,7 +152,8 @@ class PackedSeqs:
 
 
 def pack_records(
-    records: Iterable[Record], k: int, circular: bool = False
+    records: Iterable[Record], k: int, circular: bool = False,
+    gap: int = 1,
 ) -> PackedSeqs:
     """Pack records for whole-batch window encoding.
 
@@ -160,7 +161,17 @@ def pack_records(
     count.go:323-331).  With ``circular`` the first k-1 bases of each
     record are appended after it (reference NewKmerIterator(..., circular)
     wrap-around), producing exactly the extra len-((k-1)..1) windows.
+
+    Separators between records are RECORD_SEP bytes (a distinct invalid
+    value — every window kernel only tests >=4, while segment-aware
+    sketches can tell record boundaries from interior Ns).  ``gap``
+    widens the separator run: the compat syncmer's device twin needs a
+    gap of max(2*(k-s)-s+1, 1) so no s-mer window can straddle two
+    records' real values (ops/sketch.syncmer_compat_windows).
     """
+    from ..ops.codec import RECORD_SEP
+
+    gap = max(int(gap), 1)
     kept = [rec for rec in records if len(rec.seq) >= k]
     if not kept:
         return PackedSeqs(
@@ -170,16 +181,17 @@ def pack_records(
     wrap = (k - 1) if (circular and k > 1) else 0
     if wrap == 0:
         # fast path: one C-level join with a separator byte that the LUT
-        # maps to the invalid sentinel, then ONE vectorized LUT pass —
+        # maps to the record separator, then ONE vectorized LUT pass —
         # per-record numpy calls cost ~35us each at 10^6 records
-        joined = b"\n".join(r.seq for r in kept) + b"\n"
+        sep = b"\n" * gap
+        joined = sep.join(r.seq for r in kept) + sep
         out = BASE_LUT[np.frombuffer(joined, dtype=np.uint8)]
         starts = np.zeros(len(kept), np.int64)
-        np.cumsum(lengths[:-1] + 1, out=starts[1:])
+        np.cumsum(lengths[:-1] + gap, out=starts[1:])
         return PackedSeqs(out, starts, lengths)
     # circular: wrap bases are appended per record (genome inputs: few
     # records, the per-record loop is fine)
-    total = int(lengths.sum()) + (wrap + 1) * len(kept)
+    total = int(lengths.sum()) + (wrap + gap) * len(kept)
     lut = BASE_LUT
     out = np.empty(total, dtype=np.uint8)
     starts = np.empty(len(kept), dtype=np.int64)
@@ -191,8 +203,8 @@ def pack_records(
         off += n
         out[off : off + wrap] = out[starts[i] : starts[i] + wrap]
         off += wrap
-        out[off] = INVALID_BASE
-        off += 1
+        out[off : off + gap] = RECORD_SEP
+        off += gap
     return PackedSeqs(out, starts, lengths)
 
 

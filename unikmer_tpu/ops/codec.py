@@ -30,6 +30,12 @@ from .._lazy import jnp
 
 # Invalid-base sentinel in base-code space (valid codes are 0..3).
 INVALID_BASE = np.uint8(255)
+# Distinct invalid value marking RECORD boundaries in packed base
+# buffers (io/fastx.pack_records): every >=4 value is invalid to the
+# window kernels, but segment-aware sketches (the compat syncmer's
+# per-record truncation + fill semantics, ops/sketch) must distinguish
+# "separator between records" from "interior N within a record".
+RECORD_SEP = np.uint8(254)
 # Sentinel code for masked-out slots in uint64 code space: all ones.
 # Real codes are < 4^k <= 2^64, and hashes may be any uint64, so the
 # sentinel is only used together with an explicit count/mask.
@@ -51,6 +57,10 @@ def _build_base_lut() -> np.ndarray:
     for chars, code in (("Aa", 0), ("Cc", 1), ("Gg", 2), ("TtUu", 3)):
         for ch in chars:
             lut[ord(ch)] = code
+    # '\n' is pack_records' record-separator join byte (it can never
+    # occur inside a sequence line): map it to the distinct RECORD_SEP
+    # so packed buffers carry record boundaries (still invalid >= 4)
+    lut[ord("\n")] = RECORD_SEP
     return lut
 
 

@@ -605,12 +605,36 @@ def _cap_quantum(cap: int, n_shards: int) -> int:
     backend has a pathological compile cliff on mid-size ~2^16..2^20
     sorts, and every novel static shape is a fresh multi-minute AOT
     compile).  On TPU the floor is the validated bucket split across the
-    mesh; elsewhere a small power-of-two floor keeps tests fast."""
-    floor = ((1 << 23) // max(n_shards, 1)
-             if jax.default_backend() == "tpu" else 1024)
+    mesh; elsewhere a small power-of-two floor keeps tests fast.
+
+    Quantum granularity (UNIKMER_TPU_CAP_QUANTUM): padding costs
+    efficiency roughly linearly in the pad factor — pow2's worst-case
+    1.9x pad measured 0.845 -> 0.471 scaling efficiency at d=4 on the
+    virtual mesh (scripts/exp_mesh_quantum.py, 2026-08-20) — so
+    'quarter' steps {1, 1.25, 1.5, 1.75} x 2^i (worst pad 1.25x,
+    expected ~1.12x) are the default off-TPU.  On TPU the default
+    stays 'pow2' until non-power-of-two big sorts have on-chip compile
+    evidence (only pow2 buckets are compile-validated there)."""
+    import os
+
+    on_tpu = jax.default_backend() == "tpu"
+    floor = (1 << 23) // max(n_shards, 1) if on_tpu else 1024
+    mode = os.environ.get("UNIKMER_TPU_CAP_QUANTUM",
+                          "pow2" if on_tpu else "quarter")
     q = floor
     while q < cap:
         q *= 2
+    if mode == "quarter" and q > cap:
+        base = q // 2
+        if base >= floor:
+            for frac in (5, 6, 7):  # 1.25x, 1.5x, 1.75x of the octave
+                cand = base * frac // 4
+                if cand >= cap:
+                    return cand
+    elif mode == "half" and q > cap:
+        base = q // 2
+        if base >= floor and base + base // 2 >= cap:
+            return base + base // 2
     return q
 
 
