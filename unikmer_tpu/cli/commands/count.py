@@ -79,11 +79,6 @@ def run(args) -> int:
     if args.syncmer_impl == "compat":
         if args.syncmer_s <= 0:
             die("flag --syncmer-impl=compat requires -S/--syncmer-s")
-        from ...models.count_host import supported as _host_supported
-
-        if not _host_supported(k, hashed, args.scale, 0, args.syncmer_s):
-            die("--syncmer-impl=compat needs the native host engine "
-                "(libunikit_native.so); it has no device twin")
     if args.unique and args.repeated:
         die("flag -u/--unique and -d/--repeated are not compatible")
     if args.linear and args.sort:
@@ -127,6 +122,7 @@ def run(args) -> int:
             scale=args.scale,
             minimizer_w=args.minimizer_w,
             syncmer_s=args.syncmer_s,
+            syncmer_impl=args.syncmer_impl,
             circular=args.circular,
             mode=mode,
         )
@@ -172,21 +168,29 @@ def run(args) -> int:
         and all(_native_ingest_ok(f) for f in files)
     )
     compat_syncmer = args.syncmer_impl == "compat" and args.syncmer_s > 0
-    # the compat rule exists only in the native host kernel: force host
-    # routing (size caps don't apply — there is no device fallback)
+    if compat_syncmer:
+        # the native loader's packed buffers lack the RECORD_SEP bytes
+        # the compat device twin segments by (ops/sketch)
+        use_packed_ingest = False
+    compat_gap_n = 1
+    if compat_syncmer:
+        from ...ops.sketch import compat_gap
+
+        compat_gap_n = compat_gap(k, args.syncmer_s)
+    # prefer the native host kernel for compat (the original
+    # reconstruction); the device twin (round 4) is the fallback and
+    # the only -T route
     host_ok = compat_syncmer or _host_count_wanted(files, k, hashed, args)
     if args.parse_taxid and (args.minimizer_w > 0 or args.syncmer_s > 0):
         # the host taxid engine has no sketch kernels (sketch_emit
         # returns hashes without positions, so per-record taxids can't
         # be assigned); only the device path handles -T with -W/-S
-        if compat_syncmer:
-            die("--syncmer-impl=compat does not support -T/--parse-taxid")
         host_ok = False
 
     def pack_all():
         if use_packed_ingest:
             return pack_files(files, k, args.circular)
-        return pack_records(records(), k, args.circular)
+        return pack_records(records(), k, args.circular, gap=compat_gap_n)
 
     def packed_stream():
         # native fused ingest per file, falling back to bounded record
@@ -199,7 +203,8 @@ def run(args) -> int:
         for f in files:
             if opt.verbose:
                 log.info(f"reading sequence file: {f}")
-            part = _try_native_load(f, k, args.circular)
+            part = (None if compat_syncmer
+                    else _try_native_load(f, k, args.circular))
             if part is not None:
                 b, s, ln, _ = part
                 yield PackedSeqs(b, s, ln)
@@ -209,10 +214,12 @@ def run(args) -> int:
                 buf.append(rec)
                 size += len(rec.seq)
                 if size >= chunk:
-                    yield pack_records(buf, k, args.circular)
+                    yield pack_records(buf, k, args.circular,
+                                       gap=compat_gap_n)
                     buf, size = [], 0
             if buf:
-                yield pack_records(buf, k, args.circular)
+                yield pack_records(buf, k, args.circular,
+                                   gap=compat_gap_n)
 
     if (
         opt.mesh >= 1
@@ -316,8 +323,8 @@ def run(args) -> int:
                                         args.scale, args.minimizer_w,
                                         args.syncmer_s, args.syncmer_impl)
                 if codes is None:
-                    if compat_syncmer:
-                        die("--syncmer-impl=compat failed on the host engine")
+                    # incl. compat over the host cap: the device twin
+                    # (ops/sketch.syncmer_compat_windows) takes over
                     from ...models.count import count_linear
 
                     codes = count_linear(packed, make_cfg())
@@ -331,9 +338,10 @@ def run(args) -> int:
 
         taxdb = load_taxonomy(opt.data_dir, verbose=opt.verbose)
         res = None
-        if opt.mesh >= 1:
+        if opt.mesh >= 1 and not compat_syncmer:
             # count -T --mesh: sharded packed-key build with the tiered
             # vocabulary LCA; falls through on admission decline
+            # (compat syncmer is record-scoped, not halo-shardable)
             _ensure_device_env()
             import jax
 
@@ -381,8 +389,6 @@ def run(args) -> int:
             codes = count_host(packed, k, canonical, mode, hashed,
                                args.scale, args.minimizer_w,
                                args.syncmer_s, args.syncmer_impl)
-        if codes is None and compat_syncmer:
-            die("--syncmer-impl=compat failed on the host engine")
         if codes is not None:
             out, _ = out_binary_stream(out_file)
             with unik.UnikWriter(

@@ -39,6 +39,7 @@ class CountConfig:
     scale: int = 1
     minimizer_w: int = 0
     syncmer_s: int = 0
+    syncmer_impl: str = "edgar"  # edgar | compat (DIVERGENCES.md §2)
     circular: bool = False
     mode: str = "distinct"  # distinct | unique | repeated
 
@@ -59,7 +60,28 @@ class CountConfig:
         sketched records must stay whole."""
         return self.minimizer_w == 0 and self.syncmer_s == 0
 
+    @property
+    def needs_record_sep(self) -> bool:
+        """The compat syncmer's device twin needs RECORD_SEP-delimited
+        packing with widened gaps (ops/sketch.syncmer_compat_windows):
+        its per-record truncation + fill semantics cannot be derived
+        from the validity mask alone, so such configs must skip the
+        2-bit ingress pack (which erases the separator value)."""
+        return self.syncmer_s > 0 and self.syncmer_impl == "compat"
+
+    @property
+    def record_gap(self) -> int:
+        """Separator-run length pack_records must use for this config."""
+        if not self.needs_record_sep:
+            return 1
+        from ..ops.sketch import compat_gap
+
+        return compat_gap(self.k, self.syncmer_s)
+
     def __post_init__(self):
+        if self.syncmer_s == 0 and self.syncmer_impl != "edgar":
+            # normalize so config equality/jit caches aren't fragmented
+            object.__setattr__(self, "syncmer_impl", "edgar")
         if self.k > codec.MAX_K_ENCODED and not self.hashed:
             object.__setattr__(self, "hashed", True)
         if self.scale > 1 and not self.hashed:
@@ -88,6 +110,10 @@ def window_codes(bases: jnp.ndarray, cfg: CountConfig):
 
         return minimizer_windows(bases, k, cfg.minimizer_w)
     if cfg.syncmer_s > 0:
+        if cfg.syncmer_impl == "compat":
+            from ..ops.sketch import syncmer_compat_windows
+
+            return syncmer_compat_windows(bases, k, cfg.syncmer_s)
         from ..ops.sketch import syncmer_windows
 
         return syncmer_windows(bases, k, cfg.syncmer_s)
@@ -420,8 +446,10 @@ def count_step_ingress(bases: np.ndarray, cfg: CountConfig):
     stays on device.  ``bases`` must already be padded (pad_bases)."""
     import os
 
-    if jax.default_backend() != "cpu" and (
-        os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
+    if (
+        jax.default_backend() != "cpu"
+        and os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0"
+        and not cfg.needs_record_sep  # 2-bit pack erases RECORD_SEP
     ):
         _warm_device_session()
         packed2, validmask = pack_bases_2bit(bases)
@@ -740,7 +768,8 @@ def parse_taxid_records(records, cfg: CountConfig, re_taxid):
                 f"failed to parse taxid {m.group(1)!r} in header: "
                 f"{rec.name.decode()}"
             )
-    packed = pack_records(records, cfg.k, cfg.circular)
+    packed = pack_records(records, cfg.k, cfg.circular,
+                          gap=cfg.record_gap)
     # records shorter than k were dropped by the packer: align taxids
     if packed.n_records != len(records):
         kept = [i for i, rec in enumerate(records) if len(rec.seq) >= cfg.k]
@@ -1242,6 +1271,10 @@ class _GroupedCounter:
         target = self.B
         if dual and os.environ.get("UNIKMER_TPU_DUAL_MULTI") != "1":
             target = 1
+        if cfg.needs_record_sep:
+            # multi-bucket grouping rides the 2-bit ingress pack, which
+            # erases the RECORD_SEP bytes the compat syncmer needs
+            target = 1
         if len(group) >= target:
             self._dispatch(key)
 
@@ -1295,7 +1328,8 @@ def count_stream(records, cfg: CountConfig,
         nonlocal buf, buffered
         if not buf:
             return
-        packed = pack_records(buf, cfg.k, cfg.circular)
+        packed = pack_records(buf, cfg.k, cfg.circular,
+                              gap=cfg.record_gap)
         buf = []
         buffered = 0
         # split_packed bounds every piece even when one record alone

@@ -41,13 +41,12 @@ def _windows(packed, k, canonical, hashed, scale,
     if minimizer_w > 0 or syncmer_s > 0:
         # sketch kernels materialize keyed hash arrays (~17-26 B/base vs
         # 8 for plain windows): route to the device streaming path at a
-        # quarter of the plain-window cap.  The compat syncmer exists
-        # ONLY here (no device twin), so it ignores the cap.
+        # quarter of the plain-window cap
         import os
 
         cap = int(os.environ.get("UNIKMER_TPU_HOST_COUNT_MAX_BASES",
                                  str(1 << 28))) // 4
-        if packed.bases.size > cap and syncmer_impl != "compat":
+        if packed.bases.size > cap:
             return None
         if minimizer_w > 0:
             kind = "minimizer"
@@ -55,8 +54,26 @@ def _windows(packed, k, canonical, hashed, scale,
             kind = "syncmer_compat"
         else:
             kind = "syncmer"
-        codes = native.sketch_emit(packed.bases, k,
-                                   minimizer_w or syncmer_s, kind)
+        if kind == "syncmer_compat":
+            # per-RECORD kernel calls: the compat truncation + fill
+            # semantics are record-scoped (the reference's per-record
+            # iterator model; the device twin in ops/sketch segments
+            # the same way).  Slices may carry trailing separator
+            # bytes — the kernel is invariant to them (tested).
+            ends = np.append(packed.starts[1:],
+                             np.int64(len(packed.bases)))
+            parts = [
+                native.sketch_emit(
+                    packed.bases[int(a):int(b)], k, syncmer_s, kind)
+                for a, b in zip(packed.starts, ends)
+            ]
+            if any(p is None for p in parts):
+                return None
+            codes = (np.concatenate(parts) if parts
+                     else np.zeros(0, np.uint64))
+        else:
+            codes = native.sketch_emit(packed.bases, k,
+                                       minimizer_w or syncmer_s, kind)
         if codes is not None and scale > 1:
             # scaled filter applies to the emitted sketch stream
             # (models/count.linear_codes_step; count.go:373-375)

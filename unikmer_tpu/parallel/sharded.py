@@ -848,6 +848,10 @@ def mesh_count_taxids(packed, rec_taxids: np.ndarray, taxdb,
         code_bits = int(scaled_max_hash(cfg.scale)).bit_length()
     else:
         code_bits = 64
+    if cfg.needs_record_sep:
+        # compat syncmer emission is record-scoped (fills depend on the
+        # whole record), not halo-shardable
+        return None
     plan = device_lca_plan(taxdb, rec_taxids)
     if plan is None:
         return None
