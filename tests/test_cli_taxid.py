@@ -288,12 +288,16 @@ def test_count_parse_taxid_with_sketch_routes_device(tmp_path, fa, rng):
     assert set(np.asarray(taxids).tolist()) == {562}
 
 
-def test_count_compat_syncmer_rejects_parse_taxid(tmp_path, fa, rng):
+def test_count_compat_syncmer_accepts_parse_taxid(tmp_path, fa, rng):
+    # round 4: the compat syncmer grew a device twin
+    # (ops/sketch.syncmer_compat_windows), so -T now routes through the
+    # device sketch path instead of being rejected (exact LCA-merge
+    # parity: tests/test_syncmer_compat_device.py::test_cli_compat_taxid)
     path = fa("one2.fa", [("r1 taxid|562", random_dna(rng, 500).decode())])
     assert cli([
         "count", "-k", 21, "-S", 11, "--syncmer-impl", "compat",
         path, "-o", tmp_path / "x", "-T", "-r", r"taxid\|(\d+)",
-    ]) != 0
+    ]) == 0
 
 
 def test_union_taxids_device_matches_host(tmp_path, fa, rng):

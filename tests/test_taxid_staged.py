@@ -222,3 +222,25 @@ def test_staged_overflow_fallback_reruns_stage3_only(rng, monkeypatch):
     want_c, want_t = taxdb.lca_reduce(codes, taxids)
     np.testing.assert_array_equal(got[0], want_c)
     np.testing.assert_array_equal(got[1], want_t)
+
+
+def test_stage2_split_matches_fused(rng, monkeypatch):
+    """UNIKMER_TPU_TAXID_STAGE2_SPLIT=1 (the 4-program compile bisect
+    mode) must be byte-identical to the fused stage-2 program."""
+    import numpy as np
+
+    from unikmer_tpu.ops.device_sets import union_taxids_device
+    from unikmer_tpu.taxonomy.taxdump import load_taxonomy
+
+    taxdb = load_taxonomy(TAXDUMP)
+    codes = rng.integers(0, 1 << 40, 3000, dtype=np.uint64)
+    codes[::7] = codes[0]  # collisions to merge
+    taxids = rng.choice(np.asarray([511145, 585057, 562, 349741],
+                                   np.uint32), 3000)
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_STAGE2_SPLIT", raising=False)
+    want = union_taxids_device([codes], [taxids], taxdb, code_bits=40)
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGE2_SPLIT", "1")
+    got = union_taxids_device([codes], [taxids], taxdb, code_bits=40)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[1], got[1])

@@ -339,11 +339,21 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
     collapse graph the staging exists to avoid (it compile-starves on
     tpu)."""
     from ..models.count import phase_watchdog
-    from ..taxonomy.lca import lca_rounds_staged
+    from ..taxonomy.lca import (
+        lca_keep_mask_only, lca_merge_rounds_only, lca_rounds_staged,
+    )
 
-    with phase_watchdog(f"{phase} staged rounds (stage 2/3)"):
-        s_codes, tax, keep = lca_rounds_staged(
-            skey, lca_tab, rounds, ib, kind, mode, threshold)
+    if os.environ.get("UNIKMER_TPU_TAXID_STAGE2_SPLIT") == "1":
+        # 4-program bisect mode: if the fused stage-2 program starves
+        # the AOT compiler, these two watchdogs name the guilty half
+        with phase_watchdog(f"{phase} staged merge rounds (stage 2a)"):
+            tax = lca_merge_rounds_only(skey, lca_tab, rounds, ib, kind)
+        with phase_watchdog(f"{phase} staged keep mask (stage 2b)"):
+            s_codes, keep = lca_keep_mask_only(skey, ib, mode, threshold)
+    else:
+        with phase_watchdog(f"{phase} staged rounds (stage 2/3)"):
+            s_codes, tax, keep = lca_rounds_staged(
+                skey, lca_tab, rounds, ib, kind, mode, threshold)
     with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
         res = _staged_egress(s_codes, tax, keep, z_out, wide)
 

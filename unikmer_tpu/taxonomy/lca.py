@@ -295,16 +295,42 @@ def lca_collapse_compact(codes, ctax, valid, lca_tab, rounds: int,
     return s_codes, tax, keep, s_valid
 
 
+def _sorted_run_starts(s_codes):
+    """(idx, first mask, run-start scan) for a sorted code array."""
+    n = s_codes.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    return idx, first, start
+
+
+def _run_valid_counts(s_codes, s_valid, idx, first, start):
+    """Valid-members-per-run via cumsum over run bounds."""
+    n = s_codes.shape[0]
+    v = s_valid.astype(jnp.int32)
+    csum = jnp.cumsum(v)
+    last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
+    end = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
+    )[::-1]
+    return csum[end - 1] - csum[start] + v[start]
+
+
 def _collapse_from_sorted(s_codes, tax, s_valid, tab, rounds: int,
                           kind: str):
     """Merge rounds + run accounting over an ALREADY-SORTED collapse:
     the shared back half of lca_collapse_compact / lca_collapse_paths
     and the body of the staged stage-2 program (lca_rounds_staged).
     Returns (merged ids, first mask, valid-members-per-run)."""
+    idx, first, start = _sorted_run_starts(s_codes)
+    out = _merge_rounds(s_codes, tax, idx, start, tab, rounds, kind)
+    run_valid = _run_valid_counts(s_codes, s_valid, idx, first, start)
+    return out, first, run_valid
+
+
+def _merge_rounds(s_codes, tax, idx, start, tab, rounds: int, kind: str):
+    """The doubling LCA merge rounds alone (no run accounting)."""
     n = s_codes.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
     eff_rounds = min(rounds, max(n.bit_length() - 1, 1))
 
     # fori_loop with a TRACED doubling distance, not a Python-unrolled
@@ -350,15 +376,37 @@ def _collapse_from_sorted(s_codes, tax, s_valid, tab, rounds: int,
             P[idx, jnp.maximum(depth_cnt - 1, 0)],
             jnp.int32(0),
         )
-    # any valid member in the run? (cumsum difference over run bounds)
-    v = s_valid.astype(jnp.int32)
-    csum = jnp.cumsum(v)
-    last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
-    end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
-    )[::-1]
-    run_valid = csum[end - 1] - csum[start] + v[start]
-    return out, first, run_valid
+    return out
+
+
+@partial(jax.jit, static_argnames=("rounds", "ib", "kind"))
+def lca_merge_rounds_only(skey, tab, rounds: int, ib: int, kind: str):
+    """Stage 2a of the 4-program taxid collapse
+    (UNIKMER_TPU_TAXID_STAGE2_SPLIT): ONLY the doubling merge rounds.
+    Exists to bisect a stage-2 compile starvation on the chip — if the
+    fused rounds+accounting program starves, running 2a and 2b as
+    separate programs names the half the AOT helper chokes on."""
+    s_codes, tax, _ = unpack_collapse_key(skey, ib)
+    idx, _, start = _sorted_run_starts(s_codes)
+    return _merge_rounds(s_codes, tax, idx, start, tab, rounds, kind)
+
+
+@partial(jax.jit, static_argnames=("ib", "mode", "threshold"))
+def lca_keep_mask_only(skey, ib: int, mode: str = "all",
+                       threshold: int = 1):
+    """Stage 2b of the 4-program taxid collapse: run accounting +
+    multiplicity/threshold predicates (no table, no fori_loop)."""
+    s_codes, _, s_valid = unpack_collapse_key(skey, ib)
+    idx, first, start = _sorted_run_starts(s_codes)
+    run_valid = _run_valid_counts(s_codes, s_valid, idx, first, start)
+    keep = first & (run_valid > 0)
+    if mode == "unique":
+        keep = keep & (run_valid == 1)
+    elif mode == "repeated":
+        keep = keep & (run_valid > 1)
+    if threshold > 1:
+        keep = keep & (run_valid >= threshold)
+    return s_codes, keep
 
 
 @partial(jax.jit, static_argnames=("rounds", "ib", "kind", "mode",
