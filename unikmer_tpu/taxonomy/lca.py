@@ -337,16 +337,26 @@ def _merge_rounds(s_codes, tax, idx, start, tab, rounds: int, kind: str):
     # loop: 20+ unrolled gather/scan rounds blow the remote compile
     # helper's memory (SIGKILLed at 2^23/2^24, BENCH_NOTES round-3);
     # one loop body compiles like any other small graph.  i32 loop
-    # carry only (Mosaic i64 guard, CLAUDE.md).
+    # carry only (Mosaic i64 guard, CLAUDE.md).  The shift-by-d reads
+    # (tax[i+d], start[i+d]) are CONTIGUOUS dynamic_slices of padded
+    # buffers, not gathers with traced index vectors — big-array
+    # gathers inside a While body are a prime compile-starvation
+    # suspect on this backend's AOT pipeline.
+    start2 = jnp.concatenate([start, jnp.full((n,), jnp.int32(-1))])
+
+    def shifted_start(d):
+        # start[i+d], -1 past the end (never equal to a real start)
+        return jax.lax.dynamic_slice(start2, (d,), (n,))
+
     if kind == "table":
         c = tab.shape[0]
         flat = tab.reshape(-1)
 
         def round_body(r, tax):
             d = jnp.int32(1) << r
-            j = jnp.minimum(idx + d, jnp.int32(n - 1))
-            shifted = jnp.where(idx + d < n, tax[j], 0)
-            same_run = (idx + d < n) & (start[j] == start)
+            padded = jnp.concatenate([tax, jnp.zeros((n,), tax.dtype)])
+            shifted = jax.lax.dynamic_slice(padded, (d,), (n,))
+            same_run = shifted_start(d) == start
             merged = flat[tax * c + shifted]
             return jnp.where(same_run, merged, tax)
 
@@ -357,10 +367,11 @@ def _merge_rounds(s_codes, tax, idx, start, tab, rounds: int, kind: str):
 
         def round_body(r, P):
             d = jnp.int32(1) << r
-            j = jnp.minimum(idx + d, jnp.int32(n - 1))
-            in_range = idx + d < n
-            Pq = jnp.where(in_range[:, None], P[j], jnp.int32(-1))
-            same_run = in_range & (start[j] == start)
+            padded = jnp.concatenate(
+                [P, jnp.full((n, P.shape[1]), jnp.int32(-1))])
+            Pq = jax.lax.dynamic_slice(padded, (d, jnp.int32(0)),
+                                       (n, P.shape[1]))
+            same_run = shifted_start(d) == start
             # meet = common prefix; empty path (taxid 0) is the identity
             diverged = jnp.cumsum((P != Pq).astype(jnp.int32), axis=1) > 0
             merged = jnp.where(diverged, jnp.int32(-1), P)
