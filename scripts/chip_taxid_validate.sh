@@ -48,15 +48,28 @@ UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu count -k 23 -K -s \
   "$T/mini2.fa" -o "$T/mini2.k23" -t 511145
 UNIKMER_TPU_DEVICE_TAXID=0 bin/unikmer-tpu union \
   "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_host"
+MH=$(bin/unikmer-tpu view -t "$T/mini_host.unik" | md5sum | cut -d' ' -f1)
+# 4-program bisect mode FIRST (stage 2 split into merge-rounds /
+# keep-mask): if a stage starves the AOT compiler, the per-stage
+# watchdogs name the exact program — the 2026-08-20 21:22 session lost
+# 42 min to the FUSED stage-2 compile and had to be killed blind.
 t0=$SECONDS
-# ingress compression off for the mini: the smallest possible program
-# isolates the collapse's compile cost from the ingress subgraphs
+UNIKMER_TPU_DEVICE_TAXID=1 UNIKMER_TPU_COMPRESS_TAXID_INGRESS=0 \
+  UNIKMER_TPU_TAXID_STAGE2_SPLIT=1 \
+  python -m unikmer_tpu.cli.main union --verbose \
+  "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_dev_split" \
+  2> "$T/mini_dev_split.log" || { tail -30 "$T/mini_dev_split.log"; exit 1; }
+echo "mini device union (stage2-split) wall: $((SECONDS - t0)) s"
+MS=$(bin/unikmer-tpu view -t "$T/mini_dev_split.unik" | md5sum | cut -d' ' -f1)
+[ "$MH" = "$MS" ] && echo "MINI-UNION-SPLIT: EXACT" \
+  || { echo "MINI-UNION-SPLIT: MISMATCH ($MH vs $MS)"; exit 1; }
+t0=$SECONDS
+# then the production default (fused stage 2)
 UNIKMER_TPU_DEVICE_TAXID=1 UNIKMER_TPU_COMPRESS_TAXID_INGRESS=0 \
   python -m unikmer_tpu.cli.main union --verbose \
   "$T/mini1.k23.unik" "$T/mini2.k23.unik" -s -o "$T/mini_dev" \
   2> "$T/mini_dev.log" || { tail -30 "$T/mini_dev.log"; exit 1; }
 echo "mini device union wall: $((SECONDS - t0)) s"
-MH=$(bin/unikmer-tpu view -t "$T/mini_host.unik" | md5sum | cut -d' ' -f1)
 MD=$(bin/unikmer-tpu view -t "$T/mini_dev.unik" | md5sum | cut -d' ' -f1)
 [ "$MH" = "$MD" ] && echo "MINI-UNION: EXACT" \
   || { echo "MINI-UNION: MISMATCH ($MH vs $MD)"; exit 1; }
