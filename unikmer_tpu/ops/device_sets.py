@@ -74,11 +74,10 @@ def common(sets: jnp.ndarray, threshold: int, code_bits: int = 64):
     merged = _sort_u64(sets.reshape(-1), code_bits=code_bits)
     first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
     idx = jnp.arange(merged.shape[0], dtype=jnp.int64)
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    start = jax.lax.cummax(jnp.where(first, idx, 0))
     last = jnp.concatenate([merged[1:] != merged[:-1], jnp.ones((1,), bool)])
-    end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx + 1, merged.shape[0])[::-1]
-    )[::-1]
+    end = jax.lax.cummin(jnp.where(last, idx + 1, merged.shape[0]),
+                         reverse=True)
     count = end - start
     keep = first & (merged != SENT) & (count >= threshold)
     return _compact_mask(merged, keep)

@@ -131,10 +131,13 @@ def _run_bounds(s_codes: jnp.ndarray):
     idx = jnp.arange(n, dtype=jnp.int64)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
-    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
-    end_rev = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
-    )[::-1]
+    # lax.cummax/cummin are single HLO ops; jax.lax.associative_scan
+    # hand-builds ~log2(n) unrolled big-tensor slice/concat stages,
+    # which starve this backend's remote AOT compiler (BENCH_NOTES
+    # round-4 session A: the scan-free sort stage compiled in <2 min
+    # while the scan-bearing collapse stage starved >42 min)
+    start_idx = jax.lax.cummax(jnp.where(first, idx, 0))
+    end_rev = jax.lax.cummin(jnp.where(last, idx + 1, n), reverse=True)
     return first, start_idx, end_rev
 
 

@@ -91,9 +91,7 @@ def lca_collapse_device(codes, taxids, valid, parent, depth,
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
     # run start per element (cummax of masked index)
-    start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idx, 0)
-    )
+    start = jax.lax.cummax(jnp.where(first, idx, 0))
     tax = jnp.where(s_valid, s_tax, 0)
     for r in range(rounds):
         d = 1 << r
@@ -300,7 +298,8 @@ def _sorted_run_starts(s_codes):
     n = s_codes.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s_codes[1:] != s_codes[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(first, idx, 0))
+    # cummax, NOT associative_scan: see ops/sort._run_bounds comment
+    start = jax.lax.cummax(jnp.where(first, idx, 0))
     return idx, first, start
 
 
@@ -310,9 +309,7 @@ def _run_valid_counts(s_codes, s_valid, idx, first, start):
     v = s_valid.astype(jnp.int32)
     csum = jnp.cumsum(v)
     last = jnp.concatenate([s_codes[1:] != s_codes[:-1], jnp.ones((1,), bool)])
-    end = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(last, idx + 1, n)[::-1]
-    )[::-1]
+    end = jax.lax.cummin(jnp.where(last, idx + 1, n), reverse=True)
     return csum[end - 1] - csum[start] + v[start]
 
 
