@@ -76,6 +76,19 @@ def main():
     t4, o4 = run("repeated dual B=1", "repeated", "1", "1")
     assert np.array_equal(o3, o4), "DUAL MISMATCH"
     print(f"# repeated speedup dual(B=1): {t3/t4:.3f}x", flush=True)
+    # STAGED dual at B=2 (round 4): the 2-program split at the sorted
+    # boundary dodges the monolithic dual graph that SIGKILLed the
+    # helper; UNIKMER_TPU_DUAL_MULTI=1 lets dual groups form, the
+    # staged route engages automatically (non-cpu default)
+    os.environ["UNIKMER_TPU_DUAL_MULTI"] = "1"
+    try:
+        run("warm dual staged B=2", "repeated", "2", "1", pieces=2)
+        t5, o5 = run("repeated dual stagedB2", "repeated", "2", "1")
+        assert np.array_equal(o3, o5), "DUAL STAGED MISMATCH"
+        print(f"# repeated speedup dual staged B=2 vs 2-dispatch: "
+              f"{t3/t5:.3f}x", flush=True)
+    finally:
+        del os.environ["UNIKMER_TPU_DUAL_MULTI"]
 
 
 if __name__ == "__main__":
