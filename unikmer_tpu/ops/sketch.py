@@ -179,14 +179,12 @@ def syncmer_compat_windows(bases: jnp.ndarray, k: int, s: int):
 
     # record scans (plain, unsegmented — see docstring):
     seg_start = jax.lax.cummax(jnp.where(sep, idx + 1, jnp.int64(0)))
-    next_sep = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(sep, idx, jnp.int64(n))))
-    )
+    next_sep = jax.lax.cummin(jnp.where(sep, idx, jnp.int64(n)),
+                              reverse=True)
     lb = jax.lax.cummax(jnp.where(mark, idx, jnp.int64(-1)))
     lb_eff = jnp.where(lb >= seg_start, lb, jnp.int64(-1))
-    nm = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(mark, idx, jnp.int64(n))))
-    )
+    nm = jax.lax.cummin(jnp.where(mark, idx, jnp.int64(n)),
+                        reverse=True)
     nm_strict = jnp.concatenate([nm[1:], jnp.full((1,), jnp.int64(n))])
 
     # head fills: before the record's first base (no base yet), at
