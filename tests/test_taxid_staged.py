@@ -208,8 +208,11 @@ def test_staged_overflow_fallback_reruns_stage3_only(rng, monkeypatch):
     taxids = vocab[rng.integers(0, len(vocab), len(codes))]
     monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
     monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", "1")
-    # any n_exc now "overflows": fetch_taxid_result takes raw_fn
-    monkeypatch.setattr(count_mod, "_MAX_EXC", -1)
+    # any n_exc now "overflows": fetch_taxid_result takes raw_fn.
+    # Patch the FETCH-time limit only — patching _MAX_EXC itself breaks
+    # re-tracing (shape (-1,)) whenever the suite's VMA guard has
+    # cleared the jit caches before this test runs.
+    monkeypatch.setattr(count_mod, "_exc_overflow_limit", lambda: -1)
 
     def boom(*a, **k):  # the monolith must NOT be dispatched
         raise AssertionError("monolithic collapse dispatched from "

@@ -220,6 +220,14 @@ def unpack_bases_2bit(packed2: jnp.ndarray, validmask: jnp.ndarray, n: int):
 _MAX_EXC = 1 << 16
 
 
+def _exc_overflow_limit() -> int:
+    """Fetch-time overflow threshold for the compressed-egress
+    exception lists.  Separate from the trace-time _MAX_EXC buffer size
+    so tests can force the overflow fallback without poisoning
+    re-traces (the suite's VMA guard clears jit caches mid-run)."""
+    return _MAX_EXC
+
+
 def _compress_result(out, n):
     idx = jnp.arange(out.shape[0], dtype=jnp.int64)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.uint64), out[:-1]])
@@ -560,7 +568,7 @@ def count_packed_fetch(token) -> np.ndarray:
         _, out, n = token
         return np.asarray(out[: _fetch_scalar_watchdog(n)])
     _, (small, exc_idx, exc_val, n_exc, n), bases, cfg = token
-    if _fetch_scalar_watchdog(n_exc) > _MAX_EXC:  # huge deltas: raw fetch
+    if _fetch_scalar_watchdog(n_exc) > _exc_overflow_limit():  # huge deltas
         out, nn = count_step(bases, cfg)
         return np.asarray(out[: int(nn)])
     return _decode_packed_result(small, exc_idx, exc_val, n_exc, n)
@@ -697,7 +705,7 @@ def fetch_taxid_result(z, raw_fn, closure):
     uncompressed re-run fallback for exception-list overflow (mirrors
     count_packed_fetch)."""
     small, exc_idx, exc_val, n_exc, n, t16 = z
-    if _fetch_scalar_watchdog(n_exc) > _MAX_EXC:
+    if _fetch_scalar_watchdog(n_exc) > _exc_overflow_limit():
         out_c, out_t, nn = raw_fn()
         nn = _fetch_scalar_watchdog(nn)
         return (np.asarray(out_c[:nn]),
@@ -1191,7 +1199,7 @@ def count_packed_fetch_group(token, pieces, cfg: CountConfig):
         ne = np.asarray(n_exc)
         counts = np.asarray(nn)
         for i in range(B):
-            if ne[i] > _MAX_EXC:
+            if ne[i] > _exc_overflow_limit():
                 outs.append(count_packed_fetch(
                     count_packed_dispatch(pieces[i], cfg)))
                 continue
@@ -1216,7 +1224,8 @@ def _fetch_group_dual(token, pieces, cfg: CountConfig):
         ned_a, ner_a = np.asarray(ned), np.asarray(ner)
         nnd_a, nnr_a = np.asarray(nnd), np.asarray(nnr)
         for i in range(B):
-            if ned_a[i] > _MAX_EXC or ner_a[i] > _MAX_EXC:
+            if (ned_a[i] > _exc_overflow_limit()
+                    or ner_a[i] > _exc_overflow_limit()):
                 # overflow: per-piece single-path re-run of both modes
                 import dataclasses
 

@@ -1078,6 +1078,10 @@ int32_t radix_sort_u64_u64(uint64_t* keys, uint64_t* vals, int64_t n,
 namespace {
 
 constexpr uint8_t kInvalid = 0xFF;
+// Distinct record-separator byte between records in packed buffers
+// (ops/codec.RECORD_SEP): still invalid (>= 4) to every window kernel,
+// but lets segment-aware sketches distinguish boundaries from Ns.
+constexpr uint8_t kRecordSep = 0xFE;
 
 struct Growable {
     uint8_t* data = nullptr;
@@ -1285,7 +1289,7 @@ FastxPack* fastx_load(const char* path, int64_t k, int32_t circular,
                         (size_t)wrap);
             bases.len += (size_t)wrap;
         }
-        bases.push(kInvalid);
+        bases.push(kRecordSep);
         id_offs.push_back((int64_t)ids.len);
         rec_start = -1;
     };
