@@ -1271,14 +1271,17 @@ class _GroupedCounter:
         key = (cfg, dual, _padded_len(max(len(piece.bases), 1)))
         group = self.pending.setdefault(key, [])
         group.append(piece)
-        # dual groups stay B=1 by default pending chip validation of
-        # the staged split: the MONOLITHIC B>=2 dual graph SIGKILLs the
-        # remote compile helper (oversized; BENCH_NOTES round-3), and
-        # the staged 2-program route (_dual_staged_wanted) that fixes
-        # that mechanism has CPU parity but no on-chip evidence yet.
-        # UNIKMER_TPU_DUAL_MULTI=1 enables grouping (staged when on).
+        # dual groups compose with multi-bucket via the STAGED split
+        # (chip-validated 2026-08-20 session B: B=2 staged dual
+        # compiled and ran byte-exact, 1.045x vs 2-dispatch on a
+        # degraded link).  The MONOLITHIC B>=2 dual graph SIGKILLs the
+        # remote compile helper (BENCH_NOTES round-3), so grouping is
+        # allowed only where the staged route serves it; DUAL_MULTI=0
+        # restores the B=1 cap, =1 forces grouping even unstaged.
         target = self.B
-        if dual and os.environ.get("UNIKMER_TPU_DUAL_MULTI") != "1":
+        knob = os.environ.get("UNIKMER_TPU_DUAL_MULTI", "auto")
+        if dual and (knob == "0"
+                     or (knob == "auto" and not _dual_staged_wanted())):
             target = 1
         if cfg.needs_record_sep:
             # multi-bucket grouping rides the 2-bit ingress pack, which
