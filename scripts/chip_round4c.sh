@@ -8,6 +8,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 T=/tmp/chip_round4c
+export UNIKMER_DB=/root/repo/tests/data/taxdump
 FIX_MD5=4c038832209278840d4d75944b29219c
 mkdir -p "$T"
 
