@@ -127,23 +127,18 @@ class DeviceMembership:
 
 def grep_device_route(n_query: int) -> bool:
     """Should grep route membership through the device?
-    UNIKMER_TPU_GREP_DEVICE: 1 forces (CPU tests), 0 disables, auto =
-    non-cpu backend AND query set >= UNIKMER_TPU_GREP_DEVICE_MIN codes
-    (default 2^23 — below that the host merge-join wins; on the
-    tunnel-attached dev chip the 6 MB/s egress usually keeps this
-    host-bound either way, see docs/BENCH_NOTES.md)."""
+
+    DEMOTED to opt-in (round-4 chip measurement, VERDICT round-3 next
+    #4): on the tunnel-attached chip the tier LOSES to the host
+    searchsorted loop at both probed sizes — query 2^23: 110.4 s vs
+    15.5 s host (7.1x); query 2^25: 179.4 s vs 41.4 s (4.3x) over a
+    2^24-code lookup stream (scripts/exp_grep_chip.py, 2026-08-21).
+    The u64 lookup-block ingress dominates; a PCIe-attached production
+    host may invert this, but there is no evidence yet, so auto = off.
+    UNIKMER_TPU_GREP_DEVICE=1 forces the tier (also used by CPU parity
+    tests); =0 disables explicitly."""
     knob = os.environ.get("UNIKMER_TPU_GREP_DEVICE", "auto")
-    if knob == "0":
-        return False
-    if knob == "1":
-        return True
-    try:
-        if jax.default_backend() == "cpu":
-            return False
-    except Exception:
-        return False
-    return n_query >= int(os.environ.get(
-        "UNIKMER_TPU_GREP_DEVICE_MIN", str(1 << 23)))
+    return knob == "1"
 
 
 def _compact_mask_with(values, aux, keep, aux_fill):
