@@ -182,7 +182,12 @@ def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
     if os.environ.get("UNIKMER_TPU_TAXID_2OP") == "1":
         return True
     if os.environ.get("UNIKMER_TPU_TAXID_SORT") == "split3":
-        return True  # experimental u64-free fallback (_collapse_sort)
+        # opt-in: the u64-free split3 SORT is chip-proven (session C
+        # probe, 2026-08-21: compiled+ran at 2^23), but the FULL
+        # unpackable collapse program (split3 sort + cummax rounds)
+        # has no on-chip compile evidence yet — promote to default
+        # once a chip session validates it end-to-end (round 5)
+        return True
     try:
         return jax.default_backend() != "tpu"
     except Exception:
@@ -246,12 +251,14 @@ def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     payload = jnp.where(
         valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
-    if os.environ.get("UNIKMER_TPU_TAXID_SORT") == "split3":
-        # experimental u64-free fallback: (u32 hi, u32 lo, i32 payload)
-        # num_keys=2 — the u64-OPERAND sorts are what compile-starve
-        # this backend (BENCH_NOTES round-3); whether the all-u32 form
-        # compiles at 2^24 is an open chip probe (ROADMAP round-4 #3).
-        # Invalid slots key to all-ones so they tail-collect.
+    if os.environ.get("UNIKMER_TPU_TAXID_SORT", "split3") != "2op":
+        # DEFAULT u64-free fallback (round 4): (u32 hi, u32 lo,
+        # i32 payload) num_keys=2 — the u64-OPERAND sorts are what
+        # compile-starve this backend (BENCH_NOTES round-3), and the
+        # 2026-08-21 session-C probe compiled+ran this form at 2^23
+        # (exp_split3_probe).  Invalid slots key to all-ones so they
+        # tail-collect.  UNIKMER_TPU_TAXID_SORT=2op restores the old
+        # (u64, i32) num_keys=1 form.
         hi = jnp.where(valid, (codes >> jnp.uint64(32)).astype(jnp.uint32),
                        jnp.uint32(0xFFFFFFFF))
         lo = jnp.where(valid, codes.astype(jnp.uint32),
