@@ -612,15 +612,15 @@ def _cap_quantum(cap: int, n_shards: int) -> int:
     1.9x pad measured 0.845 -> 0.471 scaling efficiency at d=4 on the
     virtual mesh (scripts/exp_mesh_quantum.py, 2026-08-20) — so
     'quarter' steps {1, 1.25, 1.5, 1.75} x 2^i (worst pad 1.25x,
-    expected ~1.12x) are the default off-TPU.  On TPU the default
-    stays 'pow2' until non-power-of-two big sorts have on-chip compile
-    evidence (only pow2 buckets are compile-validated there)."""
+    expected ~1.12x) are the default EVERYWHERE: the 2026-08-21
+    session-C probe compiled and ran non-pow2 sorts at
+    1.25/1.5/1.75 x 2^23 on the chip, EXACT, in 36-48 s each
+    (scripts/exp_nonpow2_probe.py)."""
     import os
 
     on_tpu = jax.default_backend() == "tpu"
     floor = (1 << 23) // max(n_shards, 1) if on_tpu else 1024
-    mode = os.environ.get("UNIKMER_TPU_CAP_QUANTUM",
-                          "pow2" if on_tpu else "quarter")
+    mode = os.environ.get("UNIKMER_TPU_CAP_QUANTUM", "quarter")
     q = floor
     while q < cap:
         q *= 2
