@@ -57,10 +57,13 @@ def _watchdog(seconds: int) -> None:
     signal.alarm(seconds)
 
 
-def _probe_device_ready(tries: int = 20, wait_s: int = 90) -> bool:
+def _probe_device_ready(tries: int = 20, wait_s: int = 90,
+                        counter: dict | None = None) -> bool:
     """The tunnel chip occasionally wedges for a while; probe with a tiny
     op under a short alarm and wait out a transient wedge instead of
-    failing the whole bench run."""
+    failing the whole bench run.  ``counter['n']`` records how many
+    probes failed before success (VERDICT round-4 weak #8: track probe
+    flakiness in the bench JSON)."""
     import os
     import signal
 
@@ -82,6 +85,8 @@ def _probe_device_ready(tries: int = 20, wait_s: int = 90) -> bool:
             signal.signal(signal.SIGALRM, old)
         if ok["v"]:
             return True
+        if counter is not None:
+            counter["n"] = counter.get("n", 0) + 1
         print(
             f"# bench: device probe {attempt + 1}/{tries} failed; "
             f"waiting {wait_s}s (transient tunnel wedge)",
@@ -144,14 +149,16 @@ def _bench_config(name: str, cfg: CountConfig, dev_bases) -> dict:
     }
 
 
-def _bench_stream() -> dict:
+def _bench_stream(pieces: int = 4) -> dict:
     """The production streaming path (count_stream_packed: multi-bucket
     lax.map programs, compressed egress, double buffering) over
     4 x 2^25 bases — the number a real multi-chunk `count` sees."""
     from unikmer_tpu.io.fastx import PackedSeqs
-    from unikmer_tpu.models.count import count_stream_packed
-
-    pieces = 4
+    from unikmer_tpu.models.count import (
+        count_stream_packed,
+        stream_profile_report,
+        stream_profile_reset,
+    )
     rng = np.random.default_rng(20260820)
     # genome-like distinct ratio (unit tiled 64x, distinct ~2^21 <<
     # windows): random bases are ~100% distinct and on this dev tunnel
@@ -168,9 +175,11 @@ def _bench_stream() -> dict:
     out = count_stream_packed([packed], cfg, chunk_bases=SIZE - K)
     warm_first = time.time() - t0
     _watchdog(900)
+    stream_profile_reset()  # attribute the WARM pass only (env-gated)
     t0 = time.time()
     out = count_stream_packed([packed], cfg, chunk_bases=SIZE - K)
     dt = time.time() - t0
+    stream_profile_report(sys.stderr)
     windows = pieces * SIZE
     kps = windows / dt
     print(
@@ -180,11 +189,35 @@ def _bench_stream() -> dict:
         file=sys.stderr,
     )
     return {
-        "metric": "count_streamed_4x2e25",
+        "metric": f"count_streamed_{pieces}x2e25",
         "value": round(kps),
         "unit": "kmers/s",
         "vs_baseline": round(kps / BASELINE_KMERS_PER_SEC, 2),
     }
+
+
+def _bench_staged_taxid_cpu() -> dict | None:
+    """Cheap CPU-side staged-taxid wall-time (subprocess so the cpu
+    platform doesn't fight this process's device backend)."""
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_staged_taxid_cpu.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=600,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"# staged-taxid probe: no JSON (rc={out.returncode}) "
+              f"{out.stderr.strip()[-200:]}", file=sys.stderr)
+    except Exception as e:  # never let a side metric sink the headline
+        print(f"# staged-taxid probe failed: {e!r}", file=sys.stderr)
+    return None
 
 
 def main() -> int:
@@ -193,10 +226,13 @@ def main() -> int:
                     help="also bench the ntHash/scaled/minimizer/syncmer "
                          "pipelines (one JSON line per config)")
     ap.add_argument("--stream", action="store_true",
-                    help="bench the streaming path (multi-bucket "
-                         "programs) instead of the single-batch step")
+                    help="bench ONLY the streaming path (multi-bucket "
+                         "programs) instead of the default suite")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="headline metric only (round-4 behavior)")
     args = ap.parse_args()
-    if not _probe_device_ready():
+    probe_retries = {"n": 0}
+    if not _probe_device_ready(counter=probe_retries):
         print(
             "# bench: device unresponsive after all probe retries",
             file=sys.stderr,
@@ -217,11 +253,30 @@ def main() -> int:
 
     configs = CONFIGS if args.all_configs else CONFIGS[:1]
     results = [_bench_config(name, cfg, dev_bases) for name, cfg in configs]
-    if args.all_configs:
-        for r in results:
-            print(json.dumps(r))
-    else:
-        print(json.dumps(results[0]))  # driver contract: ONE line
+    headline = results[0]
+    headline["probe_retries"] = probe_retries["n"]
+    # Secondary metrics (VERDICT round-4 next #6: the driver bench
+    # should carry the round's evidence, not just the headline).  Each
+    # is best-effort: a failure degrades to the round-4 single-line
+    # behavior.  The headline prints LAST so a driver that parses the
+    # final JSON line still records the flagship number.
+    extras = []
+    if not args.no_extras:
+        del dev_bases
+        try:
+            _watchdog(1800)
+            extras.append(_bench_stream())
+        except Exception as e:
+            print(f"# stream bench failed: {e!r}", file=sys.stderr)
+        st = _bench_staged_taxid_cpu()
+        if st:
+            extras.append(st)
+        _watchdog(300)
+    for r in results[1:]:
+        print(json.dumps(r))
+    for r in extras:
+        print(json.dumps(r))
+    print(json.dumps(headline))  # driver headline: LAST line
     return 0
 
 

@@ -22,6 +22,7 @@ import numpy as np  # noqa: E402
 
 import test_count_host as count_host_parity  # noqa: E402
 import test_fuzz_cli_oracle as cli_oracle  # noqa: E402
+import test_fuzz_dual_multi as dual_multi  # noqa: E402
 import test_fuzz_taxid_oracle as taxid_oracle  # noqa: E402
 
 
@@ -46,7 +47,7 @@ def main(argv):
     total = 0
     for i in range(n):
         for mod, ks in ((cli_oracle, KS), (taxid_oracle, KS_TAXID),
-                        (_ParityMod, KS)):
+                        (_ParityMod, KS), (dual_multi, KS)):
             seed = base + 1000 + i
             k = int(rng.choice(ks))
             tag = f"{mod.__name__} seed={seed:#x} k={k}"

@@ -71,9 +71,12 @@ def test_union_staged_matches_monolith_paths_tier(rng, monkeypatch):
     np.testing.assert_array_equal(staged[1], want_t)
 
 
-def test_union_staged_skipped_when_unpackable(rng, monkeypatch):
+def test_union_staged_unpackable_split3(rng, monkeypatch):
     """code_bits=64 can't pack the id beside the code: the staged gate
-    must fall through to the (CPU-fine) monolith, output unchanged."""
+    now routes through the 3-buffer split3 handoff (round 5, VERDICT
+    round-4 next #2) — byte-identical to the monolith and the host
+    oracle; UNIKMER_TPU_TAXID_SPLIT3_STAGED=0 restores the monolithic
+    fallback, also byte-identical."""
     taxdb = load_taxonomy(TAXDUMP)
     codes = np.unique(rng.integers(0, 1 << 63, 3000).astype(np.uint64))
     taxids = np.full(len(codes), 511145, np.uint32)
@@ -82,6 +85,84 @@ def test_union_staged_skipped_when_unpackable(rng, monkeypatch):
     assert mono is not None and staged is not None
     np.testing.assert_array_equal(staged[0], mono[0])
     np.testing.assert_array_equal(staged[1], mono[1])
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_SPLIT3_STAGED", "0")
+    mono2, staged_off = _union_both_ways(
+        monkeypatch, [codes], [taxids], taxdb, 64, "0")
+    np.testing.assert_array_equal(staged_off[0], mono[0])
+    np.testing.assert_array_equal(staged_off[1], mono[1])
+
+
+@pytest.mark.parametrize("compress", ["0", "1"])
+def test_union_staged_split3_multiset(rng, monkeypatch, compress):
+    """Split3 staged union over full-range hashed codes with real
+    collisions + a mixed vocabulary, vs the host LCA oracle, both
+    egress modes; also pins that stage 1 really took the split3 sort
+    (spy on _staged_sort_raw_split3 / _staged_sort_ingress_split3)."""
+    import unikmer_tpu.ops.device_sets as ds
+
+    taxdb = load_taxonomy(TAXDUMP)
+    vocab = np.array([511145, 585057, 349741, 562, 561], np.uint32)
+    a = rng.integers(0, 1 << 63, 4000, dtype=np.uint64)
+    a[::5] = a[1]  # heavy collision run
+    b = rng.integers(0, 1 << 63, 3000, dtype=np.uint64)
+    b[: 500] = a[: 500]  # cross-set merges
+    ta = vocab[rng.integers(0, len(vocab), len(a))]
+    tb = vocab[rng.integers(0, len(vocab), len(b))]
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", compress)
+    monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_INGRESS", compress)
+    hits = {"n": 0}
+    orig_raw, orig_ing = ds._staged_sort_raw_split3, \
+        ds._staged_sort_ingress_split3
+
+    def spy_raw(*args):
+        hits["n"] += 1
+        return orig_raw(*args)
+
+    def spy_ing(*args):
+        hits["n"] += 1
+        return orig_ing(*args)
+
+    monkeypatch.setattr(ds, "_staged_sort_raw_split3", spy_raw)
+    monkeypatch.setattr(ds, "_staged_sort_ingress_split3", spy_ing)
+    got = ds.union_taxids_device([a, b], [ta, tb], taxdb, code_bits=64)
+    assert got is not None and hits["n"] == 1
+    want_c, want_t = taxdb.lca_reduce(
+        np.concatenate([a, b]), np.concatenate([ta, tb]))
+    np.testing.assert_array_equal(got[0], want_c)
+    np.testing.assert_array_equal(got[1], want_t)
+
+
+@pytest.mark.parametrize("mode", ["distinct", "unique", "repeated"])
+def test_count_taxids_hashed_staged_split3(rng, monkeypatch, mode):
+    """count -T with ntHash (code_bits=64, UNPACKABLE): the staged
+    split3 device route must match the jax-free host oracle for every
+    multiplicity mode (reference: count.go:377-410)."""
+    import re
+
+    from tests.conftest import random_dna
+    from unikmer_tpu.io.fastx import Record
+    from unikmer_tpu.models.count import CountConfig, count_packed_taxids
+
+    taxdb = load_taxonomy(TAXDUMP)
+    shared = random_dna(rng, 350).decode()
+    recs = []
+    for i, t in enumerate((511145, 585057, 349741, 562, 585057)):
+        seq = shared + random_dna(rng, 280 + 37 * i).decode()
+        recs.append(Record(b"r%d taxid|%d" % (i, t), b"", seq.encode()))
+    re_taxid = re.compile(rb"taxid\|(\d+)")
+    cfg = CountConfig(k=31, canonical=True, hashed=True, mode=mode)
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "0")
+    want = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+    monkeypatch.setenv("UNIKMER_TPU_DEVICE_TAXID", "1")
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "1")
+    for compress in ("0", "1"):
+        monkeypatch.setenv("UNIKMER_TPU_COMPRESS_TAXID_FETCH", compress)
+        got = count_packed_taxids(iter(recs), cfg, re_taxid, taxdb)
+        np.testing.assert_array_equal(got[0], want[0],
+                                      err_msg=f"{mode} z={compress}")
+        np.testing.assert_array_equal(got[1], want[1],
+                                      err_msg=f"{mode} z={compress}")
 
 
 @pytest.mark.parametrize("mode", ["distinct", "unique", "repeated"])

@@ -290,7 +290,12 @@ def run(args) -> int:
                         )
                     kept.append(rec)
                     taxid_of.append(int(m.group(1)))
-                packed = pack_records(kept, k, args.circular)
+                # gap=compat_gap_n: the compat syncmer's device twin
+                # needs widened separator runs so vote windows near a
+                # record's end never reach into the next record's
+                # s-mer hashes (round-4 advisor finding)
+                packed = pack_records(kept, k, args.circular,
+                                      gap=compat_gap_n)
                 res = None
                 if host_ok:
                     from ...models.count_host import linear_windows_host

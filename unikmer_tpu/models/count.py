@@ -18,7 +18,7 @@ Modes mirror the reference:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from functools import partial
 
 import jax
@@ -29,6 +29,75 @@ from ..io.fastx import PackedSeqs
 from ..ops import codec
 from ..ops.nthash import nthash_windows, scaled_max_hash
 from ..ops.sort import collapse_sorted
+
+# ---------------------------------------------------------------------
+# Streaming-path phase profiler (UNIKMER_TPU_PROFILE_STREAM=1).
+#
+# The round-4 verdict's top item: the streamed device path delivers
+# 2.96M k-mers/s vs 215.9M device-resident, and nobody measured WHERE
+# the wall-clock goes.  This attributes every streaming phase (host
+# pack, 2-bit ingress, device upload, program dispatch, result sync,
+# decode fetch, host sink merge) with near-zero overhead when off.
+# Reference analog: the Go pipeline's pprof story (count.go:285-439
+# is tuned via goroutine profiles).
+# ---------------------------------------------------------------------
+
+_PROF: dict | None = None
+
+
+def stream_profile_reset() -> None:
+    """Enable (env) + clear the phase table; call before a run."""
+    global _PROF
+    on = os.environ.get("UNIKMER_TPU_PROFILE_STREAM", "0") == "1"
+    _PROF = {} if on else None
+
+
+def stream_profile_table() -> dict:
+    """{phase: (total_s, calls)} accumulated since the last reset."""
+    return {k: tuple(v) for k, v in (_PROF or {}).items()}
+
+
+def stream_profile_report(out=None) -> None:
+    import sys
+
+    if not _PROF:
+        return
+    out = out or sys.stderr
+    total = sum(v[0] for v in _PROF.values())
+    print("# stream profile (exclusive wall per phase):", file=out)
+    for name, (secs, calls) in sorted(_PROF.items(),
+                                      key=lambda kv: -kv[1][0]):
+        print(f"#   {name:<22} {secs:8.3f}s  x{calls:<5} "
+              f"({100 * secs / max(total, 1e-9):5.1f}%)", file=out)
+    print(f"#   {'TOTAL(tracked)':<22} {total:8.3f}s", file=out)
+
+
+class _prof:
+    """Context timer: no-op unless profiling is enabled."""
+
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        if _PROF is not None:
+            import time
+
+            self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _PROF is not None:
+            import time
+
+            e = _PROF.setdefault(self.name, [0.0, 0])
+            e[0] += time.perf_counter() - self.t0
+            e[1] += 1
+        return False
+
+
+stream_profile_reset()
 
 
 @dataclass(frozen=True)
@@ -362,7 +431,8 @@ def _count_step_multi(packed2s, validmasks, cfg: CountConfig, n: int,
 def _decode_packed_result(small, exc_idx, exc_val, n_exc, n):
     n = int(n)
     n_exc = int(n_exc)
-    d = np.asarray(small[:n]).astype(np.uint64)
+    with _prof("fetch.small"):
+        d = np.asarray(small[:n]).astype(np.uint64)
     if n == 0:
         return np.zeros(0, np.uint64)
     with np.errstate(over="ignore"):
@@ -487,6 +557,14 @@ def _warm_device_session() -> None:
     global _session_warm
     if _session_warm or jax.default_backend() == "cpu":
         return
+    with _prof("warmup.session"):
+        _warm_device_session_inner()
+    _session_warm = True
+
+
+def _warm_device_session_inner() -> None:
+    import sys
+    import time
     tries = max(int(os.environ.get("UNIKMER_TPU_WARM_RETRIES", "3")), 1)
     poll_s = float(os.environ.get("UNIKMER_TPU_WARM_RETRY_S", "300"))
     x = None
@@ -520,7 +598,6 @@ def _warm_device_session() -> None:
         )
     # blocking fetch (cheap when ready; watchdog surfaces a dead link)
     _fetch_scalar_watchdog(x)
-    _session_warm = True
 
 
 def count_packed_dispatch(packed: PackedSeqs, cfg: CountConfig):
@@ -663,6 +740,27 @@ def _count_taxids_key_step(bases, pos_ctax, cfg: CountConfig, ib: int):
         valid = valid & (codes <= max_hash)
     return collapse_sort_key(codes, pos_ctax, valid, ib,
                              _taxid_code_bits(cfg))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _count_taxids_split3_step(bases, pos_ctax, cfg: CountConfig):
+    """Staged stage 1/3 for UNPACKABLE count -T configs (ntHash /
+    k>=24 big vocab): encode + split3 sort -> sorted (hi, lo, payload)
+    triple, the 3-buffer handoff to lca_rounds_staged_split3.  No u64
+    sort operand (the compile-starving shape, BENCH_NOTES round-3);
+    reference: count.go:377-410 (ntHash -T is the metagenomics
+    norm)."""
+    from ..taxonomy.lca import collapse_sort_split3
+
+    codes, valid = window_codes(bases, cfg)
+    if cfg.scale > 1 and (cfg.minimizer_w > 0 or cfg.syncmer_s > 0):
+        max_hash = jnp.uint64(scaled_max_hash(cfg.scale))
+        valid = valid & (codes <= max_hash)
+    # validity travels in the PAYLOAD (not the key), so a real
+    # all-ones hash sorting into the invalid tail is still counted by
+    # the run accounting (invalid slots contribute identity taxid 0
+    # and are excluded from run_valid) — no sentinel aliasing
+    return collapse_sort_split3(codes, pos_ctax, valid)
 
 
 @partial(jax.jit, static_argnames=("cfg", "rounds", "mode", "kind"))
@@ -834,14 +932,17 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
     z_out = use_compressed_taxid_fetch(
         _taxid_code_bits(cfg), len(bases), len(closure)
     )
-    if use_staged_taxid_programs() and collapse_sort_packable(
-        _taxid_code_bits(cfg), len(closure)
-    ):
+    from ..taxonomy.lca import staged_split3_wanted
+
+    packable = collapse_sort_packable(_taxid_code_bits(cfg), len(closure))
+    if use_staged_taxid_programs() and (packable or staged_split3_wanted()):
         ib = _id_bits(len(closure))
         wide = len(closure) > 0xFFFF
         with phase_watchdog("count -T staged sort (stage 1/3)"):
             dctax, dtab = jnp.asarray(padded_ctax), jnp.asarray(lca_tab)
-            skey = _count_taxids_key_step(bases, dctax, cfg, ib)
+            skey = (_count_taxids_key_step(bases, dctax, cfg, ib)
+                    if packable else
+                    _count_taxids_split3_step(bases, dctax, cfg))
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide, mode=mode,
             phase="count -T")
@@ -960,11 +1061,10 @@ def _capped_cfgs(cfg: CountConfig):
     capped = cfg.mode in ("unique", "repeated")
     if not capped:
         return cfg, None
-    mk = lambda mode: CountConfig(
-        k=cfg.k, canonical=cfg.canonical, hashed=cfg.hashed,
-        scale=cfg.scale, minimizer_w=cfg.minimizer_w,
-        syncmer_s=cfg.syncmer_s, circular=cfg.circular, mode=mode,
-    )
+    # dataclasses.replace so EVERY field (incl. syncmer_impl) carries
+    # over — a field-by-field rebuild silently reset compat configs to
+    # edgar semantics (round-4 advisor finding).
+    mk = lambda mode: dc_replace(cfg, mode=mode)
     return mk("distinct"), mk("repeated")
 
 
@@ -1047,10 +1147,11 @@ class _PartialSink:
         self.chunks: list[str] = []
 
     def add(self, u: np.ndarray) -> None:
-        self.parts.append(u)
-        self.nbytes += u.nbytes
-        if self.nbytes > self.cap:
-            self._spill()
+        with _prof("sink.add"):
+            self.parts.append(u)
+            self.nbytes += u.nbytes
+            if self.nbytes > self.cap:
+                self._spill()
 
     def _spill(self) -> None:
         import tempfile
@@ -1070,7 +1171,8 @@ class _PartialSink:
     def result(self):
         """np.ndarray (everything fit) or SpilledCount (chunks on disk)."""
         if not self.chunks:
-            return _merge_partials(self.parts, self.cfg)
+            with _prof("sink.merge"):
+                return _merge_partials(self.parts, self.cfg)
         if self.parts:
             self._spill()
         return SpilledCount(self.chunks, self.tmp_dir, self.mode, self.cfg.k)
@@ -1142,13 +1244,20 @@ def _dual_staged_wanted() -> bool:
 
 def _group_stack(pieces):
     """(p2s, vms, n): stacked 2-bit ingress buffers for a group."""
-    bases_list = [pad_bases(p.bases) for p in pieces]
+    with _prof("ingress.pad"):
+        bases_list = [pad_bases(p.bases) for p in pieces]
     n = len(bases_list[0])
     _warm_device_session()
-    packed = [pack_bases_2bit(b) for b in bases_list]
-    p2s = np.stack([p for p, _ in packed])
-    vms = np.stack([v for _, v in packed])
-    return jnp.asarray(p2s), jnp.asarray(vms), n
+    with _prof("ingress.pack2bit"):
+        packed = [pack_bases_2bit(b) for b in bases_list]
+        p2s = np.stack([p for p, _ in packed])
+        vms = np.stack([v for _, v in packed])
+    with _prof("ingress.upload"):
+        dp = jnp.asarray(p2s)
+        dv = jnp.asarray(vms)
+        if _PROF is not None:  # make the upload cost attributable
+            jax.block_until_ready((dp, dv))
+    return dp, dv, n
 
 
 def count_packed_dispatch_group(pieces, cfg: CountConfig):
@@ -1160,7 +1269,8 @@ def count_packed_dispatch_group(pieces, cfg: CountConfig):
     p2s, vms, n = _group_stack(pieces)
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
-    res = _count_step_multi(p2s, vms, cfg, n, z)
+    with _prof("dispatch.program"):
+        res = _count_step_multi(p2s, vms, cfg, n, z)
     return ("multi_z" if z else "multi_raw", res, len(pieces))
 
 
@@ -1169,14 +1279,25 @@ def count_packed_dispatch_group_dual(pieces, cfg: CountConfig):
     yields its distinct AND within-piece repeated set from one sort.
     At B>=2 the staged 2-program split is used (when enabled): the
     monolithic B>=2 dual graph SIGKILLs the remote compile helper."""
+    if cfg.needs_record_sep:
+        # The 2-bit ingress pack erases RECORD_SEP (unpacks to
+        # INVALID_BASE), which the compat syncmer's device twin needs
+        # for its per-record truncation+fill semantics — mirror the
+        # count_step_ingress guard and ship raw bases, one dual
+        # program per piece (round-4 advisor finding).
+        if jax.default_backend() != "cpu":
+            _warm_device_session()
+        toks = [count_step_dual(pad_bases(p.bases), cfg) for p in pieces]
+        return ("dual_sep", toks, len(pieces))
     p2s, vms, n = _group_stack(pieces)
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
-    if len(pieces) >= 2 and _dual_staged_wanted():
-        s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
-        res = _dual_collapse_stage(s_all, nsr, nhead, z)
-    else:
-        res = _count_step_dual_multi(p2s, vms, cfg, n, z)
+    with _prof("dispatch.program"):
+        if len(pieces) >= 2 and _dual_staged_wanted():
+            s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
+            res = _dual_collapse_stage(s_all, nsr, nhead, z)
+        else:
+            res = _count_step_dual_multi(p2s, vms, cfg, n, z)
     return ("dual_z" if z else "dual_raw", res, len(pieces))
 
 
@@ -1189,35 +1310,45 @@ def count_packed_fetch_group(token, pieces, cfg: CountConfig):
     kind = token[0]
     if kind == "one":
         return [count_packed_fetch(token[1])]
-    if kind in ("dual_z", "dual_raw"):
+    if kind in ("dual_z", "dual_raw", "dual_sep"):
         return _fetch_group_dual(token, pieces, cfg)
     _, res, B = token
     outs = []
     if kind == "multi_z":
         small, exc_idx, exc_val, n_exc, nn = res
-        _fetch_scalar_watchdog(jnp.sum(n_exc))  # force + hang diagnostic
-        ne = np.asarray(n_exc)
-        counts = np.asarray(nn)
+        with _prof("fetch.sync"):
+            _fetch_scalar_watchdog(jnp.sum(n_exc))  # force + hang diagnostic
+            ne = np.asarray(n_exc)
+            counts = np.asarray(nn)
         for i in range(B):
             if ne[i] > _exc_overflow_limit():
                 outs.append(count_packed_fetch(
                     count_packed_dispatch(pieces[i], cfg)))
                 continue
-            outs.append(_decode_packed_result(
-                small[i], exc_idx[i], exc_val[i], int(ne[i]),
-                int(counts[i])))
+            with _prof("fetch.decode"):
+                outs.append(_decode_packed_result(
+                    small[i], exc_idx[i], exc_val[i], int(ne[i]),
+                    int(counts[i])))
     else:
         out_codes, ns = res
-        _fetch_scalar_watchdog(jnp.sum(ns))
-        counts = np.asarray(ns)
+        with _prof("fetch.sync"):
+            _fetch_scalar_watchdog(jnp.sum(ns))
+            counts = np.asarray(ns)
         for i in range(B):
-            outs.append(np.asarray(out_codes[i][: int(counts[i])]))
+            with _prof("fetch.raw"):
+                outs.append(np.asarray(out_codes[i][: int(counts[i])]))
     return outs
 
 
 def _fetch_group_dual(token, pieces, cfg: CountConfig):
     kind, res, B = token
     outs = []
+    if kind == "dual_sep":
+        for od, nd, orp, nr in res:
+            _fetch_scalar_watchdog(nd)
+            outs.append(np.asarray(od[: int(nd)]))
+            outs.append(np.asarray(orp[: int(nr)]))
+        return outs
     if kind == "dual_z":
         (sd, eid, evd, ned, nnd, sr, eir, evr, ner, nnr) = res
         _fetch_scalar_watchdog(jnp.sum(ned) + jnp.sum(ner))

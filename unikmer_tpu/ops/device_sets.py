@@ -304,6 +304,27 @@ def _staged_sort_ingress(small, exc_idx, exc_step, tin, ib: int,
                              code_bits)
 
 
+@jax.jit
+def _staged_sort_raw_split3(pad_c, pad_t):
+    """Staged stage 1/3 for UNPACKABLE configs: padded codes + compact
+    ids -> sorted (hi, lo, payload) split3 triple (the 3-buffer
+    inter-stage handoff; no u64 sort operand)."""
+    from ..taxonomy.lca import collapse_sort_split3
+
+    valid = pad_c != SENT
+    return collapse_sort_split3(pad_c, pad_t.astype(jnp.int32), valid)
+
+
+@jax.jit
+def _staged_sort_ingress_split3(small, exc_idx, exc_step, tin):
+    """Split3 stage 1/3 with compressed u32-delta code ingress."""
+    from ..taxonomy.lca import collapse_sort_split3
+
+    codes = _decode_u64_ingress(small, exc_idx, exc_step)
+    valid = codes != SENT
+    return collapse_sort_split3(codes, tin.astype(jnp.int32), valid)
+
+
 @partial(jax.jit, static_argnames=("z_out", "wide"))
 def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
     """Staged stage 3/3: compact the kept rows; optionally compress the
@@ -331,11 +352,31 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
     z_out=False over the still-device-resident stage-2 outputs — the
     exception-overflow fallback must never dispatch the monolithic
     collapse graph the staging exists to avoid (it compile-starves on
-    tpu)."""
+    tpu).
+
+    ``skey`` is either the sorted packed u64 key (packable configs) or
+    the sorted (hi, lo, payload) split3 TRIPLE — the 3-buffer handoff
+    for unpackable configs (full hashes / k>=24 big vocab), which runs
+    the same rounds+egress without a u64 sort operand anywhere."""
     from ..models.count import phase_watchdog
     from ..taxonomy.lca import (
         lca_keep_mask_only, lca_merge_rounds_only, lca_rounds_staged,
+        lca_rounds_staged_split3,
     )
+
+    if isinstance(skey, tuple):
+        h, l, pay = skey
+        with phase_watchdog(f"{phase} staged split3 rounds (stage 2/3)"):
+            s_codes, tax, keep = lca_rounds_staged_split3(
+                h, l, pay, lca_tab, rounds, kind, mode, threshold)
+        with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
+            res = _staged_egress(s_codes, tax, keep, z_out, wide)
+
+        def raw_fn_split3():
+            with phase_watchdog(f"{phase} staged raw re-egress"):
+                return _staged_egress(s_codes, tax, keep, False, wide)
+
+        return res, raw_fn_split3
 
     if os.environ.get("UNIKMER_TPU_TAXID_STAGE2_SPLIT") == "1":
         # 4-program bisect mode: if the fused stage-2 program starves
@@ -514,24 +555,30 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
     if use_compressed_taxid_ingress():
         enc = _encode_u64_ingress(pad_c)
 
-    from ..taxonomy.lca import _id_bits, collapse_sort_packable
+    from ..taxonomy.lca import (
+        _id_bits, collapse_sort_packable, staged_split3_wanted,
+    )
 
-    if use_staged_taxid_programs() and collapse_sort_packable(
-        code_bits, len(closure)
-    ):
+    packable = collapse_sort_packable(code_bits, len(closure))
+    if use_staged_taxid_programs() and (packable or staged_split3_wanted()):
         ib = _id_bits(len(closure))
         wide = len(closure) > 0xFFFF
         id_np = np.uint32 if wide else np.uint16
         with phase_watchdog("taxid union staged sort (stage 1/3)"):
             if enc is not None:
                 small, exc_idx, exc_step = enc
-                skey = _staged_sort_ingress(
-                    jnp.asarray(small), jnp.asarray(exc_idx),
-                    jnp.asarray(exc_step),
-                    jnp.asarray(pad_t.astype(id_np)), ib, code_bits)
-            else:
+                args = (jnp.asarray(small), jnp.asarray(exc_idx),
+                        jnp.asarray(exc_step),
+                        jnp.asarray(pad_t.astype(id_np)))
+                skey = (_staged_sort_ingress(*args, ib, code_bits)
+                        if packable else
+                        _staged_sort_ingress_split3(*args))
+            elif packable:
                 skey = _staged_sort_raw(
                     jnp.asarray(pad_c), jnp.asarray(pad_t), ib, code_bits)
+            else:
+                skey = _staged_sort_raw_split3(
+                    jnp.asarray(pad_c), jnp.asarray(pad_t))
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide,
             phase="taxid union")

@@ -168,6 +168,17 @@ def collapse_sort_packable(code_bits: int, n_ids: int) -> bool:
     return 0 < code_bits and code_bits + _id_bits(n_ids) + 1 <= 63
 
 
+def staged_split3_wanted() -> bool:
+    """Should UNPACKABLE configs ride the staged split3 3-buffer
+    programs (collapse_sort_split3 -> lca_rounds_staged_split3 ->
+    egress)?  Default on wherever the staged programs are in use;
+    UNIKMER_TPU_TAXID_SPLIT3_STAGED=0 restores the monolithic
+    fused-collapse fallback for experiments."""
+    import os
+
+    return os.environ.get("UNIKMER_TPU_TAXID_SPLIT3_STAGED", "1") != "0"
+
+
 def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
     """Is a device taxid collapse safe on this backend?  The 2-operand
     (u64, i32) fallback sort COMPILE-STARVES on the tunnel TPU backend
@@ -227,6 +238,37 @@ def unpack_collapse_key(skey, ib: int):
     return s_codes, tax, s_valid
 
 
+@jax.jit
+def collapse_sort_split3(codes, ctax, valid):
+    """Stage-1 sort for UNPACKABLE configs (full 64-bit hashes, or
+    2-bit codes whose code_bits + id bits + 1 > 63): the u64-OPERAND
+    sorts are what compile-starve this backend (BENCH_NOTES round-3),
+    so the key is split into (u32 hi, u32 lo) with the i32 payload as
+    a carried operand — num_keys=2, no u64 operand anywhere.  Chip-
+    proven shape (session C 2026-08-21, exp_split3_probe at 2^23).
+    Invalid slots key to all-ones so they tail-collect.  Returns the
+    sorted (h, l, payload) triple — the 3-buffer staged handoff."""
+    payload = jnp.where(
+        valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
+    )
+    hi = jnp.where(valid, (codes >> jnp.uint64(32)).astype(jnp.uint32),
+                   jnp.uint32(0xFFFFFFFF))
+    lo = jnp.where(valid, codes.astype(jnp.uint32),
+                   jnp.uint32(0xFFFFFFFF))
+    return jax.lax.sort((hi, lo, payload), num_keys=2)
+
+
+def unpack_split3(h, l, s_pay):
+    """(sorted codes, compact ids, valid) from a sorted split3 triple
+    (inside jit; mirror of unpack_collapse_key for the packed route).
+    Note all-ones CODES from invalid slots are masked by the payload's
+    valid bit, so a REAL all-ones code in a valid slot survives."""
+    s_valid = s_pay >= jnp.int32(_VALID_BIT)
+    s_codes = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(jnp.uint64)
+    tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
+    return s_codes, tax, s_valid
+
+
 def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     """The collapse's sort stage: (sorted codes, compact ids, valid)
     aligned to the sorted order.
@@ -248,27 +290,15 @@ def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
         return unpack_collapse_key(skey, ib)
     import os
 
+    if os.environ.get("UNIKMER_TPU_TAXID_SORT", "split3") != "2op":
+        # DEFAULT u64-free fallback (round 4): the split3 sort —
+        # UNIKMER_TPU_TAXID_SORT=2op restores the old (u64, i32)
+        # num_keys=1 form for experiments.
+        h, l, s_pay = collapse_sort_split3(codes, ctax, valid)
+        return unpack_split3(h, l, s_pay)
     payload = jnp.where(
         valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
-    if os.environ.get("UNIKMER_TPU_TAXID_SORT", "split3") != "2op":
-        # DEFAULT u64-free fallback (round 4): (u32 hi, u32 lo,
-        # i32 payload) num_keys=2 — the u64-OPERAND sorts are what
-        # compile-starve this backend (BENCH_NOTES round-3), and the
-        # 2026-08-21 session-C probe compiled+ran this form at 2^23
-        # (exp_split3_probe).  Invalid slots key to all-ones so they
-        # tail-collect.  UNIKMER_TPU_TAXID_SORT=2op restores the old
-        # (u64, i32) num_keys=1 form.
-        hi = jnp.where(valid, (codes >> jnp.uint64(32)).astype(jnp.uint32),
-                       jnp.uint32(0xFFFFFFFF))
-        lo = jnp.where(valid, codes.astype(jnp.uint32),
-                       jnp.uint32(0xFFFFFFFF))
-        h, l, s_pay = jax.lax.sort((hi, lo, payload), num_keys=2)
-        s_valid = s_pay >= jnp.int32(_VALID_BIT)
-        s_codes = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(
-            jnp.uint64)
-        tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
-        return s_codes, tax, s_valid
     s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
     s_valid = s_pay >= jnp.int32(_VALID_BIT)
     tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
@@ -441,6 +471,14 @@ def lca_rounds_staged(skey, tab, rounds: int, ib: int, kind: str,
     (common.go:262-267) into this stage so stage 3 is a bare
     compact+egress."""
     s_codes, tax, s_valid = unpack_collapse_key(skey, ib)
+    return _staged_rounds_tail(s_codes, tax, s_valid, tab, rounds, kind,
+                               mode, threshold)
+
+
+def _staged_rounds_tail(s_codes, tax, s_valid, tab, rounds: int,
+                        kind: str, mode: str, threshold: int):
+    """Shared stage-2 body (inside jit): merge rounds + keep
+    predicates over already-sorted-and-unpacked buffers."""
     out, first, run_valid = _collapse_from_sorted(
         s_codes, tax, s_valid, tab, rounds, kind
     )
@@ -454,6 +492,21 @@ def lca_rounds_staged(skey, tab, rounds: int, ib: int, kind: str,
     if threshold > 1:
         keep = keep & (run_valid >= threshold)
     return s_codes, out, keep
+
+
+@partial(jax.jit, static_argnames=("rounds", "kind", "mode", "threshold"))
+def lca_rounds_staged_split3(h, l, pay, tab, rounds: int, kind: str,
+                             mode: str = "all", threshold: int = 1):
+    """Stage 2/3 of the staged collapse over the UNPACKABLE 3-buffer
+    handoff (sorted split3 triple from collapse_sort_split3): same
+    rounds+keep body as lca_rounds_staged, reached without any u64
+    sort operand.  Opens the staged device route to full hashes and
+    k>=24 big-vocabulary -T configs (VERDICT round-4 next #2;
+    reference: count.go:377-410 — ntHash -T is the metagenomics
+    norm)."""
+    s_codes, tax, s_valid = unpack_split3(h, l, pay)
+    return _staged_rounds_tail(s_codes, tax, s_valid, tab, rounds, kind,
+                               mode, threshold)
 
 
 def closure_for_vocab(taxdb, taxids):
