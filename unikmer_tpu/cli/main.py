@@ -83,6 +83,17 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] in _ALIASES:
         argv[0] = _ALIASES[argv[0]]
+    import os
+
+    if argv and os.environ.get("UNIKMER_TPU_SERVER"):
+        # resident device server (server.py): reuse a warm dialed
+        # backend + compiled programs instead of paying per-process
+        # startup; falls through to local execution when unreachable
+        from .._client import try_server
+
+        rc = try_server(argv)
+        if rc is not None:
+            return rc
     from . import commands
 
     only = argv[0] if argv and argv[0] in commands.COMMANDS else None
