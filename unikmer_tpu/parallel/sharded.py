@@ -33,21 +33,60 @@ from .mesh import SHARD_AXIS
 SENT = np.uint64(CODE_SENTINEL)
 
 
-def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
+def partition_boundaries(n_shards: int, cfg, code_bits: int) -> np.ndarray:
+    """Static LOWER bucket boundaries ((n_shards,) uint64, first 0):
+    shard j owns codes in [boundaries[j], boundaries[j+1]).
+
+    Balanced for the code distribution instead of naive equal ranges
+    (round 5, VERDICT round-4 next #5 — all_to_all message sizing):
+
+    - canonical 2-bit codes: canonical = min(code, rc-code) of two
+      ~uniform values, so the value CDF is F(x) = 2x - x^2; equal-range
+      buckets load the first bucket 2 - 1/D heavier (1.75x at D=4),
+      which forced 2x capacity slack everywhere.  Boundaries at
+      F^-1(j/D) = 1 - sqrt(1 - j/D) equalize expected loads.
+    - scaled sketches: kept hashes are <= max_hash = 2^64/scale, so
+      equal ranges over 2^64 would send EVERY code to shard 0 (a real
+      imbalance bug); boundaries split [0, max_hash] linearly.
+    - hashed / non-canonical 2-bit: uniform; equal ranges.
+
+    Real-genome composition bias deviates from these models; capacity
+    margins + the drivers' overflow-retry loop absorb it, exactly as
+    they absorbed the old canonical skew."""
+    space = float(2 ** code_bits)
+    fracs = np.arange(n_shards, dtype=np.float64) / n_shards
+    hashed = bool(getattr(cfg, "hashed", False))
+    canonical = bool(getattr(cfg, "canonical", False))
+    scale = int(getattr(cfg, "scale", 1))
+    if hashed and scale > 1:
+        from ..ops.nthash import scaled_max_hash
+
+        space = float(scaled_max_hash(scale)) + 1.0
+        xs = fracs
+    elif canonical and not hashed:
+        xs = 1.0 - np.sqrt(1.0 - fracs)
+    else:
+        xs = fracs
+    b = np.minimum(xs * space, space - 1).astype(np.uint64)
+    b[0] = 0
+    return np.maximum.accumulate(b)  # monotone even at float resolution
+
+
+def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits,
+                        boundaries: np.ndarray | None = None):
     """Sort local codes into a (n_shards, capacity) send buffer (sentinel
     padded, each bucket sorted) + dropped count.
 
-    Buckets are value ranges: bucket = code >> (code_bits - log2(D)), so
-    the receiving shard owns a contiguous slice of code space and the
-    global set stays range-partitioned.  The sentinel value 2^64-1 is
-    reserved (a real hash equal to it is dropped from the sharded path;
-    probability 2^-64 per k-mer, and impossible for 2-bit codes or
-    scaled sketches).
+    Buckets are value ranges — by default bucket = code >>
+    (code_bits - log2(D)); with ``boundaries`` (a static lower-boundary
+    array from :func:`partition_boundaries`) the ranges are balanced
+    for the code distribution.  Either way the receiving shard owns a
+    contiguous slice of code space and the global set stays
+    range-partitioned.  The sentinel value 2^64-1 is reserved (a real
+    hash equal to it is dropped from the sharded path; probability
+    2^-64 per k-mer, and impossible for 2-bit codes or scaled
+    sketches).
     """
-    log_d = int(np.ceil(np.log2(n_shards))) if n_shards > 1 else 0
-    # non-power-of-two meshes clamp the top buckets into the last shard
-    # (uneven load, still exact)
-    shift = jnp.uint64(max(code_bits - log_d, 0))
     n = codes.shape[0]
     keyed = jnp.where(valid, codes, SENT)
     from ..ops.sort import _sort_u64
@@ -56,9 +95,19 @@ def _local_pack_buckets(codes, valid, n_shards, capacity, code_bits):
     n_valid = jnp.sum(valid & (codes != SENT), dtype=jnp.int64)
     idx = jnp.arange(n, dtype=jnp.int64)
     is_real = idx < n_valid
-    b = jnp.minimum((s >> shift).astype(jnp.int64), n_shards - 1)
-    boundaries = jnp.arange(n_shards, dtype=jnp.uint64) << shift
-    starts = jnp.searchsorted(s, boundaries, side="left")
+    if boundaries is not None:
+        bnd = jnp.asarray(np.asarray(boundaries, np.uint64))
+        b = (jnp.searchsorted(bnd, s, side="right") - 1).astype(jnp.int64)
+        b = jnp.clip(b, 0, n_shards - 1)
+        starts = jnp.searchsorted(s, bnd, side="left")
+    else:
+        log_d = int(np.ceil(np.log2(n_shards))) if n_shards > 1 else 0
+        # non-power-of-two meshes clamp the top buckets into the last
+        # shard (uneven load, still exact)
+        shift = jnp.uint64(max(code_bits - log_d, 0))
+        b = jnp.minimum((s >> shift).astype(jnp.int64), n_shards - 1)
+        bnd = jnp.arange(n_shards, dtype=jnp.uint64) << shift
+        starts = jnp.searchsorted(s, bnd, side="left")
     within = idx - starts[b]
     ok = is_real & (within < capacity)
     flat = jnp.where(ok, b * capacity + within, n_shards * capacity)
@@ -97,6 +146,7 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
     n_shards = mesh.shape[SHARD_AXIS]
     code_bits = 64 if cfg.hashed else 2 * cfg.k
     front, back = shard_halos(cfg)
+    bnd = partition_boundaries(n_shards, cfg, code_bits)
 
     def local_step(bases_row):
         row = bases_row[0]
@@ -114,7 +164,7 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
         own = (pos >= front) & (pos < row.shape[0] - back)
         valid = valid & own
         buf, dropped = _local_pack_buckets(
-            codes, valid, n_shards, capacity, code_bits
+            codes, valid, n_shards, capacity, code_bits, boundaries=bnd
         )
         # all_to_all: exchange bucket b of every shard to shard b
         recv = jax.lax.all_to_all(
@@ -149,7 +199,8 @@ def build_sharded_distinct(mesh: Mesh, cfg: CountConfig, capacity: int):
 
 def _taxid_exchange(bases_row, ctax_row, cfg: CountConfig, ib: int,
                     n_shards: int, capacity: int, packed_bits: int,
-                    front: int, back: int):
+                    front: int, back: int,
+                    boundaries: np.ndarray | None = None):
     """Shared front half of the sharded count -T builds (monolithic
     AND staged — parity-critical, keep ONE copy): window encode, halo
     own-mask, packed-key build, all_to_all exchange, unpack.  Returns
@@ -172,7 +223,8 @@ def _taxid_exchange(bases_row, ctax_row, cfg: CountConfig, ib: int,
         ALL1,
     )
     buf, dropped = _local_pack_buckets(
-        key, key != ALL1, n_shards, capacity, packed_bits
+        key, key != ALL1, n_shards, capacity, packed_bits,
+        boundaries=boundaries,
     )
     recv = jax.lax.all_to_all(
         buf[None], SHARD_AXIS, split_axis=1, concat_axis=1, tiled=False
@@ -213,11 +265,15 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
     assert code_bits + ib + 2 <= 63, "packed-key admission violated"
     packed_bits = code_bits + ib + 1
     front, back = shard_halos(cfg)
+    # balanced partition in PACKED-key space: the code occupies the top
+    # bits, so code-space boundaries shift left by (ib + 1)
+    pk_bnd = partition_boundaries(n_shards, cfg, code_bits) << np.uint64(
+        ib + 1)
 
     def local_step(bases_row, ctax_row, tab):
         m_codes, m_ctax, m_valid, dropped = _taxid_exchange(
             bases_row, ctax_row, cfg, ib, n_shards, capacity,
-            packed_bits, front, back)
+            packed_bits, front, back, boundaries=pk_bnd)
         from ..ops.sort import _compact, _run_bounds
         from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
@@ -271,11 +327,13 @@ def build_sharded_taxids_staged(mesh: Mesh, cfg: CountConfig,
     assert code_bits + ib + 2 <= 63, "packed-key admission violated"
     packed_bits = code_bits + ib + 1
     front, back = shard_halos(cfg)
+    pk_bnd = partition_boundaries(n_shards, cfg, code_bits) << np.uint64(
+        ib + 1)
 
     def local_sort(bases_row, ctax_row):
         m_codes, m_ctax, m_valid, dropped = _taxid_exchange(
             bases_row, ctax_row, cfg, ib, n_shards, capacity,
-            packed_bits, front, back)
+            packed_bits, front, back, boundaries=pk_bnd)
         # invalid slots -> huge substitute codes (sort last); the
         # collapse key packs (code, valid, id) exactly like the
         # monolith's _collapse_sort at code_bits + 1
@@ -649,6 +707,25 @@ def _collect_sharded(out, counts) -> np.ndarray:
     ) if out.shape[0] else np.zeros(0, np.uint64)
 
 
+def _default_capacity(windows: int, d: int) -> int:
+    """Per (src shard, dst bucket) send capacity.  Balanced partition
+    boundaries (partition_boundaries) put the EXPECTED load at
+    windows/d^2 for every modeled config — the old equal-range scheme
+    needed 2x slack just for the canonical skew (first bucket carries
+    2 - 1/D of uniform).  The margin covers statistical fluctuation and
+    real-genome composition bias; overflow is detected exactly and the
+    drivers retry with doubled capacity.  On TPU the margin stays 2x:
+    a retry is a fresh multi-minute remote AOT compile there, so
+    bounded recompiles beat smaller messages until chip evidence says
+    otherwise."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    margin = 2.0 if on_tpu else 1.35
+    return _cap_quantum(int(windows // (d * d) * margin) + 1024, d)
+
+
 def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
                         n_devices: int | None = None,
                         capacity: int | None = None) -> np.ndarray:
@@ -665,10 +742,7 @@ def mesh_count_distinct(bases: np.ndarray, cfg: CountConfig,
     if windows == 0:
         return np.zeros(0, np.uint64)
     if capacity is None:
-        # expected per (src shard, dst bucket) load is windows/d^2; 2x
-        # slack + floor absorbs skew (2-bit codes are composition-biased);
-        # quantized so compiled programs are reused across input sizes
-        capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
+        capacity = _default_capacity(windows, d)
     front, back = shard_halos(cfg)
     rows = pack_host_shards(bases, d, cfg.k, front, back)
     while True:
@@ -871,7 +945,7 @@ def mesh_count_taxids(packed, rec_taxids: np.ndarray, taxdb,
     rows = pack_host_shards(bases, d, cfg.k, front, back)
     trows = pack_host_rows(pos_ctax, d, front, back, np.int32(0))
     if capacity is None:
-        capacity = _cap_quantum(2 * windows // (d * d) + 1, d)
+        capacity = _default_capacity(windows, d)
     rounds = max((capacity * d).bit_length(), 1)
     from ..ops.device_sets import use_staged_taxid_programs
 
