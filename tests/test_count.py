@@ -372,3 +372,46 @@ def test_dual_staged_matches_monolith(rng):
         for w, g in zip(want, got):
             np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
                                           err_msg=f"z={z}")
+
+
+def test_compress_result_exception_buffers(rng):
+    """Direct contract of the sort-based exception compaction (round 5:
+    the scatter formulation cost 4-6 s/piece on the tpu backend and
+    dominated the streamed pipeline): exc_idx ascending with -1 fill,
+    exc_val aligned, n_exc exact — including exceptions at index 0,
+    adjacent runs, and counts past the _MAX_EXC fetch limit."""
+    import jax.numpy as jnp
+
+    from unikmer_tpu.models.count import _MAX_EXC, _compress_result
+
+    n_buf = 1 << 17
+    out = np.zeros(n_buf, np.uint64)
+    # ~98k exceptions (> _MAX_EXC): 3 of 4 deltas overflow u32
+    step_big = np.uint64(1 << 33)
+    vals = np.cumsum(
+        np.where(np.arange(n_buf) % 4 != 3, step_big, np.uint64(1)),
+        dtype=np.uint64)
+    out[:] = vals
+    n = n_buf - 7  # tail slots ignored
+    small, ei, ev, ne, nn = (np.asarray(x) for x in _compress_result(
+        jnp.asarray(out), jnp.int64(n)))
+    big = np.zeros(n_buf, bool)
+    deltas = np.diff(out, prepend=out[:1] * 0)
+    big[:n] = deltas[:n] >= (1 << 32)
+    want_idx = np.flatnonzero(big)
+    assert ne == len(want_idx) and ne > _MAX_EXC
+    np.testing.assert_array_equal(ei, want_idx[:_MAX_EXC])
+    np.testing.assert_array_equal(ev, out[want_idx[:_MAX_EXC]])
+    np.testing.assert_array_equal(
+        small[:n][~big[:n]], deltas[:n][~big[:n]].astype(np.uint32))
+    assert np.all(small[n:] == 0)
+    # few-exceptions case: -1 fill beyond n_exc, values aligned
+    out2 = np.arange(n_buf, dtype=np.uint64) * np.uint64(3)
+    out2 += np.uint64(1 << 40)  # first delta (index 0) overflows u32
+    out2[100:] += np.uint64(1 << 45)  # one more at index 100
+    small, ei, ev, ne, nn = (np.asarray(x) for x in _compress_result(
+        jnp.asarray(out2), jnp.int64(n_buf)))
+    assert ne == 2
+    np.testing.assert_array_equal(ei[:2], [0, 100])
+    np.testing.assert_array_equal(ev[:2], out2[[0, 100]])
+    assert np.all(ei[2:] == -1) and np.all(ev[2:] == 0)

@@ -303,11 +303,19 @@ def _compress_result(out, n):
     delta = jnp.where(idx < n, out - prev, jnp.uint64(0))
     big = delta >= jnp.uint64(1 << 32)
     n_exc = jnp.sum(big, dtype=jnp.int64)
-    # compact exception (index, value) pairs into fixed-size buffers
-    pos = jnp.cumsum(big.astype(jnp.int64)) - 1
-    pos = jnp.where(big & (pos < _MAX_EXC), pos, _MAX_EXC)
-    exc_idx = jnp.full((_MAX_EXC,), -1, jnp.int64).at[pos].set(idx, mode="drop")
-    exc_val = jnp.zeros((_MAX_EXC,), jnp.uint64).at[pos].set(out, mode="drop")
+    # Exception (index, value) pairs via ONE u32 single-operand sort +
+    # a tiny fixed-slice gather.  The previous scatter formulation
+    # (2^25-source .at[pos].set into the 2^16 buffers) cost 4.3-5.9 s
+    # PER PIECE on this backend and silently dominated the whole
+    # streamed pipeline at 45 s / 4x2^25 — the round-5 chip micro
+    # measured e_scatter_only 5.87 s vs f_sortexc 0.15 s at 2^25
+    # (docs/BENCH_NOTES.md round-5; scripts/exp_round5_micro.py).
+    key = jnp.where(big, idx.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
+    skey = jax.lax.sort(key)[:_MAX_EXC]
+    exc_idx = jnp.where(skey == jnp.uint32(0xFFFFFFFF), jnp.int64(-1),
+                        skey.astype(jnp.int64))
+    take = jnp.clip(exc_idx, 0, out.shape[0] - 1)
+    exc_val = jnp.where(exc_idx >= 0, out[take], jnp.uint64(0))
     small = jnp.where(big, jnp.uint64(0), delta).astype(jnp.uint32)
     return small, exc_idx, exc_val, n_exc, n
 
