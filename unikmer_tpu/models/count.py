@@ -320,6 +320,31 @@ def _compress_result(out, n):
     return small, exc_idx, exc_val, n_exc, n
 
 
+def _split_egress() -> bool:
+    """Run the compressed-egress delta encoding as its OWN program with
+    device-resident handoff instead of fused into the count program.
+    Round-5 chip finding: the FUSED composition costs ~4.2 s/piece at
+    2^25 on this backend while the two programs run in 0.167 s + 0.03 s
+    — an XLA fusion pathology, not arithmetic cost (the same graph
+    fed from a materialized buffer runs 140x faster;
+    scripts/exp_round5_micro3.py).  UNIKMER_TPU_SPLIT_EGRESS=0 restores
+    the fused form for experiments."""
+    return os.environ.get("UNIKMER_TPU_SPLIT_EGRESS", "1") != "0"
+
+
+@jax.jit
+def _compress_stage(out, n):
+    """Stage-2 program: compressed egress over a device-resident count
+    result (see _split_egress)."""
+    return _compress_result(out, n)
+
+
+@jax.jit
+def _compress_stage_multi(outs, ns):
+    """Stacked twin of _compress_stage for the multi-bucket programs."""
+    return jax.lax.map(lambda a: _compress_result(a[0], a[1]), (outs, ns))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _count_step_packed_result(bases: jnp.ndarray, cfg: CountConfig):
     out, n = count_step(bases, cfg)
@@ -637,8 +662,15 @@ def count_packed_dispatch(packed: PackedSeqs, cfg: CountConfig):
 
     if os.environ.get("UNIKMER_TPU_PACKED_TRANSFER", "1") != "0":
         packed2, validmask = pack_bases_2bit(bases)
-        res = _count_step_packed2_result(packed2, validmask, cfg,
-                                         len(bases))
+        if _split_egress():
+            out, nn = _count_step_packed2_raw(packed2, validmask, cfg,
+                                              len(bases))
+            res = _compress_stage(out, nn)
+        else:
+            res = _count_step_packed2_result(packed2, validmask, cfg,
+                                             len(bases))
+    elif _split_egress():
+        res = _compress_stage(*count_step(bases, cfg))
     else:
         res = _count_step_packed_result(bases, cfg)
     return ("compressed", res, bases, cfg)
@@ -1278,7 +1310,11 @@ def count_packed_dispatch_group(pieces, cfg: CountConfig):
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
     with _prof("dispatch.program"):
-        res = _count_step_multi(p2s, vms, cfg, n, z)
+        if z and _split_egress():
+            outs, ns = _count_step_multi(p2s, vms, cfg, n, False)
+            res = _compress_stage_multi(outs, ns)
+        else:
+            res = _count_step_multi(p2s, vms, cfg, n, z)
     return ("multi_z" if z else "multi_raw", res, len(pieces))
 
 
@@ -1300,12 +1336,17 @@ def count_packed_dispatch_group_dual(pieces, cfg: CountConfig):
     p2s, vms, n = _group_stack(pieces)
     space_bits = 64 if cfg.hashed else 2 * cfg.k
     z = space_bits - (n.bit_length() - 1) <= 30
+    zf = z and not _split_egress()  # fused egress only when asked
     with _prof("dispatch.program"):
         if len(pieces) >= 2 and _dual_staged_wanted():
             s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
-            res = _dual_collapse_stage(s_all, nsr, nhead, z)
+            res = _dual_collapse_stage(s_all, nsr, nhead, zf)
         else:
-            res = _count_step_dual_multi(p2s, vms, cfg, n, z)
+            res = _count_step_dual_multi(p2s, vms, cfg, n, zf)
+        if z and not zf:
+            od, nd, orp, nr = res
+            res = (_compress_stage_multi(od, nd)
+                   + _compress_stage_multi(orp, nr))
     return ("dual_z" if z else "dual_raw", res, len(pieces))
 
 

@@ -325,11 +325,21 @@ def _staged_sort_ingress_split3(small, exc_idx, exc_step, tin):
     return collapse_sort_split3(codes, tin.astype(jnp.int32), valid)
 
 
+@partial(jax.jit, static_argnames=("wide",))
+def _taxid_compress_stage(out_c, out_t, n, wide: bool):
+    """Compressed-egress program over a device-resident compacted taxid
+    result (split off _staged_egress: the fused compact+compress
+    composition hits the same XLA fusion pathology as the count egress
+    — see models/count._split_egress)."""
+    from ..models.count import _compress_result
+
+    small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
+    return (small, exc_idx, exc_val, n_exc, n,
+            out_t.astype(jnp.uint32 if wide else jnp.uint16))
+
+
 @partial(jax.jit, static_argnames=("z_out", "wide"))
-def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
-    """Staged stage 3/3: compact the kept rows; optionally compress the
-    egress (u32-delta codes + u16/u32 compact ids) for the ~6 MB/s
-    device->host tunnel."""
+def _staged_egress_fused(s_codes, tax, keep, z_out: bool, wide: bool):
     out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0))
     if not z_out:
         return out_c, out_t, n
@@ -338,6 +348,20 @@ def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
     small, exc_idx, exc_val, n_exc, n = _compress_result(out_c, n)
     return (small, exc_idx, exc_val, n_exc, n,
             out_t.astype(jnp.uint32 if wide else jnp.uint16))
+
+
+def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
+    """Staged stage 3/3: compact the kept rows; optionally compress the
+    egress (u32-delta codes + u16/u32 compact ids) for the slow
+    device->host tunnel.  The compress runs as its own program by
+    default (UNIKMER_TPU_SPLIT_EGRESS; round-5 fusion pathology)."""
+    from ..models.count import _split_egress
+
+    if not z_out or not _split_egress():
+        return _staged_egress_fused(s_codes, tax, keep, z_out, wide)
+    out_c, out_t, n = _staged_egress_fused(s_codes, tax, keep, False,
+                                           wide)
+    return _taxid_compress_stage(out_c, out_t, n, wide)
 
 
 def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
