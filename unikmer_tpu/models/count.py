@@ -424,8 +424,9 @@ def _dual_sort_stage(packed2s, validmasks, cfg: CountConfig, n: int):
     return jax.lax.map(body, (packed2s, validmasks))
 
 
-@partial(jax.jit, static_argnames=("z",))
-def _dual_collapse_stage(s_all, n_sent_real, n_head, z: bool):
+@partial(jax.jit, static_argnames=("z", "code_bits"))
+def _dual_collapse_stage(s_all, n_sent_real, n_head, z: bool,
+                         code_bits: int = 64):
     """Stage 2/2 of the staged dual collapse: B x (run bounds + both
     compacts + optional compressed egress).  Result layout identical
     to _count_step_dual_multi so count_packed_fetch_group is shared."""
@@ -433,7 +434,8 @@ def _dual_collapse_stage(s_all, n_sent_real, n_head, z: bool):
 
     def body(args):
         s, nsr, nh = args
-        od, nd, orp, nr = collapse_dual_from_sorted(s, nsr, nh)
+        od, nd, orp, nr = collapse_dual_from_sorted(s, nsr, nh,
+                                                    code_bits=code_bits)
         if z:
             return _compress_result(od, nd) + _compress_result(orp, nr)
         return od, nd, orp, nr
@@ -737,7 +739,7 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
     vocabularies); "paths" = (C, Dp) path matrix, gather-free merge
     rounds (large vocabularies).  Either way the whole taxid collapse
     lives in the same program as encode + sort."""
-    from ..ops.sort import _compact, _run_bounds
+    from ..ops.sort import _run_bounds, compact_aux, compact_sorted
     from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
     codes, valid = window_codes(bases, cfg)
@@ -759,8 +761,9 @@ def count_taxids_step(bases, pos_ctax, lca_tab, cfg: CountConfig,
         count = csum[end - 1] - csum[start] + v[start]
         keep = keep & (count == 1 if mode == "unique" else count > 1)
     n = jnp.sum(keep, dtype=jnp.int64)
-    out_c = _compact(s_codes, keep, jnp.uint64(codec.CODE_SENTINEL))
-    out_t = _compact(ctax, keep, jnp.int32(0))
+    out_c = compact_sorted(s_codes, keep, jnp.uint64(codec.CODE_SENTINEL),
+                           code_bits=cb)
+    out_t = compact_aux(keep, ctax, jnp.int32(0))
     return out_c, out_t, n
 
 
@@ -1340,7 +1343,8 @@ def count_packed_dispatch_group_dual(pieces, cfg: CountConfig):
     with _prof("dispatch.program"):
         if len(pieces) >= 2 and _dual_staged_wanted():
             s_all, nsr, nhead = _dual_sort_stage(p2s, vms, cfg, n)
-            res = _dual_collapse_stage(s_all, nsr, nhead, zf)
+            res = _dual_collapse_stage(s_all, nsr, nhead, zf,
+                                       code_bits=cfg.code_bits)
         else:
             res = _count_step_dual_multi(p2s, vms, cfg, n, zf)
         if z and not zf:

@@ -28,12 +28,15 @@ from .codec import CODE_SENTINEL
 SENT = np.uint64(CODE_SENTINEL)
 
 
-def _compact_mask(values: jnp.ndarray, keep: jnp.ndarray):
-    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
-    pos = jnp.where(keep, pos, values.shape[0])
-    out = jnp.full(values.shape, SENT, dtype=values.dtype)
-    out = out.at[pos].set(values, mode="drop")
-    return out, jnp.sum(keep, dtype=jnp.int64)
+def _compact_mask(values: jnp.ndarray, keep: jnp.ndarray,
+                  code_bits: int = 64):
+    """Compact kept entries of an ascending sentinel-padded code array
+    (sort-based on TPU: the scatter form costs seconds at 2^25 —
+    ops/sort.use_sort_compact)."""
+    from .sort import compact_sorted
+
+    return (compact_sorted(values, keep, SENT, code_bits=code_bits),
+            jnp.sum(keep, dtype=jnp.int64))
 
 
 @partial(jax.jit, static_argnames=("code_bits",))
@@ -46,7 +49,7 @@ def union(a: jnp.ndarray, b: jnp.ndarray, code_bits: int = 64):
     merged = _sort_u64(jnp.concatenate([a, b]), code_bits=code_bits)
     first = jnp.concatenate([jnp.ones((1,), bool), merged[1:] != merged[:-1]])
     keep = first & (merged != SENT)
-    return _compact_mask(merged, keep)
+    return _compact_mask(merged, keep, code_bits=code_bits)
 
 
 @jax.jit
@@ -80,7 +83,7 @@ def common(sets: jnp.ndarray, threshold: int, code_bits: int = 64):
                          reverse=True)
     count = end - start
     keep = first & (merged != SENT) & (count >= threshold)
-    return _compact_mask(merged, keep)
+    return _compact_mask(merged, keep, code_bits=code_bits)
 
 
 @jax.jit
@@ -141,14 +144,14 @@ def grep_device_route(n_query: int) -> bool:
     return knob == "1"
 
 
-def _compact_mask_with(values, aux, keep, aux_fill):
-    """Compact (values, aux) rows where keep; returns (vals, aux, n)."""
-    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
-    pos = jnp.where(keep, pos, values.shape[0])
-    out_v = jnp.full(values.shape, SENT, dtype=values.dtype)
-    out_v = out_v.at[pos].set(values, mode="drop")
-    out_a = jnp.full(aux.shape, aux_fill, dtype=aux.dtype)
-    out_a = out_a.at[pos].set(aux, mode="drop")
+def _compact_mask_with(values, aux, keep, aux_fill, code_bits: int = 64):
+    """Compact (values, aux) rows where keep; returns (vals, aux, n).
+    Codes compact via one more sort, the aux column via a (u32 key,
+    aux) payload sort — no 2^25-source scatters (round-5 micro4)."""
+    from .sort import compact_aux, compact_sorted
+
+    out_v = compact_sorted(values, keep, SENT, code_bits=code_bits)
+    out_a = compact_aux(keep, aux, aux_fill)
     return out_v, out_a, jnp.sum(keep, dtype=jnp.int64)
 
 
@@ -207,9 +210,9 @@ def union_with_taxids(a, ta, b, tb, parent, depth, max_depth: int, rounds: int):
         codes, taxids, valid, parent, depth, max_depth, rounds
     )
     out_c, n = _compact_mask(s_codes, keep)
-    pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
-    pos = jnp.where(keep, pos, s_codes.shape[0])
-    out_t = jnp.zeros(s_codes.shape, jnp.uint32).at[pos].set(s_tax, mode="drop")
+    from .sort import compact_aux
+
+    out_t = compact_aux(keep, s_tax.astype(jnp.uint32), jnp.uint32(0))
     return out_c, out_t, n
 
 

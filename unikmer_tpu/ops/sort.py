@@ -141,14 +141,64 @@ def _run_bounds(s_codes: jnp.ndarray):
     return first, start_idx, end_rev
 
 
+def use_sort_compact() -> bool:
+    """Compaction form (trace-time, like the _sort_u64 knobs): the
+    cumsum+scatter compaction costs ~4.5 s PER CALL at 2^25 on the
+    tunnel TPU backend (round-5 micro4, scripts/exp_round5_micro4.py —
+    the single largest hidden cost in every code-emitting device
+    program; the 156 ms headline bench had it DCE'd because it fetches
+    only the count).  A sort-based compaction is ~150 ms there.  On CPU
+    the scatter is faster than a second sort, so it stays.
+    UNIKMER_TPU_SORT_COMPACT=0/1 overrides."""
+    import os
+
+    env = os.environ.get("UNIKMER_TPU_SORT_COMPACT", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _compact(values: jnp.ndarray, keep: jnp.ndarray, fill):
-    """Stable-compact kept values to a dense prefix via cumsum + scatter."""
+    """Stable-compact kept values to a dense prefix via cumsum + scatter
+    (CPU form; see use_sort_compact for why TPU avoids it)."""
     n = values.shape[0]
     pos = jnp.cumsum(keep.astype(jnp.int64)) - 1
     pos = jnp.where(keep, pos, n)  # dropped -> out-of-bounds (scatter drops)
     out = jnp.full((n,), fill, dtype=values.dtype)
     out = out.at[pos].set(values, mode="drop")
     return out
+
+
+def compact_sorted(values: jnp.ndarray, keep: jnp.ndarray, fill,
+                   code_bits: int = 64):
+    """Stable-compact kept entries of an array whose KEPT values are
+    ascending and <= the max-valued ``fill`` sentinel.
+
+    On TPU this is one more sort of where(keep, values, fill) — kept
+    values keep their relative (ascending) order, dropped slots collect
+    as the fill tail, byte-identical to the scatter form (a kept REAL
+    sentinel-valued code is indistinguishable from fill either way and
+    the callers' sentinel accounting already owns that case)."""
+    if not use_sort_compact():
+        return _compact(values, keep, fill)
+    return _sort_u64(jnp.where(keep, values, fill), code_bits=code_bits)
+
+
+def compact_aux(keep: jnp.ndarray, aux: jnp.ndarray, fill):
+    """Stable-compact an aux column (u32/i32 taxids) aligned to a keep
+    mask: (u32 position key, aux) payload sort — small-dtype 2-operand
+    sorts are compile-safe on this backend (CLAUDE.md), unlike the
+    2^25-source scatter this replaces."""
+    if not use_sort_compact():
+        return _compact(aux, keep, fill)
+    n = aux.shape[0]
+    idx = jax.lax.iota(jnp.uint32, n)
+    key = jnp.where(keep, idx, jnp.uint32(0xFFFFFFFF))
+    skey, s_aux = jax.lax.sort((key, aux), num_keys=1)
+    return jnp.where(skey != jnp.uint32(0xFFFFFFFF), s_aux, fill)
 
 
 @partial(jax.jit, static_argnames=("mode", "code_bits", "split"))
@@ -199,7 +249,7 @@ def collapse_sorted(codes: jnp.ndarray, valid: jnp.ndarray, mode: str = "distinc
         raise ValueError(f"unknown mode: {mode}")
 
     n = jnp.sum(keep, dtype=jnp.int64)
-    out = _compact(s, keep, sent)
+    out = compact_sorted(s, keep, sent, code_bits=code_bits)
     # append the sentinel-valued real code if it survives the mode filter
     out = jnp.where((idx == n) & (extra > 0), sent, out)
     return out, n + extra
@@ -223,10 +273,12 @@ def collapse_sorted_dual(codes: jnp.ndarray, valid: jnp.ndarray,
     n_head = codes.shape[0] - n_tail
 
     s = _sort_u64(keyed, code_bits=code_bits, split=split)
-    return collapse_dual_from_sorted(s, n_sent_real, n_head)
+    return collapse_dual_from_sorted(s, n_sent_real, n_head,
+                                     code_bits=code_bits)
 
 
-def collapse_dual_from_sorted(s: jnp.ndarray, n_sent_real, n_head):
+def collapse_dual_from_sorted(s: jnp.ndarray, n_sent_real, n_head,
+                              code_bits: int = 64):
     """The post-sort half of :func:`collapse_sorted_dual`: sorted keyed
     array + the pre-sort sentinel accounting -> (distinct, n_d,
     repeated, n_r).  Split out so the staged dual programs can run the
@@ -242,13 +294,13 @@ def collapse_dual_from_sorted(s: jnp.ndarray, n_sent_real, n_head):
     keep_d = first & in_head
     extra_d = (n_sent_real > 0).astype(jnp.int64)
     n_d = jnp.sum(keep_d, dtype=jnp.int64)
-    out_d = _compact(s, keep_d, sent)
+    out_d = compact_sorted(s, keep_d, sent, code_bits=code_bits)
     out_d = jnp.where((idx == n_d) & (extra_d > 0), sent, out_d)
 
     keep_r = keep_d & (count > 1)
     extra_r = (n_sent_real > 1).astype(jnp.int64)
     n_r = jnp.sum(keep_r, dtype=jnp.int64)
-    out_r = _compact(s, keep_r, sent)
+    out_r = compact_sorted(s, keep_r, sent, code_bits=code_bits)
     out_r = jnp.where((idx == n_r) & (extra_r > 0), sent, out_r)
     return out_d, n_d + extra_d, out_r, n_r + extra_r
 

@@ -274,7 +274,7 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
         m_codes, m_ctax, m_valid, dropped = _taxid_exchange(
             bases_row, ctax_row, cfg, ib, n_shards, capacity,
             packed_bits, front, back, boundaries=pk_bnd)
-        from ..ops.sort import _compact, _run_bounds
+        from ..ops.sort import _run_bounds, compact_aux, compact_sorted
         from ..taxonomy.lca import lca_collapse_compact, lca_collapse_paths
 
         collapse = (lca_collapse_compact if kind == "table"
@@ -292,8 +292,9 @@ def build_sharded_taxids(mesh: Mesh, cfg: CountConfig, capacity: int,
             csum = jnp.cumsum(v)
             cnt = csum[end - 1] - csum[start] + v[start]
             keep = keep & (cnt == 1 if cfg.mode == "unique" else cnt > 1)
-        out_c = _compact(s_codes, keep, jnp.uint64(CODE_SENTINEL))
-        out_t = _compact(tax, keep, jnp.int32(0))
+        out_c = compact_sorted(s_codes, keep, jnp.uint64(CODE_SENTINEL),
+                               code_bits=code_bits + 1)
+        out_t = compact_aux(keep, tax, jnp.int32(0))
         n = jnp.sum(keep, dtype=jnp.int64)
         total_dropped = jax.lax.psum(dropped, SHARD_AXIS)
         return (out_c[None], out_t[None], n[None], total_dropped[None])
