@@ -328,3 +328,31 @@ def test_stage2_split_matches_fused(rng, monkeypatch):
     got = union_taxids_device([codes], [taxids], taxdb, code_bits=40)
     np.testing.assert_array_equal(want[0], got[0])
     np.testing.assert_array_equal(want[1], got[1])
+
+
+def test_unpackable_admission_flip(monkeypatch):
+    """Round-5 admission flip: on tpu, unpackable configs (code_bits=64)
+    are admitted iff the staged split3 route will serve them
+    (chip-proven EXACT, scripts/chip_round5.sh 2026-08-21)."""
+    import unikmer_tpu.taxonomy.lca as lca_mod
+
+    monkeypatch.setattr(lca_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_SORT", raising=False)
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_STAGED", raising=False)
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_SPLIT3_STAGED", raising=False)
+    # default ("auto" staged is on for non-cpu): admitted
+    assert lca_mod.device_collapse_admissible(64, 5)
+    # packable stays admitted regardless
+    assert lca_mod.device_collapse_admissible(46, 5)
+    # explicit opt-outs decline the device again
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_SPLIT3_STAGED", "0")
+    assert not lca_mod.device_collapse_admissible(64, 5)
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_SPLIT3_STAGED")
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "0")
+    assert not lca_mod.device_collapse_admissible(64, 5)
+    monkeypatch.delenv("UNIKMER_TPU_TAXID_STAGED")
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_SORT", "2op")
+    assert not lca_mod.device_collapse_admissible(64, 5)
+    # the old experiment override still wins
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_2OP", "1")
+    assert lca_mod.device_collapse_admissible(64, 5)

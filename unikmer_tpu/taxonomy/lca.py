@@ -192,17 +192,24 @@ def device_collapse_admissible(code_bits: int, n_ids: int) -> bool:
         return True
     if os.environ.get("UNIKMER_TPU_TAXID_2OP") == "1":
         return True
-    if os.environ.get("UNIKMER_TPU_TAXID_SORT") == "split3":
-        # opt-in: the u64-free split3 SORT is chip-proven (session C
-        # probe, 2026-08-21: compiled+ran at 2^23), but the FULL
-        # unpackable collapse program (split3 sort + cummax rounds)
-        # has no on-chip compile evidence yet — promote to default
-        # once a chip session validates it end-to-end (round 5)
-        return True
     try:
-        return jax.default_backend() != "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
         return True
+    if not on_tpu:
+        return True
+    # tpu + unpackable (full hashes / k>=24 big vocab): ADMITTED when
+    # the staged split3 3-buffer route will serve it — chip-proven
+    # EXACT end-to-end in round 5 (session P2 2026-08-21: hashed k=31
+    # `count -T` at the 2^23 AND 2^24 program shapes, md5 == the
+    # jax-free host oracle; scripts/chip_round5.sh).  Without the
+    # staged programs the monolithic unpackable graph compile-starves
+    # this backend, so those configs still decline to the host tiers.
+    from ..ops.device_sets import use_staged_taxid_programs
+
+    if os.environ.get("UNIKMER_TPU_TAXID_SORT", "split3") == "2op":
+        return False
+    return use_staged_taxid_programs() and staged_split3_wanted()
 
 
 def collapse_sort_key(codes, ctax, valid, ib: int, code_bits: int):
