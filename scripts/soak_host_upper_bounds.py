@@ -65,8 +65,8 @@ def grep_soak(tmp, log2_query):
     rng = np.random.default_rng(20260821 + log2_query)
     nq = 1 << log2_query
     nt = 1 << 26
-    target = np.sort(rng.choice(np.iinfo(np.uint64).max, nt,
-                                replace=False).astype(np.uint64))
+    target = np.sort(np.unique(
+        rng.integers(0, 1 << 63, nt + nt // 4, dtype=np.uint64)))[:nt]
     # ~35% hit rate
     hits = rng.choice(nt, int(nq * 0.35), replace=True)
     query = np.sort(np.unique(np.concatenate([
@@ -129,8 +129,9 @@ def synth_ncbi_taxonomy(tmp, n_nodes):
 def rfilter_soak(tmp, n_nodes, n_codes):
     taxdir, parent, rank = synth_ncbi_taxonomy(tmp, n_nodes)
     rng = np.random.default_rng(7)
-    codes = np.sort(rng.choice(np.iinfo(np.uint64).max, n_codes,
-                               replace=False).astype(np.uint64))
+    codes = np.sort(np.unique(
+        rng.integers(0, 1 << 63, n_codes + n_codes // 4,
+                     dtype=np.uint64)))[:n_codes]
     taxids = rng.integers(1, n_nodes + 1, n_codes, dtype=np.uint32)
     path = os.path.join(tmp, f"rf_{n_nodes}_{n_codes}.unik")
     from unikmer_tpu.io import unik
