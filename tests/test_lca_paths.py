@@ -193,9 +193,12 @@ def test_count_taxids_paths_tier_matches_host(rng, monkeypatch):
 
 
 def test_device_collapse_admissible_tpu_gate(monkeypatch):
-    """On the tpu backend, unpackable collapses (2-operand fallback
-    sort: k>=24 2-bit codes with big vocabularies, full hashes) must be
-    declined — that shape compile-starves (BENCH_NOTES round-3)."""
+    """Round-5 contract: on tpu, packable configs are always admitted;
+    UNPACKABLE ones (k>=24 2-bit big vocab, full hashes) are admitted
+    iff the staged split3 3-buffer route will serve them (chip-proven
+    EXACT, scripts/chip_round5.sh) — and decline to the host tiers when
+    that route is opted out (the monolithic 2-op graph still
+    compile-starves this backend, BENCH_NOTES round-3)."""
     import jax
 
     from unikmer_tpu.taxonomy.lca import device_collapse_admissible
@@ -205,8 +208,13 @@ def test_device_collapse_admissible_tpu_gate(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert device_collapse_admissible(46, 100)
     assert device_collapse_admissible(58, 8)         # k=29, tiny vocab
-    assert not device_collapse_admissible(62, 100)   # k=31: 2-op only
-    assert not device_collapse_admissible(64, 100)   # hashes
+    # unpackable: admitted by default (staged split3, round 5)
+    assert device_collapse_admissible(62, 100)       # k=31 big vocab
+    assert device_collapse_admissible(64, 100)       # hashes
+    # opting the staged split3 route out declines the device again
+    monkeypatch.setenv("UNIKMER_TPU_TAXID_STAGED", "0")
+    assert not device_collapse_admissible(64, 100)
+    assert device_collapse_admissible(46, 100)       # packable unaffected
     monkeypatch.setenv("UNIKMER_TPU_TAXID_2OP", "1")
     assert device_collapse_admissible(64, 100)       # explicit override
 

@@ -557,3 +557,23 @@ def test_scaled_filter_native_vs_python_threshold(lib, rng):
         got = native.nthash_windows(bases, k, True, s)
         want = full[full <= np.uint64(scaled_max_hash(s))]
         np.testing.assert_array_equal(got, want)
+
+
+def test_pack_bases_2bit_native_parity(rng, monkeypatch):
+    """Native 2-bit ingress pack must be bit-identical to the numpy
+    formulation for every length class (thread-boundary tails
+    included) and invalid-base pattern."""
+    import unikmer_tpu.native as nat
+    from unikmer_tpu.models.count import pack_bases_2bit
+
+    if nat.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    for n in (0, 1, 7, 8, 9, 1000, (1 << 20) + 3, (1 << 21) - 1):
+        bases = rng.integers(0, 6, size=n, dtype=np.uint8)  # 4,5 invalid
+        monkeypatch.setenv("UNIKMER_TPU_NO_NATIVE", "1")
+        want = pack_bases_2bit(bases)
+        monkeypatch.delenv("UNIKMER_TPU_NO_NATIVE")
+        got = nat.pack_bases_2bit(bases)
+        assert got is not None
+        np.testing.assert_array_equal(got[0], want[0], err_msg=str(n))
+        np.testing.assert_array_equal(got[1], want[1], err_msg=str(n))

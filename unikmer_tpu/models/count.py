@@ -248,7 +248,14 @@ def pad_bases(bases: np.ndarray) -> np.ndarray:
 # unpacks with two cheap VPU gathers inside the jitted program.
 def pack_bases_2bit(bases: np.ndarray):
     """(packed2 u8 [ceil(n/4)], validmask u8 [ceil(n/8)]) for a padded
-    base array (values 0..3 valid, anything else invalid)."""
+    base array (values 0..3 valid, anything else invalid).  Routes
+    through the multithreaded native kernel when available (~1 s of
+    numpy per streamed 4x2^25 batch otherwise — round-5 profile)."""
+    from ..native import pack_bases_2bit as native_pack
+
+    res = native_pack(bases)
+    if res is not None:
+        return res
     n = len(bases)
     n4 = -(-n // 4) * 4
     n8 = -(-n // 8) * 8

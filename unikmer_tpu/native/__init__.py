@@ -73,6 +73,10 @@ def get_lib():
     lib.map_bases.argtypes = [u8p, ctypes.c_size_t, u8p]
     lib.map_bases_skip_ws.restype = ctypes.c_size_t
     lib.map_bases_skip_ws.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.pack_bases_2bit_native.restype = None
+    lib.pack_bases_2bit_native.argtypes = [
+        u8p, ctypes.c_size_t, u8p, u8p, ctypes.c_int,
+    ]
     lib.fastx_load.restype = ctypes.POINTER(FastxPackStruct)
     lib.fastx_load.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
@@ -226,6 +230,25 @@ def map_bases_skip_ws(seq: bytes) -> np.ndarray | None:
     out = np.empty(len(inp), np.uint8)
     n = lib.map_bases_skip_ws(_u8p(inp), len(inp), _u8p(out))
     return out[:n]
+
+
+def pack_bases_2bit(bases: np.ndarray, threads: int = 4):
+    """(packed2 u8 ceil(n/4), validmask u8 ceil(n/8)) — the 2-bit
+    device-ingress pack, bit-identical to the numpy formulation in
+    models/count but multithreaded at memory bandwidth (the numpy
+    version cost ~1 s per streamed 4x2^25 batch, round-5 phase
+    profile).  None -> no native lib (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(bases, np.uint8)
+    n = len(b)
+    packed2 = np.empty(-(-n // 4) if n else 0, np.uint8)
+    validmask = np.empty(-(-n // 8) if n else 0, np.uint8)
+    if n:
+        lib.pack_bases_2bit_native(_u8p(b), n, _u8p(packed2),
+                                   _u8p(validmask), threads)
+    return packed2, validmask
 
 
 def encode_windows(bases: np.ndarray, k: int,

@@ -12,6 +12,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -331,6 +334,70 @@ int64_t parse_code_lines(const uint8_t* text, int64_t len, int32_t mode,
         n++;
     }
     return n;
+}
+
+
+// ---------------------------------------------------------------------
+// 2-bit ingress pack: bases (0..3 valid, else invalid) -> packed2
+// (4 bases/byte, bit 2*(i%4)) + bit validmask (bit i%8), both
+// little-ordered to match numpy packbits(bitorder='little').  The
+// numpy formulation costs ~1 s per 2^27 bases on the streamed device
+// path (round-5 phase profile); this runs multithreaded at memory
+// bandwidth.
+// ---------------------------------------------------------------------
+
+static void pack_2bit_range(const uint8_t* bases, size_t lo, size_t hi,
+                            uint8_t* packed2, uint8_t* validmask) {
+    // lo/hi must be multiples of 8 (except hi == n at the tail)
+    size_t i = lo;
+    for (; i + 8 <= hi; i += 8) {
+        uint8_t m = 0, p0 = 0, p1 = 0;
+        for (int j = 0; j < 4; j++) {
+            uint8_t b = bases[i + j];
+            uint8_t v = (uint8_t)(b < 4);
+            m |= (uint8_t)(v << j);
+            p0 |= (uint8_t)((v ? b : 0) << (2 * j));
+        }
+        for (int j = 0; j < 4; j++) {
+            uint8_t b = bases[i + 4 + j];
+            uint8_t v = (uint8_t)(b < 4);
+            m |= (uint8_t)(v << (4 + j));
+            p1 |= (uint8_t)((v ? b : 0) << (2 * j));
+        }
+        validmask[i >> 3] = m;
+        packed2[i >> 2] = p0;
+        packed2[(i >> 2) + 1] = p1;
+    }
+    for (; i < hi; i++) {
+        uint8_t b = bases[i];
+        if (b < 4) {
+            validmask[i >> 3] |= (uint8_t)(1u << (i & 7));
+            packed2[i >> 2] |= (uint8_t)(b << (2 * (i & 3)));
+        }
+    }
+}
+
+void pack_bases_2bit_native(const uint8_t* bases, size_t n,
+                            uint8_t* packed2, uint8_t* validmask,
+                            int threads) {
+    size_t n4 = (n + 3) / 4, n8 = (n + 7) / 8;
+    std::memset(packed2, 0, n4);
+    std::memset(validmask, 0, n8);
+    if (threads < 2 || n < (1u << 20)) {
+        pack_2bit_range(bases, 0, n, packed2, validmask);
+        return;
+    }
+    size_t chunk =
+        (((n + (size_t)threads - 1) / (size_t)threads) + 7) & ~(size_t)7;
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads; t++) {
+        size_t lo = (size_t)t * chunk;
+        if (lo >= n) break;
+        size_t hi = std::min(n, lo + chunk);
+        ts.emplace_back(pack_2bit_range, bases, lo, hi, packed2,
+                        validmask);
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"
