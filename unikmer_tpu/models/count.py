@@ -318,7 +318,9 @@ def _compress_result(out, n):
     # measured e_scatter_only 5.87 s vs f_sortexc 0.15 s at 2^25
     # (docs/BENCH_NOTES.md round-5; scripts/exp_round5_micro.py).
     key = jnp.where(big, idx.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF))
-    skey = jax.lax.sort(key)[:_MAX_EXC]
+    from ..ops.sort import _sort_stable
+
+    skey = jax.lax.sort(key, is_stable=_sort_stable())[:_MAX_EXC]
     exc_idx = jnp.where(skey == jnp.uint32(0xFFFFFFFF), jnp.int64(-1),
                         skey.astype(jnp.int64))
     take = jnp.clip(exc_idx, 0, out.shape[0] - 1)

@@ -43,12 +43,26 @@ def _sort_u64_split(codes: jnp.ndarray, width: int) -> jnp.ndarray:
     shift = jnp.uint64(32)
     hi = (codes >> shift).astype(jnp.uint16 if width == 16 else jnp.uint32)
     lo = codes.astype(jnp.uint32)
-    h, l = jax.lax.sort((hi, lo), num_keys=2)
+    h, l = jax.lax.sort((hi, lo), num_keys=2, is_stable=_sort_stable())
     out = (h.astype(jnp.uint64) << shift) | l.astype(jnp.uint64)
     if width == 16:
         sent_img = (jnp.uint64(0xFFFF) << shift) | jnp.uint64(0xFFFFFFFF)
         out = jnp.where(out == sent_img, jnp.uint64(CODE_SENTINEL), out)
     return out
+
+
+
+def _sort_stable() -> bool:
+    """Stability flag for every pipeline sort (trace-time).  DEFAULT
+    UNSTABLE: the round-5 chip micro measured XLA's stable TPU sort
+    ~28% slower at 2^25 (split16 137 -> 97.8 ms, u64 150 -> 109 ms;
+    scripts/exp_round5_sortstable.py) and no pipeline sort needs
+    stability — single/duplex-operand sorts order equal elements
+    interchangeably, payload sorts either use unique keys
+    (compact_aux) or feed order-independent reductions (LCA merge,
+    run accounting; the pallas twin was always tie-unstable).
+    UNIKMER_TPU_SORT_STABLE=1 restores stable sorts."""
+    return os.environ.get("UNIKMER_TPU_SORT_STABLE", "0") == "1"
 
 
 def sort_code_bits(k: int, hashed: bool) -> int:
@@ -115,7 +129,7 @@ def _sort_u64(codes: jnp.ndarray, code_bits: int = 64,
     width = _split_width(code_bits, split) if codes.ndim == 1 else 0
     if width:
         return _sort_u64_split(codes, width)
-    return jax.lax.sort(codes)
+    return jax.lax.sort(codes, is_stable=_sort_stable())
 
 
 def sort_codes(codes: jnp.ndarray) -> jnp.ndarray:
@@ -197,7 +211,8 @@ def compact_aux(keep: jnp.ndarray, aux: jnp.ndarray, fill):
     n = aux.shape[0]
     idx = jax.lax.iota(jnp.uint32, n)
     key = jnp.where(keep, idx, jnp.uint32(0xFFFFFFFF))
-    skey, s_aux = jax.lax.sort((key, aux), num_keys=1)
+    skey, s_aux = jax.lax.sort((key, aux), num_keys=1,
+                                is_stable=_sort_stable())
     return jnp.where(skey != jnp.uint32(0xFFFFFFFF), s_aux, fill)
 
 
@@ -326,4 +341,5 @@ def sort_codes_taxids(codes: jnp.ndarray, taxids: jnp.ndarray):
         return sort_codes_taxids_pallas(codes, taxids, block_elems=blk,
                                         looped=lp, layout=layout,
                                         interpret=interp)
-    return jax.lax.sort((codes, taxids), num_keys=1)
+    return jax.lax.sort((codes, taxids), num_keys=1,
+                        is_stable=_sort_stable())

@@ -83,8 +83,11 @@ def lca_collapse_device(codes, taxids, valid, parent, depth,
     Returns (codes, taxids, keep_mask) aligned to the sorted order.
     """
     invalid = (~valid).astype(jnp.uint8)
+    from ..ops.sort import _sort_stable
+
     s_codes, s_inv, s_tax = jax.lax.sort(
-        (codes, invalid, taxids.astype(jnp.uint32)), num_keys=2
+        (codes, invalid, taxids.astype(jnp.uint32)), num_keys=2,
+        is_stable=_sort_stable(),
     )
     s_valid = s_inv == 0
     n = codes.shape[0]
@@ -262,7 +265,10 @@ def collapse_sort_split3(codes, ctax, valid):
                    jnp.uint32(0xFFFFFFFF))
     lo = jnp.where(valid, codes.astype(jnp.uint32),
                    jnp.uint32(0xFFFFFFFF))
-    return jax.lax.sort((hi, lo, payload), num_keys=2)
+    from ..ops.sort import _sort_stable
+
+    return jax.lax.sort((hi, lo, payload), num_keys=2,
+                        is_stable=_sort_stable())
 
 
 def unpack_split3(h, l, s_pay):
@@ -306,7 +312,10 @@ def _collapse_sort(codes, ctax, valid, n_ids: int, code_bits: int):
     payload = jnp.where(
         valid, ctax.astype(jnp.int32) | jnp.int32(_VALID_BIT), jnp.int32(0)
     )
-    s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1)
+    from ..ops.sort import _sort_stable
+
+    s_codes, s_pay = jax.lax.sort((codes, payload), num_keys=1,
+                                  is_stable=_sort_stable())
     s_valid = s_pay >= jnp.int32(_VALID_BIT)
     tax = jnp.where(s_valid, s_pay & jnp.int32(_VALID_BIT - 1), 0)
     return s_codes, tax, s_valid
