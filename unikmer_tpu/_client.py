@@ -38,6 +38,7 @@ def try_server(argv: list) -> int | None:
             print(f"[client] server {path} unreachable — running locally",
                   file=sys.stderr)
         return None
+    sent = False
     try:
         env = {k: v for k, v in os.environ.items()
                if k.startswith("UNIKMER") or k in ("TMPDIR",)}
@@ -51,15 +52,29 @@ def try_server(argv: list) -> int | None:
                 s.flush()
             except Exception:
                 pass
-        socket.send_fds(conn, [b"\x01"], [
-            sys.stdin.fileno() if sys.stdin else 0,
-            sys.stdout.fileno(),
-            sys.stderr.fileno(),
-        ])
+
+        def _fd(stream, default):
+            try:
+                return stream.fileno()
+            except Exception:  # closed/captured stream (pytest, daemons)
+                return default
+
+        fds = [_fd(sys.stdin, 0), _fd(sys.stdout, 1), _fd(sys.stderr, 2)]
+        socket.send_fds(conn, [b"\x01"], fds)
         conn.sendall(len(req).to_bytes(4, "big") + req)
+        sent = True
         code = int.from_bytes(_recv_exact(conn, 4), "big", signed=True)
         return code
-    except (OSError, ConnectionError) as e:
+    except (OSError, ConnectionError, ValueError) as e:
+        if sent:
+            # The request reached the server: it may have executed
+            # (partially or fully) and written to our fds / consumed
+            # stdin.  Re-running locally would duplicate side effects
+            # and corrupt output — fail loudly instead.
+            print(f"[client] server died mid-request ({e}); NOT "
+                  "re-running locally (output/side effects may be "
+                  "partial)", file=sys.stderr)
+            return 255
         print(f"[client] server request failed ({e}) — running locally",
               file=sys.stderr)
         return None

@@ -997,7 +997,7 @@ def _device_taxid_collapse(bases_unpadded, pos_ctax, cfg: CountConfig,
                     _count_taxids_split3_step(bases, dctax, cfg))
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide, mode=mode,
-            phase="count -T")
+            phase="count -T", code_bits=_taxid_code_bits(cfg))
         return materialize_staged_taxid_result(res, staged_raw, z_out,
                                                closure)
 
@@ -1407,7 +1407,9 @@ def _fetch_group_dual(token, pieces, cfg: CountConfig):
     outs = []
     if kind == "dual_sep":
         for od, nd, orp, nr in res:
-            _fetch_scalar_watchdog(nd)
+            # watchdog BOTH scalars: a dropped orp/nr result would
+            # otherwise hang int(nr) with no diagnostic (round-5 review)
+            _fetch_scalar_watchdog(nd + nr)
             outs.append(np.asarray(od[: int(nd)]))
             outs.append(np.asarray(orp[: int(nr)]))
         return outs

@@ -55,6 +55,20 @@ def get_lib():
     except OSError:
         _lib = False
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale prebuilt .so loaded after a failed rebuild: it lacks a
+        # newer symbol — honor the graceful-None contract so every
+        # caller falls back to numpy instead of crashing (round-5
+        # review)
+        _lib = False
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib) -> None:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.gb64_encode.restype = ctypes.c_size_t
@@ -162,8 +176,6 @@ def get_lib():
     lib.syncmer_compat_emit_u64.argtypes = [
         u8p, i64, ctypes.c_int32, ctypes.c_int32, u64p,
     ]
-    _lib = lib
-    return lib
 
 
 class FastxPackStruct(ctypes.Structure):

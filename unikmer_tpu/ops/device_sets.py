@@ -247,7 +247,8 @@ def setop_taxids_compact(codes, ctax, lca_tab, rounds: int,
         csum = jnp.cumsum(v)
         count = csum[end - 1] - csum[start] + v[start]
         keep = keep & (count >= threshold)
-    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0))
+    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0),
+                                         code_bits=code_bits)
     return out_c, out_t, n
 
 
@@ -341,9 +342,11 @@ def _taxid_compress_stage(out_c, out_t, n, wide: bool):
             out_t.astype(jnp.uint32 if wide else jnp.uint16))
 
 
-@partial(jax.jit, static_argnames=("z_out", "wide"))
-def _staged_egress_fused(s_codes, tax, keep, z_out: bool, wide: bool):
-    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0))
+@partial(jax.jit, static_argnames=("z_out", "wide", "code_bits"))
+def _staged_egress_fused(s_codes, tax, keep, z_out: bool, wide: bool,
+                         code_bits: int = 64):
+    out_c, out_t, n = _compact_mask_with(s_codes, tax, keep, jnp.int32(0),
+                                         code_bits=code_bits)
     if not z_out:
         return out_c, out_t, n
     from ..models.count import _compress_result
@@ -353,24 +356,27 @@ def _staged_egress_fused(s_codes, tax, keep, z_out: bool, wide: bool):
             out_t.astype(jnp.uint32 if wide else jnp.uint16))
 
 
-def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool):
+def _staged_egress(s_codes, tax, keep, z_out: bool, wide: bool,
+                   code_bits: int = 64):
     """Staged stage 3/3: compact the kept rows; optionally compress the
     egress (u32-delta codes + u16/u32 compact ids) for the slow
     device->host tunnel.  The compress runs as its own program by
-    default (UNIKMER_TPU_SPLIT_EGRESS; round-5 fusion pathology)."""
+    default (UNIKMER_TPU_SPLIT_EGRESS; round-5 fusion pathology);
+    ``code_bits`` lets the compaction sort use the narrow split."""
     from ..models.count import _split_egress
 
     if not z_out or not _split_egress():
-        return _staged_egress_fused(s_codes, tax, keep, z_out, wide)
+        return _staged_egress_fused(s_codes, tax, keep, z_out, wide,
+                                    code_bits=code_bits)
     out_c, out_t, n = _staged_egress_fused(s_codes, tax, keep, False,
-                                           wide)
+                                           wide, code_bits=code_bits)
     return _taxid_compress_stage(out_c, out_t, n, wide)
 
 
 def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
                               kind: str, z_out: bool, wide: bool,
                               mode: str = "all", threshold: int = 1,
-                              phase: str = "taxid"):
+                              phase: str = "taxid", code_bits: int = 64):
     """Stages 2+3 over a stage-1 sorted key (shared by the union and
     count -T staged drivers); each dispatch under its own phase
     watchdog so a chip log shows WHICH stage starves.
@@ -397,11 +403,13 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
             s_codes, tax, keep = lca_rounds_staged_split3(
                 h, l, pay, lca_tab, rounds, kind, mode, threshold)
         with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
-            res = _staged_egress(s_codes, tax, keep, z_out, wide)
+            res = _staged_egress(s_codes, tax, keep, z_out, wide,
+                                 code_bits=code_bits)
 
         def raw_fn_split3():
             with phase_watchdog(f"{phase} staged raw re-egress"):
-                return _staged_egress(s_codes, tax, keep, False, wide)
+                return _staged_egress(s_codes, tax, keep, False, wide,
+                                      code_bits=code_bits)
 
         return res, raw_fn_split3
 
@@ -417,11 +425,13 @@ def run_staged_taxid_collapse(skey, lca_tab, rounds: int, ib: int,
             s_codes, tax, keep = lca_rounds_staged(
                 skey, lca_tab, rounds, ib, kind, mode, threshold)
     with phase_watchdog(f"{phase} staged egress (stage 3/3)"):
-        res = _staged_egress(s_codes, tax, keep, z_out, wide)
+        res = _staged_egress(s_codes, tax, keep, z_out, wide,
+                             code_bits=code_bits)
 
     def raw_fn():
         with phase_watchdog(f"{phase} staged raw re-egress"):
-            return _staged_egress(s_codes, tax, keep, False, wide)
+            return _staged_egress(s_codes, tax, keep, False, wide,
+                                  code_bits=code_bits)
 
     return res, raw_fn
 
@@ -608,7 +618,7 @@ def union_taxids_device(code_arrays, taxid_arrays, taxdb,
                     jnp.asarray(pad_c), jnp.asarray(pad_t))
         res, staged_raw = run_staged_taxid_collapse(
             skey, dtab, rounds, ib, kind, z_out, wide,
-            phase="taxid union")
+            phase="taxid union", code_bits=code_bits)
         return materialize_staged_taxid_result(res, staged_raw, z_out,
                                                closure)
 

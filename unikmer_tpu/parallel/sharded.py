@@ -1008,6 +1008,18 @@ def mesh_set_op_taxids(op: str, code_arrays: list, taxid_arrays: list,
     kind, closure, lca_tab = plan
     if not device_collapse_admissible(code_bits, len(closure)):
         return None  # 2-operand fallback sort compile-starves on tpu
+    from ..taxonomy.lca import collapse_sort_packable
+
+    if not collapse_sort_packable(code_bits, len(closure)):
+        # the MESH tier has no split3 staged per-shard route yet: on
+        # tpu the monolithic per-shard unpackable graph is the
+        # compile-starving shape, so decline to the single-device tier
+        # (whose staged split3 route is chip-proven) — round-5 review
+        try:
+            if jax.default_backend() == "tpu":
+                return None
+        except Exception:
+            pass
     # per-file LCA dedup: threshold counts are file-presence counts
     arrs = []
     for c, t in zip(code_arrays, taxid_arrays):

@@ -29,6 +29,14 @@ serially — device work must never run concurrently on this backend
 (CLAUDE.md wedge discipline), and serialization is exactly the
 semantics a single chip gives anyway.
 
+CAVEAT — trace-time knobs: env vars read when a program is first
+TRACED (UNIKMER_TPU_SORT_SPLIT/SORT_STABLE/SORT_COMPACT/PALLAS_SORT,
+...) bind on the server's first compile of a shape and are NOT
+re-applied for later requests that hit the jit cache.  Routing-time
+knobs (HOST_COUNT, DEVICE_TAXID, TAXID_STAGED, MULTI_BUCKET, mesh,
+...) are read per call and work normally.  Drive per-arm trace-knob
+experiments with fresh processes, not through one server.
+
 Run:    python -m unikmer_tpu.server --socket /tmp/unikmer.sock --warm
 Client: UNIKMER_TPU_SERVER=/tmp/unikmer.sock unikmer-tpu count ...
         (cli.main dispatches automatically; falls back to local
