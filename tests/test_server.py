@@ -148,3 +148,39 @@ def test_client_falls_back_without_server(tmp_path, rng):
                    ["count", "-k", 23, "-K", "-s", fa, "-o", out])
     assert r.returncode == 0, r.stderr.decode()
     assert (tmp_path / "o.unik").exists()
+
+
+def test_client_no_local_rerun_after_delivery(tmp_path, rng):
+    """If the server dies AFTER the request was delivered, the client
+    must NOT re-run locally (partial execution would duplicate side
+    effects) — it exits nonzero with a diagnostic (round-5 review)."""
+    import socket as socket_mod
+    import threading
+
+    sock = str(tmp_path / "half.sock")
+    srv = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    srv.bind(sock)
+    srv.listen(1)
+
+    def half_server():
+        conn, _ = srv.accept()
+        # receive the fds + request, then close WITHOUT replying
+        msg, fds, *_ = socket_mod.recv_fds(conn, 1, 3)
+        for fd in fds:
+            os.close(fd)
+        n = int.from_bytes(conn.recv(4), "big")
+        while n > 0:
+            n -= len(conn.recv(n))
+        conn.close()
+
+    t = threading.Thread(target=half_server, daemon=True)
+    t.start()
+    fa = _write_fa(tmp_path, rng)
+    out = tmp_path / "o"
+    r = run_client(sock, ["count", "-k", 23, "-K", "-s", fa, "-o", out])
+    t.join(timeout=10)
+    srv.close()
+    assert r.returncode == 255, (r.returncode, r.stderr.decode())
+    assert b"NOT re-running locally" in r.stderr
+    # and crucially: the command did NOT run locally
+    assert not (tmp_path / "o.unik").exists()
